@@ -1,0 +1,151 @@
+"""Grid-binned spatial index — the engine's broadcastable STRtree analog.
+
+The reference attaches a file-level R-tree to vector layers
+(``/root/reference/buteo/core_vector/core_vector_index.py:14-276``) and
+probes it from SpatiaLite. Here the small (build) side of a spatial join
+is indexed ONCE on the driver, ``ray.put`` into the object store, and read
+zero-copy-ish by every ``map_batches`` task (SURVEY.md §3.4) — never
+re-shipped per batch.
+
+Design: uniform grid binning of geometry bboxes at an auto-chosen quadcell
+resolution, stored CSR-style (sorted cell keys + offsets + geometry ids)
+so lookups are ``np.searchsorted`` — no Python dict, cheap to pickle,
+O(1)-ish probe per point. Candidates from the grid are then refined with
+the exact predicates in :mod:`buteo_ray.geom.predicates`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from buteo_ray.grid.cells import cell_xy
+
+
+class GridIndex:
+    """Spatial index over N geometries given by bbox columns.
+
+    Parameters
+    ----------
+    bbox_xmin, bbox_xmax, bbox_ymin, bbox_ymax : float64 arrays (N,)
+    res : quadcell resolution; auto-chosen from median bbox size if None.
+    payload : optional list of parsed geometries (e.g. ring lists) carried
+        alongside for exact refinement at probe time.
+    """
+
+    def __init__(
+        self,
+        bbox_xmin: np.ndarray,
+        bbox_xmax: np.ndarray,
+        bbox_ymin: np.ndarray,
+        bbox_ymax: np.ndarray,
+        res: Optional[int] = None,
+        payload: Optional[list] = None,
+    ):
+        xmin = np.asarray(bbox_xmin, dtype=np.float64)
+        xmax = np.asarray(bbox_xmax, dtype=np.float64)
+        ymin = np.asarray(bbox_ymin, dtype=np.float64)
+        ymax = np.asarray(bbox_ymax, dtype=np.float64)
+        n = xmin.shape[0]
+
+        if res is None:
+            if n == 0:
+                res = 8
+            else:
+                # Cell edge ≈ median bbox edge → a bbox spans ~2×2 cells:
+                # small candidate lists without exploding entries per bbox.
+                med = max(float(np.median(xmax - xmin)), float(np.median(ymax - ymin)), 1e-9)
+                res = int(np.clip(np.floor(np.log2(360.0 / med)), 0, 22))
+        self.res = res
+
+        self.bbox = (xmin, xmax, ymin, ymax)
+        self.payload = payload
+
+        # Bin every bbox into the cells it covers (vectorized via repeat).
+        x0, y0 = cell_xy(ymin, xmin, res)
+        x1, y1 = cell_xy(ymax, xmax, res)
+        nx = (x1 - x0 + 1).astype(np.int64)
+        ny = (y1 - y0 + 1).astype(np.int64)
+        counts = nx * ny
+        total = int(counts.sum())
+        geom_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+        # Per-entry (cx, cy) offsets within each bbox's cell block.
+        if total > 0:
+            block_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            local = np.arange(total, dtype=np.int64) - np.repeat(block_starts, counts)
+            rep_nx = np.repeat(nx, counts)
+            cx = np.repeat(x0, counts) + local % rep_nx
+            cy = np.repeat(y0, counts) + local // rep_nx
+            keys = (cy << np.int64(32)) | cx
+            order = np.argsort(keys, kind="stable")
+            self._keys_sorted = keys[order]
+            self._geom_sorted = geom_ids[order]
+            self._unique_keys, starts = np.unique(self._keys_sorted, return_index=True)
+            self._starts = np.concatenate([starts, [total]])
+        else:
+            self._keys_sorted = np.empty(0, dtype=np.int64)
+            self._geom_sorted = np.empty(0, dtype=np.int64)
+            self._unique_keys = np.empty(0, dtype=np.int64)
+            self._starts = np.zeros(1, dtype=np.int64)
+
+    def __len__(self) -> int:
+        return self.bbox[0].shape[0]
+
+    def query_points(self, px: np.ndarray, py: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Candidate (point_idx, geom_idx) pairs whose bbox contains the
+        point. Fully vectorized: cell lookup via searchsorted, bbox check
+        on the gathered candidates."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        cx, cy = cell_xy(py, px, self.res)
+        keys = (cy << np.int64(32)) | cx
+
+        pos = np.searchsorted(self._unique_keys, keys)
+        valid = (pos < self._unique_keys.shape[0])
+        hit = np.zeros(keys.shape[0], dtype=bool)
+        hit[valid] = self._unique_keys[pos[valid]] == keys[valid]
+        if not hit.any():
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+
+        pidx = np.nonzero(hit)[0]
+        p = pos[hit]
+        counts = self._starts[p + 1] - self._starts[p]
+        point_rep = np.repeat(pidx, counts)
+        block_starts = np.repeat(self._starts[p], counts)
+        local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        geom_idx = self._geom_sorted[block_starts + local]
+
+        xmin, xmax, ymin, ymax = self.bbox
+        keep = (
+            (px[point_rep] >= xmin[geom_idx]) & (px[point_rep] <= xmax[geom_idx])
+            & (py[point_rep] >= ymin[geom_idx]) & (py[point_rep] <= ymax[geom_idx])
+        )
+        return point_rep[keep], geom_idx[keep]
+
+    def query_bbox(
+        self, qxmin: float, qxmax: float, qymin: float, qymax: float
+    ) -> np.ndarray:
+        """Geometry ids whose bbox intersects the query bbox."""
+        x0, y0 = cell_xy(np.float64(qymin), np.float64(qxmin), self.res)
+        x1, y1 = cell_xy(np.float64(qymax), np.float64(qxmax), self.res)
+        cxs = np.arange(int(x0), int(x1) + 1, dtype=np.int64)
+        cys = np.arange(int(y0), int(y1) + 1, dtype=np.int64)
+        gx, gy = np.meshgrid(cxs, cys)
+        keys = (gy.ravel() << np.int64(32)) | gx.ravel()
+        pos = np.searchsorted(self._unique_keys, keys)
+        valid = pos < self._unique_keys.shape[0]
+        pos = pos[valid]
+        match = self._unique_keys[pos] == keys[valid]
+        pos = pos[match]
+        if pos.size == 0:
+            return np.empty(0, dtype=np.int64)
+        parts = [self._geom_sorted[self._starts[p]:self._starts[p + 1]] for p in pos]
+        cand = np.unique(np.concatenate(parts))
+        xmin, xmax, ymin, ymax = self.bbox
+        keep = (xmax[cand] >= qxmin) & (xmin[cand] <= qxmax) & \
+               (ymax[cand] >= qymin) & (ymin[cand] <= qymax)
+        return cand[keep]
