@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: one Ray session at ``RAY_GRAFT_CPUS`` (default 32) running
+  1. the HEADLINE pipeline — the north-rule spatial-join + tiling chain
+     over a deterministic synthetic page table (parquet on /tmp, generated
+     once and reused): read → geocode → cell assign → broadcast PiP join
+     (10k AOI polygons) → 256×256 tile assign → partitioned parquet write;
+     metric = wall seconds (plus pages/sec),
+  2. every oracle-checked query from ``buteo_ray.pipelines.queries`` over
+     ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+Prints ONE JSON line.
+
+``--scaling``: runs the headline pipeline in two FRESH processes at 8 and
+32 CPUs (same input) and prints throughput at both + scaling efficiency
+(the sandbox stand-in for the N vs 4N-node cluster criterion — see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "1000000"))
+NUM_AOI = int(os.environ.get("GRAFT_BENCH_AOI", "10000"))
+PAGES_DIR = f"/tmp/buteo_ray_bench/pages_{N_PAGES}"
+OUT_DIR = "/tmp/buteo_ray_bench/headline_out"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _ensure_pages():
+    """Generate the deterministic page table once (not part of the timed
+    pipeline — the north rule's input is a parquet table on storage)."""
+    if os.path.isdir(PAGES_DIR) and any(f.endswith(".parquet") for f in os.listdir(PAGES_DIR)):
+        return
+    from buteo_ray.sources.pages import pages_dataset
+
+    os.makedirs(PAGES_DIR, exist_ok=True)
+    # ≥2 blocks per CPU at the 32-CPU level so no stage starves.
+    blocks = max(64, N_PAGES // 100_000)
+    pages_dataset(N_PAGES, override_num_blocks=blocks).write_parquet(PAGES_DIR)
+
+
+def run_headline() -> dict:
+    import ray.data as rd
+
+    from buteo_ray.sources.aoi import synth_aoi_polygons
+    from buteo_ray.stages.cell_assign import assign_cells
+    from buteo_ray.stages.geocode import geocode
+    from buteo_ray.stages.join import broadcast_pip_join
+    from buteo_ray.stages.tiling import GridSpec, assign_tiles
+
+    _ensure_pages()
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+
+    aoi = synth_aoi_polygons(NUM_AOI)
+
+    def chain():
+        ds = rd.read_parquet(PAGES_DIR, columns=["url", "warc_ts", "text", "lang", "page_id"])
+        ds = geocode(ds, id_col="page_id")
+        ds = assign_cells(ds, resolutions=(5, 7, 9, 12))
+        ds = broadcast_pip_join(ds, aoi, how="inner", exact=True)
+        ds = assign_tiles(ds, GridSpec.global_grid(10))
+        return ds
+
+    # Untimed warm-up: OS page cache, Ray worker startup, parquet metadata.
+    # Reusing the same (lazy) Dataset keeps the metadata fetch out of the
+    # timed region; the transforms re-execute in full on write.
+    ds = chain()
+    ds.count()
+
+    t0 = time.perf_counter()
+    ds.write_parquet(OUT_DIR)
+    sec = time.perf_counter() - t0
+    return {"sec": sec, "pages": N_PAGES, "pages_per_sec": N_PAGES / sec}
+
+
+def run_queries() -> dict:
+    from buteo_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    times = {}
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        out = fn(SF_DIR)
+        # Force execution for lazy Datasets.
+        if hasattr(out, "count") and not hasattr(out, "columns"):
+            out.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main():
+    ray = _init_ray(NUM_CPUS)
+    headline = run_headline()
+    mode = os.environ.get("GRAFT_BENCH_MODE", "full")
+    queries = run_queries() if mode == "full" else {}
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "spatial-join+tiling headline seconds (pages/sec in extras)",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": headline["pages"],
+        "pages_per_sec": round(headline["pages_per_sec"], 1),
+    }))
+
+
+def scaling():
+    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "8000000")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="headline",
+                   GRAFT_BENCH_PAGES=scaling_pages)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # Generate input once (outside both timed runs).
+    global N_PAGES, PAGES_DIR
+    N_PAGES = int(scaling_pages)
+    PAGES_DIR = f"/tmp/buteo_ray_bench/pages_{N_PAGES}"
+    ray = _init_ray(16)
+    _ensure_pages()
+    ray.shutdown()
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tput_lo = r_lo["pages_per_sec"]
+    tput_hi = r_hi["pages_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
+        "pages": r_lo["pages"],
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "pages_per_sec_8": tput_lo,
+        "pages_per_sec_32": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -61,8 +61,11 @@ def synth_aoi_polygons(n: int, include_hot: bool = True) -> pa.Table:
     """n deterministic convex polygons with WKB + bbox columns.
 
     Construction: a seeded center + radial vertices (5-12, sorted by
-    angle → convex star). ~30% of polygons sit in the geocoder's hot
-    cluster (when ``include_hot``) so PiP joins hit the skewed cells.
+    angle → simple star polygon). ~10% of polygons sit in the geocoder's
+    hot cluster (when ``include_hot``) so PiP joins hit the skewed cells
+    — page-side skew (30% of pages in one ~2° cell) is what stresses the
+    partitioning; the polygon side stays realistically sparse (most
+    pages match 0-2 AOIs, like admin boundaries).
     """
     rng = np.random.default_rng(42)
     aoi_ids = np.arange(n, dtype=np.int64)
@@ -73,15 +76,15 @@ def synth_aoi_polygons(n: int, include_hot: bool = True) -> pa.Table:
     ymaxs = np.empty(n)
     names = []
     for i in range(n):
-        hot = include_hot and (i % 10 < 3)
+        hot = include_hot and (i % 10 == 0)
         if hot:
             cx = -74.0 + rng.uniform(0.0, 2.0)
             cy = 40.0 + rng.uniform(0.0, 2.0)
-            radius = rng.uniform(0.05, 0.4)
+            radius = rng.uniform(0.02, 0.12)
         else:
             cx = rng.uniform(-175.0, 175.0)
             cy = rng.uniform(-55.0, 55.0)
-            radius = rng.uniform(0.2, 3.0)
+            radius = rng.uniform(0.2, 1.5)
         nv = int(rng.integers(5, 13))
         angles = np.sort(rng.uniform(0.0, 2.0 * np.pi, nv))
         radii = radius * rng.uniform(0.5, 1.0, nv)

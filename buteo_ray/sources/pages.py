@@ -21,16 +21,22 @@ _WORDS = [
 ]
 
 
+# Word j of page k is _WORDS[(k*31 + j*17) % 16] == _WORDS[(15k + j) % 16]:
+# a rotation of one fixed 16-word cycle. Precomputing every
+# (rotation, word-count) prefix makes row synthesis a table lookup.
+_MAX_WORDS = 8 + 63
+_TEXT_PREFIX = [
+    [" ".join(_WORDS[(rot + j) % len(_WORDS)] for j in range(nw)) for nw in range(_MAX_WORDS + 1)]
+    for rot in range(len(_WORDS))
+]
+
+
 def _make_rows(ids: np.ndarray) -> pa.Table:
     ids = np.asarray(ids, dtype=np.int64)
     urls = [f"https://site{int(i) % 1000}.example/{int(i)}" for i in ids]
-    # Seeded token soup: word choice driven by id arithmetic (deterministic).
-    texts = []
-    for i in ids:
-        k = int(i)
-        nwords = 8 + (k * 7919) % 64
-        words = [_WORDS[(k * 31 + j * 17) % len(_WORDS)] for j in range(nwords)]
-        texts.append(" ".join(words))
+    nwords = (8 + (ids * 7919) % 64).tolist()
+    rots = ((ids * 31) % len(_WORDS)).tolist()
+    texts = [_TEXT_PREFIX[r][n] for r, n in zip(rots, nwords)]
     htmls = [f"<html><body>{t}</body></html>".encode() for t in texts]
     langs = [_LANGS[int(i) % len(_LANGS)] for i in ids]
     ts = pa.array(ids * 1_000_000 + 1_704_067_200_000_000, type=pa.timestamp("us"))

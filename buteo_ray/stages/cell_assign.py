@@ -36,7 +36,7 @@ def assign_cells(
             batch = batch.append_column(morton_col, pa.array(latlon_to_morton(lat, lon, morton_res)))
         return batch
 
-    return ds.map_batches(_fn, batch_format="pyarrow")
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def assign_cell_xy(ds, res: int, lat_col: str = "lat", lon_col: str = "lon"):
@@ -49,7 +49,7 @@ def assign_cell_xy(ds, res: int, lat_col: str = "lat", lon_col: str = "lon"):
         x, y = cell_xy(lat, lon, res)
         return batch.append_column("cell_x", pa.array(x)).append_column("cell_y", pa.array(y))
 
-    return ds.map_batches(_fn, batch_format="pyarrow")
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def cell_xy_sql_exprs(res: int, lat_sql: str, lon_sql: str) -> Tuple[str, str]:

@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- :func:`exact_dedup` — hash-partition + per-group first: content hash
+  via vectorized 64-bit siphash (``pd.util.hash_pandas_object``,
+  deterministic across processes), shuffle only (hash, id) width, keep
+  the min-id row per identical content.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — near-dup via
+  One-Permutation-Hashing MinHash (Li et al., NIPS 2012 — one hash pass
+  over all shingles, bin-wise minima) + banded LSH: signature rows →
+  explode to (band, band_hash) keys → groupby → candidate pairs →
+  signature-estimated Jaccard filter. O(corpus) compute, shuffle only
+  signature rows.
+- :func:`simhash_signatures` — 64-bit SimHash over token hashes
+  (Charikar 2002), for Hamming-distance near-dup.
+- :func:`jaccard_pairs_brute` — exact n-gram Jaccard over all pairs
+  (test oracle / small inputs only).
+
+The reference's only dedup-adjacent op is exact ``_unique_values``
+(``/root/reference/buteo/array/patches/util.py:217-238``); these extend
+it to the document domain as first-class engine operators.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SHINGLE = 5
+_BINS = 64  # OPH bins = signature length
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant (public)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (splitmix64, public domain)."""
+    x = (x + _MIX).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x = x * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def content_hash_column(texts: pd.Series) -> np.ndarray:
+    """Vectorized deterministic 64-bit content hash."""
+    return pd.util.hash_pandas_object(texts, index=False).to_numpy()
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: keep the min-``id_col`` row per distinct ``text_col``.
+
+    Plan: vectorized content-hash column → ``groupby(content_hash)`` →
+    per group keep first by id (hash collisions resolved by comparing the
+    text inside the group). Only hash+payload travels in the shuffle.
+    """
+
+    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["content_hash"] = content_hash_column(batch[text_col])
+        return batch
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        # Within one hash bucket, dedup on the actual text (collision-safe).
+        g = g.sort_values(id_col, kind="stable")
+        return g.drop_duplicates(subset=[text_col], keep="first")
+
+    return (
+        ds.map_batches(_hash, batch_format="pandas", batch_size=None)
+        .groupby("content_hash")
+        .map_groups(_first, batch_format="pandas")
+    )
+
+
+def _shingle_hashes(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Char-``_SHINGLE``-gram rolling hashes for a batch of texts.
+
+    Returns (hashes, doc_offsets): one uint64 per shingle, concatenated
+    per doc; fully vectorized via a sliding window over the concatenated
+    byte buffer with doc-boundary masking.
+    """
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    total = data.shape[0]
+    if total < _SHINGLE:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
+
+    win = np.lib.stride_tricks.sliding_window_view(data, _SHINGLE).astype(np.uint64)
+    # Polynomial hash of the window then a splitmix finalizer.
+    h = np.zeros(win.shape[0], dtype=np.uint64)
+    for j in range(_SHINGLE):
+        h = h * np.uint64(1099511628211) + win[:, j]  # FNV prime (public)
+    h = _splitmix64(h)
+
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # Valid shingle start positions: within a doc, at least _SHINGLE from its end.
+    n_shingles = np.maximum(lens - _SHINGLE + 1, 0)
+    doc_offsets = np.concatenate([[0], np.cumsum(n_shingles)])
+    idx = np.concatenate([
+        np.arange(starts[i], starts[i] + n_shingles[i]) for i in range(len(texts))
+    ]) if len(texts) else np.empty(0, dtype=np.int64)
+    return h[idx], doc_offsets
+
+
+def oph_minhash(texts: List[str]) -> np.ndarray:
+    """One-Permutation-Hashing MinHash signatures, shape (len(texts), 64).
+
+    Bin = top-6 hash bits; signature[bin] = min hash in that bin; empty
+    bins densified with the row-wise max (deterministic)."""
+    h, offsets = _shingle_hashes(texts)
+    n = len(texts)
+    sig = np.full((n, _BINS), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if h.shape[0]:
+        bins = (h >> np.uint64(58)).astype(np.int64)
+        doc_of = np.repeat(np.arange(n), np.diff(offsets))
+        flat = doc_of * _BINS + bins
+        order = np.argsort(flat, kind="stable")
+        flat_s, h_s = flat[order], h[order]
+        uniq, starts = np.unique(flat_s, return_index=True)
+        mins = np.minimum.reduceat(h_s, starts)
+        sig.ravel()[uniq] = mins
+    # Densify: replace empty bins with the doc's min present value.
+    empty = sig == np.uint64(0xFFFFFFFFFFFFFFFF)
+    if empty.any():
+        fill = sig.min(axis=1)
+        sig = np.where(empty, fill[:, None], sig)
+    return sig
+
+
+def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset[(id, sig_0..sig_63)] — one OPH-MinHash row per document."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sig = oph_minhash(texts)
+        cols = {id_col: batch[id_col]}
+        for b in range(_BINS):
+            cols[f"sig_{b}"] = pa.array(sig[:, b])
+        return pa.table(cols)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 16,
+    threshold: float = 0.5,
+):
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    signature → ``bands`` band-hash rows per doc (shuffle key =
+    (band, band_hash)) → per-bucket pairing → estimated Jaccard
+    (matching signature fraction) ≥ threshold. Returns
+    Dataset[(id_a, id_b, est_jaccard)] with id_a < id_b, deduped."""
+    rows = _BINS // bands
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sig = oph_minhash(texts)
+        n = sig.shape[0]
+        band_hash = np.zeros((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            chunk = sig[:, b * rows:(b + 1) * rows]
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(rows):
+                h = h * np.uint64(1099511628211) + chunk[:, j]
+            band_hash[:, b] = _splitmix64(h + np.uint64(b))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out = {
+            id_col: np.repeat(ids, bands),
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": band_hash.ravel(),
+        }
+        for b in range(_BINS):
+            out[f"sig_{b}"] = np.repeat(sig[:, b], bands)
+        return pa.table(out)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
+        ids = g[id_col].to_numpy()
+        sig = g[[f"sig_{b}" for b in range(_BINS)]].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        est = (sig[ia] == sig[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]].astype(np.int64),
+            "id_b": ids[ib[keep]].astype(np.int64),
+            "est_jaccard": est[keep],
+        })
+
+    pairs = (
+        ds.map_batches(_bands, batch_format="pyarrow", batch_size=None)
+        .groupby(["band", "band_hash"])
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    # A pair found in multiple bands appears multiple times → dedup.
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def simhash64(texts: List[str]) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    tokens = pd.Series(texts).str.split(" ")
+    flat = tokens.explode()
+    doc_of = flat.index.to_numpy().astype(np.int64)
+    th = pd.util.hash_pandas_object(flat.reset_index(drop=True), index=False).to_numpy()
+    acc = np.zeros((n, 64), dtype=np.int64)
+    for b in range(64):
+        bit = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        np.add.at(acc[:, b], doc_of, bit)
+    bits = (acc > 0).astype(np.uint64)
+    for b in range(64):
+        out |= bits[:, b] << np.uint64(b)
+    return out
+
+
+def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset[(id, simhash:uint64)]."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "simhash": pa.array(simhash64(batch[text_col].to_pylist())),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def ngram_set(text: str, n: int = _SHINGLE) -> set:
+    b = text.encode("utf-8")
+    return {b[i:i + n] for i in range(max(len(b) - n + 1, 0))}
+
+
+def jaccard_pairs_brute(texts: List[str], ids: List[int], threshold: float) -> List[Tuple[int, int, float]]:
+    """Exact n-gram Jaccard over all pairs — oracle for LSH recall tests."""
+    sets = [ngram_set(t) for t in texts]
+    out = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            u = len(sets[i] | sets[j])
+            jac = len(sets[i] & sets[j]) / u if u else 0.0
+            if jac >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.append((a, b, jac))
+    return out

@@ -73,7 +73,7 @@ def geocode(ds, id_col: str = "doc_id", lat_col: str = "lat", lon_col: str = "lo
         lat, lon = hash_coords_from_ids(batch[id_col].to_numpy(zero_copy_only=False))
         return batch.append_column(lat_col, pa.array(lat)).append_column(lon_col, pa.array(lon))
 
-    return ds.map_batches(_fn, batch_format="pyarrow")
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def _hash_sql(id_sql: str, mult: int, qmult: int) -> str:

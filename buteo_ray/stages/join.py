@@ -21,25 +21,27 @@ import numpy as np
 import pyarrow as pa
 
 from buteo_ray.geom.index import GridIndex
-from buteo_ray.geom.predicates import points_in_polygon
+from buteo_ray.geom.polyset import PolygonSet
 from buteo_ray.geom.wkb import parse_wkb
 
 
 def build_aoi_index(aoi_table: pa.Table) -> GridIndex:
     """GridIndex over an AOI table (bbox columns + optional geom_wkb
-    payload parsed to rings for exact refinement)."""
+    payload compiled to a :class:`PolygonSet` for vectorized exact
+    refinement)."""
     payload = None
     if "geom_wkb" in aoi_table.column_names:
-        payload = []
+        ring_lists = []
         for wkb in aoi_table["geom_wkb"].to_pylist():
             kind, rings = parse_wkb(wkb)
             if kind == "polygon":
-                payload.append(rings)
+                ring_lists.append(rings)
             elif kind == "multipolygon":
-                # flatten: treat as union of rings lists
-                payload.append([r for poly in rings for r in poly])
+                # flatten: even-odd parity over all member rings
+                ring_lists.append([r for poly in rings for r in poly])
             else:
                 raise ValueError(f"AOI geometry must be polygonal, got {kind}")
+        payload = PolygonSet(ring_lists)
     return GridIndex(
         aoi_table["bbox_xmin"].to_numpy(),
         aoi_table["bbox_xmax"].to_numpy(),
@@ -84,15 +86,7 @@ class BroadcastIndexProbe:
     def _match(self, lon: np.ndarray, lat: np.ndarray):
         pi, gi = self.index.query_points(lon, lat)
         if self.exact and pi.size:
-            keep = np.zeros(pi.size, dtype=bool)
-            # Group candidate pairs by polygon → one vectorized PiP per
-            # polygon over its candidate points.
-            order = np.argsort(gi, kind="stable")
-            pi, gi = pi[order], gi[order]
-            bounds = np.nonzero(np.diff(gi))[0] + 1
-            for seg in np.split(np.arange(pi.size), bounds):
-                poly = self.index.payload[gi[seg[0]]]
-                keep[seg] = points_in_polygon(lon[pi[seg]], lat[pi[seg]], poly)
+            keep = self.index.payload.contains_pairs(lon[pi], lat[pi], gi)
             pi, gi = pi[keep], gi[keep]
         return pi, gi
 
@@ -129,9 +123,9 @@ def broadcast_pip_join(
     index_ref = ray.put(index)
     aoi_ids = aoi_table["aoi_id"].to_numpy() if "aoi_id" in aoi_table.column_names else None
 
-    kwargs = dict(batch_format="pyarrow")
-    if batch_size is not None:
-        kwargs["batch_size"] = batch_size
+    # batch_size=None keeps whole blocks (zero-copy Arrow, no re-slicing);
+    # callers lower it only for memory-heavy probes.
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
         return ds.map_batches(

@@ -1,0 +1,223 @@
+"""k-nearest-neighbour stages (north rule: "kNN uses H3 k-ring expansion
+with a groupby-aggregate top-k shuffle").
+
+Two paths:
+
+- :func:`knn_broadcast` — the small-query-set path: queries broadcast to
+  every task, each batch emits its per-batch top-k PARTIAL per query
+  (k·Q rows per batch, not B·Q), and a tiny ``groupby(query_id)`` merge
+  produces the exact global top-k. Shuffle volume is O(blocks·Q·k).
+- :func:`knn_cells` — the cell-partitioned path for large query sets:
+  queries indexed by quadcell; a candidate batch only scores against
+  queries whose k-ring covers the candidate's cell. Partitioning
+  assumption (documented per SURVEY.md): all true neighbours lie within
+  ``ring`` cells of the query's cell at resolution ``res`` — callers
+  size (res, ring) from the data's density floor, or iterate with a
+  growing ring.
+
+Distances: ``planar2`` = squared-euclidean on (lat, lon) — every double
+bit-identical in numpy and SQL (the oracle metric); ``haversine`` =
+great-circle meters (library metric; no SQL parity promised).
+
+The reference has no direct kNN operator (nearest-neighbour semantics
+appear as proximity / convolve_distance, ``/root/reference/buteo/raster/
+proximity.py:25-195``); this is a required new capability.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.grid.cells import cell_xy
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in meters (public haversine formula)."""
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(v, np.float64)) for v in (lat1, lon1, lat2, lon2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+def _planar2(qlat, qlon, clat, clon) -> np.ndarray:
+    """(Q, C) squared planar distance; op order pinned for SQL parity:
+    (clat-qlat)*(clat-qlat) + (clon-qlon)*(clon-qlon)."""
+    dlat = clat[None, :] - qlat[:, None]
+    dlon = clon[None, :] - qlon[:, None]
+    return dlat * dlat + dlon * dlon
+
+
+def _pairs_from_batch(
+    qid: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
+    cid: np.ndarray, clat: np.ndarray, clon: np.ndarray,
+    k: int, metric: str,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch partial top-k: for each query, the k nearest candidates
+    IN THIS BATCH (excluding self by id)."""
+    if metric == "planar2":
+        d = _planar2(qlat, qlon, clat, clon)
+    elif metric == "haversine":
+        d = haversine_m(qlat[:, None], qlon[:, None], clat[None, :], clon[None, :])
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    d = np.where(cid[None, :] == qid[:, None], np.inf, d)
+
+    kk = min(k, d.shape[1])
+    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    rows = np.repeat(np.arange(d.shape[0]), kk)
+    cols = part.ravel()
+    dist = d[rows, cols]
+    finite = np.isfinite(dist)
+    return qid[rows[finite]], cid[cols[finite]], dist[finite]
+
+
+def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.sort_values(["dist", "neighbor_id"], kind="stable").head(k)
+    return g.reset_index(drop=True)
+
+
+def knn_broadcast(
+    ds,
+    query_ids: np.ndarray,
+    query_lat: np.ndarray,
+    query_lon: np.ndarray,
+    k: int = 5,
+    metric: str = "planar2",
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+):
+    """Exact kNN of each broadcast query against the streaming candidate
+    Dataset. Returns Dataset[(query_id, neighbor_id, dist)] — ties broken
+    by neighbor_id ascending."""
+    qid = np.asarray(query_ids, dtype=np.int64)
+    qlat = np.asarray(query_lat, dtype=np.float64)
+    qlon = np.asarray(query_lon, dtype=np.float64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q, n, d = _pairs_from_batch(
+            qid, qlat, qlon,
+            batch[id_col].to_numpy(zero_copy_only=False),
+            batch[lat_col].to_numpy(zero_copy_only=False),
+            batch[lon_col].to_numpy(zero_copy_only=False),
+            k, metric,
+        )
+        return pa.table({"query_id": q, "neighbor_id": n, "dist": d})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )
+
+
+class _CellProbe:
+    """Stateful probe for knn_cells: query lookup tables built once per
+    actor from the broadcast ref."""
+
+    def __init__(self, ref, k: int, metric: str, res: int, ring: int,
+                 id_col: str, lat_col: str, lon_col: str):
+        import ray
+
+        qid, qlat, qlon = ray.get(ref) if not isinstance(ref, tuple) else ref
+        self.qid, self.qlat, self.qlon = qid, qlat, qlon
+        self.k, self.metric, self.res, self.ring = k, metric, res, ring
+        self.id_col, self.lat_col, self.lon_col = id_col, lat_col, lon_col
+        n = 1 << res
+        qx, qy = cell_xy(qlat, qlon, res)
+        # Expand each query into its k-ring cells → sorted (cell_key → query
+        # rows) CSR lookup (x wraps at the antimeridian, y clamps at poles).
+        dx, dy = np.meshgrid(np.arange(-ring, ring + 1), np.arange(-ring, ring + 1))
+        ex = (qx[:, None] + dx.ravel()[None, :]) % n
+        ey = qy[:, None] + dy.ravel()[None, :]
+        valid = (ey >= 0) & (ey < n)
+        qrows = np.repeat(np.arange(qid.shape[0]), valid.sum(axis=1))
+        keys = (ey[valid] << np.int64(32)) | ex[valid]
+        order = np.argsort(keys, kind="stable")
+        self._keys = keys[order]
+        self._qrows = qrows[order]
+        self._ukeys, starts = np.unique(self._keys, return_index=True)
+        self._starts = np.concatenate([starts, [self._keys.shape[0]]])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cid = batch[self.id_col].to_numpy(zero_copy_only=False)
+        clat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        clon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        cx, cy = cell_xy(clat, clon, self.res)
+        keys = (cy << np.int64(32)) | cx
+        pos = np.searchsorted(self._ukeys, keys)
+        valid = pos < self._ukeys.shape[0]
+        hit = np.zeros(keys.shape[0], dtype=bool)
+        hit[valid] = self._ukeys[pos[valid]] == keys[valid]
+        out_q, out_n, out_d = [], [], []
+        if hit.any():
+            cidx = np.nonzero(hit)[0]
+            p = pos[hit]
+            counts = self._starts[p + 1] - self._starts[p]
+            cand_rep = np.repeat(cidx, counts)
+            block_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(block_starts, counts)
+            qrow = self._qrows[np.repeat(self._starts[p], counts) + local]
+            if self.metric == "planar2":
+                dlat = clat[cand_rep] - self.qlat[qrow]
+                dlon = clon[cand_rep] - self.qlon[qrow]
+                d = dlat * dlat + dlon * dlon
+            else:
+                d = haversine_m(self.qlat[qrow], self.qlon[qrow], clat[cand_rep], clon[cand_rep])
+            keep = self.qid[qrow] != cid[cand_rep]
+            out_q, out_n, out_d = self.qid[qrow[keep]], cid[cand_rep[keep]], d[keep]
+        return pa.table({
+            "query_id": np.asarray(out_q, dtype=np.int64),
+            "neighbor_id": np.asarray(out_n, dtype=np.int64),
+            "dist": np.asarray(out_d, dtype=np.float64),
+        })
+
+
+def knn_cells(
+    ds,
+    query_ids: np.ndarray,
+    query_lat: np.ndarray,
+    query_lon: np.ndarray,
+    k: int = 5,
+    res: int = 6,
+    ring: int = 1,
+    metric: str = "haversine",
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    concurrency: Optional[int] = None,
+):
+    """Cell-partitioned kNN: candidates only score against queries whose
+    (res, ring) neighbourhood covers them. EXACT iff every true k-th
+    neighbour lies within ``ring`` cells — the caller's partitioning
+    assumption (verify by comparing the k-th distance against the ring
+    radius, or re-run with ring+1 on the unsatisfied queries)."""
+    import ray
+
+    payload = (
+        np.asarray(query_ids, np.int64),
+        np.asarray(query_lat, np.float64),
+        np.asarray(query_lon, np.float64),
+    )
+    ref = ray.put(payload)
+    kwargs = dict(batch_format="pyarrow", batch_size=None)
+    if concurrency is not None:
+        pairs = ds.map_batches(
+            _CellProbe,
+            fn_constructor_kwargs=dict(ref=ref, k=k, metric=metric, res=res, ring=ring,
+                                       id_col=id_col, lat_col=lat_col, lon_col=lon_col),
+            concurrency=concurrency, **kwargs,
+        )
+    else:
+        probe = _CellProbe(payload, k=k, metric=metric, res=res, ring=ring,
+                           id_col=id_col, lat_col=lat_col, lon_col=lon_col)
+        pairs = ds.map_batches(probe, **kwargs)
+    return pairs.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators over the documents/pages table: token
+counting, quality scoring, n-gram language ID, fingerprinting. All
+vectorized pyarrow.compute / pandas kernels inside ``map_batches``
+(stopword tables and compiled state live in an actor pool via
+:class:`TextScorer` when used at scale).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tiny per-language stopword lists (public common words).
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+    "da": ["og", "det", "er", "til", "en", "den", "at", "som", "med", "har"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "con"],
+}
+
+
+def add_token_count(ds, text_col: str = "text", out_col: str = "n_tokens"):
+    """Whitespace token count (single-space split — identical to SQL
+    ``len(string_split(text, ' '))``)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch[text_col], " "))
+        return batch.append_column(out_col, n.cast(pa.int64()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def add_quality_score(ds, text_col: str = "text"):
+    """Length/word-shape quality heuristics (the web-text analog of the
+    reference's scaler statistics, ai/scalers.py):
+
+    - ``n_chars_text``: byte... character length,
+    - ``n_tokens``: whitespace tokens,
+    - ``mean_token_len``: round((n_chars - n_tokens + 1) / n_tokens, 4).
+    All SQL-expressible (see queries.py) for oracle checking.
+    """
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        nchars = pc.utf8_length(batch[text_col]).cast(pa.float64())
+        ntok = pc.list_value_length(pc.split_pattern(batch[text_col], " ")).cast(pa.float64())
+        mean_len = pc.round(
+            pc.divide(pc.add(pc.subtract(nchars, ntok), pa.scalar(1.0)), ntok), 4
+        )
+        return (
+            batch.append_column("n_chars_text", nchars.cast(pa.int64()))
+            .append_column("n_tokens", ntok.cast(pa.int64()))
+            .append_column("mean_token_len", mean_len)
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+class TextScorer:
+    """Actor-pool language-ID stage: stopword lookup tables built once per
+    actor (``__init__``), batches scored vectorized (``__call__``).
+
+    Heuristic: language = argmax over per-language stopword hit count
+    among the document's tokens; ties and zero hits → 'und'.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.langs = sorted(STOPWORDS)
+        self.lookup: Dict[str, int] = {}
+        for li, lang in enumerate(self.langs):
+            for w in STOPWORDS[lang]:
+                # A stopword shared across languages scores for each; keep
+                # one entry per (word) with a bitmask of languages.
+                self.lookup[w] = self.lookup.get(w, 0) | (1 << li)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch[self.text_col].to_pylist())
+        toks = texts.str.lower().str.split(" ")
+        flat = toks.explode()
+        doc_of = flat.index.to_numpy().astype(np.int64)
+        masks = flat.map(self.lookup).fillna(0).to_numpy().astype(np.int64)
+        n = len(texts)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li in range(len(self.langs)):
+            np.add.at(scores[:, li], doc_of, (masks >> li) & 1)
+        best = scores.argmax(axis=1)
+        hit = scores.max(axis=1) > 0
+        pred = np.where(hit, np.array(self.langs, dtype=object)[best], "und")
+        return batch.append_column(self.out_col, pa.array(pred, type=pa.string()))
+
+
+def add_lang_pred(ds, concurrency: int | None = None):
+    """Language-ID stage (actor pool when ``concurrency`` given)."""
+    if concurrency is not None:
+        return ds.map_batches(TextScorer, concurrency=concurrency,
+                              batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(TextScorer(), batch_format="pyarrow", batch_size=None)
+
+
+def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
+    """64-bit deterministic document fingerprint (vectorized siphash)."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = pd.util.hash_pandas_object(batch[text_col], index=False).to_numpy()
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)

@@ -88,7 +88,7 @@ def assign_tiles(ds, grid: GridSpec, lat_col: str = "lat", lon_col: str = "lon")
             .append_column("tile_off_y", pa.array(py % ts))
         )
 
-    return ds.map_batches(_fn, batch_format="pyarrow")
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def tile_sql_exprs(grid: GridSpec, lat_sql: str, lon_sql: str) -> dict:

@@ -255,3 +255,35 @@ def test_grid_index_bbox_query(rng):
     expected = {g for g in range(n)
                 if xmax[g] >= -1 and xmin[g] <= 1 and ymax[g] >= -1 and ymin[g] <= 1}
     assert got == expected
+
+
+def test_polyset_matches_points_in_polygon(rng):
+    from buteo_ray.geom.polyset import PolygonSet
+
+    polys = []
+    for _ in range(30):
+        cx, cy = rng.uniform(-5, 5, 2)
+        nv = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.5, 2.0, nv)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        polys.append([ring])
+    pset = PolygonSet(polys)
+
+    px = rng.uniform(-7, 7, 400)
+    py = rng.uniform(-7, 7, 400)
+    poly_idx = rng.integers(0, 30, 400)
+    got = pset.contains_pairs(px, py, poly_idx)
+    expected = np.array([
+        points_in_polygon(px[i:i+1], py[i:i+1], polys[poly_idx[i]])[0]
+        for i in range(400)
+    ])
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_polyset_empty():
+    from buteo_ray.geom.polyset import PolygonSet
+
+    pset = PolygonSet([])
+    assert pset.contains_pairs(np.empty(0), np.empty(0), np.empty(0, dtype=int)).shape == (0,)
