@@ -302,6 +302,291 @@ def sql_union_all() -> str:
     )
 
 
+# ---------------------------------------------------------------- kNN
+
+def q_knn(sf_dir: str):
+    """Broadcast exact kNN, k=5, squared-planar metric (north rule kNN;
+    partial top-k per batch → groupby merge — SURVEY.md §2.4)."""
+    from buteo_ray.stages.geocode import hash_coords_from_ids
+    from buteo_ray.stages.knn import knn_broadcast
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    qids = ds.map_batches(
+        lambda t: t.filter(np.equal(t["doc_id"].to_numpy() % 101, 0)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()["doc_id"].to_numpy()
+    qlat, qlon = hash_coords_from_ids(qids)
+    out = knn_broadcast(geocode(ds), qids, qlat, qlon, k=5, metric="planar2")
+    return out.select_columns(["query_id", "neighbor_id", "dist"])
+
+
+def sql_knn() -> str:
+    return (
+        f"WITH pts AS (SELECT doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM documents), "
+        "q AS (SELECT * FROM pts WHERE doc_id % 101 = 0), "
+        "pairs AS (SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id, "
+        "(p.lat - q.lat) * (p.lat - q.lat) + (p.lon - q.lon) * (p.lon - q.lon) AS dist "
+        "FROM q, pts p WHERE p.doc_id <> q.doc_id) "
+        "SELECT query_id, neighbor_id, dist FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn "
+        "FROM pairs) t WHERE rn <= 5"
+    )
+
+
+# ---------------------------------------------------------------- zonal / dissolve
+
+def q_zonal_stats(sf_dir: str):
+    """Per-cell zonal statistics of n_chars (≙ raster_zonal_statistics
+    partial+final plan; reference raster/zonal_statistics.py:29-157)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    ds = geocode(ds)
+    ds = assign_cell_xy(ds, res=5)
+    out = ds.groupby(["cell_x", "cell_y"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+    ).to_pandas()
+    out["avg_chars"] = np.floor(out["avg_chars"] * 10000.0 + 0.5) / 10000.0
+    out["n_docs"] = out["n_docs"].astype("int64")
+    for c in ("sum_chars", "min_chars", "max_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def sql_zonal_stats() -> str:
+    x_sql, y_sql = cell_xy_sql_exprs(5, _LAT_SQL, _LON_SQL)
+    return (
+        f"SELECT {x_sql} AS cell_x, {y_sql} AS cell_y, "
+        "COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, "
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, "
+        "FLOOR(AVG(CAST(n_chars AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_chars "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
+def q_dissolve_bbox(sf_dir: str):
+    """Grouped dissolve → bbox hull per group (≙ vector_dissolve,
+    reference vector/dissolve.py:26-264, with hull-of-points geometry;
+    min/max aggregates are summation-order-free → exact)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    ds = geocode(ds)
+    out = ds.groupby("lang").aggregate(
+        Min("lon", alias_name="bbox_xmin"),
+        Max("lon", alias_name="bbox_xmax"),
+        Min("lat", alias_name="bbox_ymin"),
+        Max("lat", alias_name="bbox_ymax"),
+        Count(alias_name="n_docs"),
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def sql_dissolve_bbox() -> str:
+    return (
+        f"SELECT lang, MIN({_LON_SQL}) AS bbox_xmin, MAX({_LON_SQL}) AS bbox_xmax, "
+        f"MIN({_LAT_SQL}) AS bbox_ymin, MAX({_LAT_SQL}) AS bbox_ymax, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY lang"
+    )
+
+
+# ---------------------------------------------------------------- text ops
+
+def q_explode_tokens(sf_dir: str):
+    """Explode documents into token rows with ordinals (≙
+    vector_multipart_to_singlepart; reference core_vector/conversion/
+    multipart.py:58-297 — 1→N row explosion with stable ordering)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        toks = pd.Series(t["text"].to_pylist()).str.split(" ")
+        counts = toks.str.len().to_numpy()
+        ids = np.repeat(t["doc_id"].to_numpy(), counts)
+        pos = np.concatenate([np.arange(1, c + 1) for c in counts]) if len(counts) else np.array([], dtype=np.int64)
+        flat = toks.explode().to_numpy()
+        return pa.table({"doc_id": ids, "token": pa.array(flat, type=pa.string()),
+                         "pos": pos.astype(np.int64)})
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def sql_explode_tokens() -> str:
+    # DuckDB 1.0 has no WITH ORDINALITY; parallel unnest of the list and
+    # its 1..n series yields (value, ordinal) pairs.
+    return (
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token, "
+        "CAST(unnest(generate_series(1, len(string_split(text, ' ')))) AS BIGINT) AS pos "
+        "FROM documents"
+    )
+
+
+def q_text_stats(sf_dir: str):
+    """Quality-score columns (token count, char count, mean token length
+    — the engine's text-quality scoring op)."""
+    from buteo_ray.stages.text import add_quality_score
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return add_quality_score(ds).select_columns(
+        ["doc_id", "n_chars_text", "n_tokens", "mean_token_len"]
+    )
+
+
+def sql_text_stats() -> str:
+    ntok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    nchars = "CAST(length(text) AS DOUBLE)"
+    return (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        f"FLOOR(({nchars} - {ntok} + 1.0) / {ntok} * 10000.0 + 0.5) / 10000.0 AS mean_token_len "
+        "FROM documents"
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: keep min doc_id per distinct text (hash-partition +
+    per-group first — SURVEY.md §2.10)."""
+    from buteo_ray.stages.dedup import exact_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def sql_dedup_exact() -> str:
+    return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+# ---------------------------------------------------------------- embeddings / ANN
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k over the embedding column (quantized-int
+    exactness; broadcast query matrix, per-batch matmul + partial top-k)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import ann_cosine_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] % 97 == 0).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qvecs = np.stack(qdf["embedding"].to_numpy())
+    out = ann_cosine_topk(emb, qids, qvecs, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "cos_sim"])
+
+
+def sql_ann_topk() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5)) AS qv FROM embeddings), "
+        "qs AS (SELECT * FROM e WHERE vec_id % 97 = 0), "
+        "pairs AS (SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "list_dot_product(e.qv, qs.qv) / "
+        "(sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS cos_sim "
+        "FROM qs, e WHERE e.vec_id <> qs.vec_id) "
+        "SELECT query_id, neighbor_id, cos_sim FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) rn "
+        "FROM pairs) t WHERE rn <= 5"
+    )
+
+
+# ---------------------------------------------------------------- streaming-shaped
+
+def q_window_agg(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events log (Ray-Data
+    re-expression of stream windowing: window id = epoch_us // 3.6e9)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def _win(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour_id": us // 3_600_000_000,
+            "value": t["value"],
+        })
+
+    out = (
+        ds.map_batches(_win, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = np.floor(out["sum_value"] * 10000.0 + 0.5) / 10000.0
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def sql_window_agg() -> str:
+    return (
+        "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, "
+        "COUNT(*) AS n_events, "
+        "FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def q_add_field(sf_dir: str):
+    """Computed attribute column (≙ vector_add_field; reference
+    core_vector/core_vector_attributes.py:154-225)."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        price = t["p_retailprice"].to_numpy()
+        return t.append_column("retail_premium", pa.array(price * 1.1))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def sql_add_field() -> str:
+    return ("SELECT p_partkey, p_retailprice, p_retailprice * 1.1 AS retail_premium "
+            "FROM part")
+
+
+# -------------------------------------------- rows-only (non-SQL-expressible)
+
+def q_dedup_minhash_pairs(sf_dir: str):
+    """Near-dup candidate pairs via OPH-MinHash + banded LSH (estimated
+    Jaccard ≥ 0.5). Verified against a brute-force n-gram Jaccard oracle
+    in tests/test_dedup_text.py; no SQL equivalent."""
+    from buteo_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (rows-only check)."""
+    from buteo_ray.stages.dedup import simhash_signatures
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return simhash_signatures(ds)
+
+
+def q_lang_pred(sf_dir: str):
+    """Heuristic stopword language-ID (rows-only check)."""
+    from buteo_ray.stages.text import add_lang_pred
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return add_lang_pred(ds).select_columns(["doc_id", "lang_pred"])
+
+
+def q_knn_cells(sf_dir: str):
+    """Cell-partitioned k-ring kNN, haversine metric (the scale path;
+    exactness vs brute force verified in tests/test_knn.py)."""
+    from buteo_ray.stages.geocode import hash_coords_from_ids
+    from buteo_ray.stages.knn import knn_cells
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    qids = ds.to_pandas()["doc_id"].to_numpy()
+    qids = qids[qids % 101 == 0]
+    qlat, qlon = hash_coords_from_ids(qids)
+    return knn_cells(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -316,6 +601,20 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "sort_topk": q_sort_topk,
     "distinct": q_distinct,
     "union_all": q_union_all,
+    "knn": q_knn,
+    "zonal_stats": q_zonal_stats,
+    "dissolve_bbox": q_dissolve_bbox,
+    "explode_tokens": q_explode_tokens,
+    "text_stats": q_text_stats,
+    "dedup_exact": q_dedup_exact,
+    "ann_topk": q_ann_topk,
+    "window_agg": q_window_agg,
+    "add_field": q_add_field,
+    # rows-only (no SQL oracle; pytest-verified instead)
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "simhash": q_simhash,
+    "lang_pred": q_lang_pred,
+    "knn_cells": q_knn_cells,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -330,4 +629,13 @@ ORACLE_SQL: Dict[str, str] = {
     "sort_topk": sql_sort_topk(),
     "distinct": sql_distinct(),
     "union_all": sql_union_all(),
+    "knn": sql_knn(),
+    "zonal_stats": sql_zonal_stats(),
+    "dissolve_bbox": sql_dissolve_bbox(),
+    "explode_tokens": sql_explode_tokens(),
+    "text_stats": sql_text_stats(),
+    "dedup_exact": sql_dedup_exact(),
+    "ann_topk": sql_ann_topk(),
+    "window_agg": sql_window_agg(),
+    "add_field": sql_add_field(),
 }

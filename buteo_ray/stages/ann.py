@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`ann_cosine_topk` — brute-force cosine top-k: the query matrix is
+  broadcast once, every batch does one matmul against it and emits its
+  per-query partial top-k; a tiny ``groupby(query)`` merge finishes. The
+  baseline ANN path per the task brief; exact.
+- :func:`lsh_bucket_assign` — random-hyperplane LSH bucketing (Charikar
+  2002; hyperplanes derived deterministically from splitmix64 streams):
+  the scale path — bucket co-location turns all-pairs search into
+  per-bucket search. Recall measured in tests, not promised.
+
+Exactness trick for the DuckDB oracle: embeddings are quantized
+``q = floor(x·1000 + 0.5)`` (float64, exact). Dot products and norms of
+integer-valued doubles are ORDER-INDEPENDENT exact (all partial sums are
+integers < 2^53), so numpy matmul (any blocking) and DuckDB
+``list_dot_product`` produce bit-identical cosines after the final
+division — no rounding slop in the comparison.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def quantize(emb: np.ndarray) -> np.ndarray:
+    """float32/64 (N, D) → integer-valued float64 (×1000, half-up)."""
+    return np.floor(emb.astype(np.float64) * 1000.0 + 0.5)
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    d = len(arr[0])
+    return flat.reshape(-1, d)
+
+
+def ann_cosine_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    quantized: bool = True,
+):
+    """Exact cosine top-k of broadcast queries vs the streaming embedding
+    Dataset. Returns Dataset[(query_id, neighbor_id, cos_sim)], ties by
+    neighbor_id ascending, self-matches excluded."""
+    qid = np.asarray(query_ids, dtype=np.int64)
+    q = quantize(np.asarray(query_vecs)) if quantized else np.asarray(query_vecs, np.float64)
+    qnorm = np.sqrt((q * q).sum(axis=1))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch, emb_col)
+        e = quantize(e) if quantized else e.astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        dots = e @ q.T                      # (B, Q) — integer-exact
+        enorm = np.sqrt((e * e).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (enorm[:, None] * qnorm[None, :])
+        cos = np.where(ids[:, None] == qid[None, :], -np.inf, cos)
+        kk = min(k, cos.shape[0])
+        part = np.argpartition(-cos, kk - 1, axis=0)[:kk, :]
+        cols = np.tile(np.arange(cos.shape[1]), kk)
+        rows = part.ravel()
+        sim = cos[rows, cols]
+        finite = np.isfinite(sim)
+        return pa.table({
+            "query_id": qid[cols[finite]],
+            "neighbor_id": ids[rows[finite]],
+            "cos_sim": sim[finite],
+        })
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        return g.reset_index(drop=True)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from splitmix64 streams
+    (uniform in [-1, 1), fixed for a given (dim, nbits))."""
+    from buteo_ray.stages.dedup import _splitmix64
+
+    idx = np.arange(dim * nbits, dtype=np.uint64)
+    u = _splitmix64(idx).astype(np.float64) / 2.0**64
+    return (u * 2.0 - 1.0).reshape(nbits, dim)
+
+
+def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
+                      out_col: str = "lsh_bucket"):
+    """Append a random-hyperplane LSH bucket id (uint64 of sign bits).
+    Cosine-near vectors collide with high probability; downstream ANN
+    groups by bucket (the co-location/scale path)."""
+    planes_cache = {}
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch, emb_col).astype(np.float64)
+        d = e.shape[1]
+        if d not in planes_cache:
+            planes_cache[d] = _hyperplanes(d, nbits)
+        signs = (e @ planes_cache[d].T) > 0
+        bucket = np.zeros(e.shape[0], dtype=np.uint64)
+        for b in range(nbits):
+            bucket |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        return batch.append_column(out_col, pa.array(bucket))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def centroids_per_label(ds, emb_col: str = "embedding", label_col: str = "label"):
+    """Per-label mean embedding via in-batch partial sums → tiny final
+    groupby (the IVF coarse-quantizer builder; also the pattern for the
+    reference's scaler statistics at scale)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch, emb_col).astype(np.float64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((uniq.shape[0], e.shape[1]))
+        np.add.at(sums, inv, e)
+        counts = np.bincount(inv)
+        return pa.table({
+            "label": uniq,
+            "vec_sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+            "n": counts,
+        })
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        total = np.stack(g["vec_sum"].to_numpy()).sum(axis=0)
+        n = int(g["n"].sum())
+        return pd.DataFrame({
+            "label": [g["label"].iloc[0]],
+            "centroid": [(total / n).tolist()],
+            "n": [n],
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("label")
+        .map_groups(_final, batch_format="pandas")
+    )

@@ -39,22 +39,22 @@ def add_quality_score(ds, text_col: str = "text"):
     """Length/word-shape quality heuristics (the web-text analog of the
     reference's scaler statistics, ai/scalers.py):
 
-    - ``n_chars_text``: byte... character length,
+    - ``n_chars_text``: character length,
     - ``n_tokens``: whitespace tokens,
-    - ``mean_token_len``: round((n_chars - n_tokens + 1) / n_tokens, 4).
-    All SQL-expressible (see queries.py) for oracle checking.
+    - ``mean_token_len``: floor(((n_chars - n_tokens + 1) / n_tokens)
+      · 10000 + 0.5) / 10000 — half-up via floor, identical in numpy and
+      DuckDB (pc.round is half-even, DuckDB ROUND is half-up; floor
+      sidesteps the mismatch). SQL twin in queries.py.
     """
 
     def _fn(batch: pa.Table) -> pa.Table:
-        nchars = pc.utf8_length(batch[text_col]).cast(pa.float64())
-        ntok = pc.list_value_length(pc.split_pattern(batch[text_col], " ")).cast(pa.float64())
-        mean_len = pc.round(
-            pc.divide(pc.add(pc.subtract(nchars, ntok), pa.scalar(1.0)), ntok), 4
-        )
+        nchars = pc.utf8_length(batch[text_col]).cast(pa.float64()).to_numpy()
+        ntok = pc.list_value_length(pc.split_pattern(batch[text_col], " ")).cast(pa.float64()).to_numpy()
+        mean_len = np.floor((nchars - ntok + 1.0) / ntok * 10000.0 + 0.5) / 10000.0
         return (
-            batch.append_column("n_chars_text", nchars.cast(pa.int64()))
-            .append_column("n_tokens", ntok.cast(pa.int64()))
-            .append_column("mean_token_len", mean_len)
+            batch.append_column("n_chars_text", pa.array(nchars.astype(np.int64)))
+            .append_column("n_tokens", pa.array(ntok.astype(np.int64)))
+            .append_column("mean_token_len", pa.array(mean_len))
         )
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

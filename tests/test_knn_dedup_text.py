@@ -1,0 +1,168 @@
+"""Rows-only operators vs in-test oracles: cell-partitioned kNN vs brute
+force, MinHash-LSH vs exact n-gram Jaccard, SimHash properties, language
+ID, LSH bucketing, per-label centroids."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session_module, sf_dir_module):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir_module}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def ray_session_module():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    yield
+
+
+@pytest.fixture(scope="module")
+def sf_dir_module():
+    import os
+
+    return os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_knn_cells_matches_brute(ray_session_module, sf_dir_module):
+    import ray.data as rd
+
+    from buteo_ray.stages.geocode import geocode, hash_coords_from_ids
+    from buteo_ray.stages.knn import haversine_m, knn_cells
+
+    ds = rd.read_parquet(f"{sf_dir_module}/documents.parquet", columns=["doc_id"])
+    all_ids = ds.to_pandas()["doc_id"].to_numpy()
+    qids = all_ids[all_ids % 101 == 0]
+    qlat, qlon = hash_coords_from_ids(qids)
+    clat, clon = hash_coords_from_ids(all_ids)
+
+    # Ring sized generously so the partitioning assumption holds → exact.
+    out = knn_cells(geocode(ds), qids, qlat, qlon, k=3, res=3, ring=4,
+                    metric="haversine").to_pandas()
+
+    for i, q in enumerate(qids):
+        d = haversine_m(np.full_like(clat, qlat[i]), np.full_like(clon, qlon[i]), clat, clon)
+        d[all_ids == q] = np.inf
+        order = np.lexsort((all_ids, d))[:3]
+        got = out[out["query_id"] == q].sort_values(["dist", "neighbor_id"])
+        np.testing.assert_array_equal(got["neighbor_id"].to_numpy(), all_ids[order])
+
+
+def test_minhash_lsh_finds_near_dups(ray_session_module):
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import jaccard_pairs_brute, minhash_lsh_pairs
+
+    # Corpus with planted near-duplicates.
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    base = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    texts, ids = [], []
+    for i, t in enumerate(base):
+        texts.append(t)
+        ids.append(2 * i)
+        mutated = t.split(" ")
+        mutated[5] = "MUT"
+        texts.append(" ".join(mutated))  # near-dup of t
+        ids.append(2 * i + 1)
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    expected = {(a, b) for a, b, _ in jaccard_pairs_brute(texts, ids, 0.6)}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)} & expected
+    recall = len(got_pairs & planted) / max(len(planted), 1)
+    assert recall >= 0.9, f"LSH recall {recall} on planted near-dups"
+    # And estimates are sane (no wildly-low-similarity pairs claimed high).
+    assert (got["est_jaccard"] >= 0.5).all()
+
+
+def test_exact_dedup_removes_duplicates(ray_session_module):
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1, 7],
+        "text": ["aaa", "bbb", "aaa", "aaa", "bbb"],
+    })
+    out = exact_dedup(rd.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]  # min id per distinct text
+
+
+def test_simhash_similarity(ray_session_module):
+    from buteo_ray.stages.dedup import simhash64
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    c = "completely different words entirely unrelated content here now ok yes"
+    ha, hb, hc = simhash64([a, b, c])
+
+    def ham(x, y):
+        return bin(int(x) ^ int(y)).count("1")
+
+    assert ham(ha, hb) < ham(ha, hc)
+    # Deterministic across calls.
+    ha2 = simhash64([a])[0]
+    assert ha == ha2
+
+
+def test_lang_pred(ray_session_module):
+    import ray.data as rd
+
+    from buteo_ray.stages.text import add_lang_pred
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat and the dog sat in the garden of the house",
+            "der hund und die katze ist nicht mit den kindern",
+            "le chat et la souris est un animal du jardin que",
+            "zzz qqq xxx",
+        ],
+    })
+    out = add_lang_pred(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "und"]
+
+
+def test_ann_lsh_buckets(ray_session_module, sf_dir_module):
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import lsh_bucket_assign
+
+    emb = rd.read_parquet(f"{sf_dir_module}/embeddings.parquet")
+    out = lsh_bucket_assign(emb, nbits=8).to_pandas()
+    assert "lsh_bucket" in out.columns
+    assert out["lsh_bucket"].nunique() > 1
+    # Deterministic: same input → same buckets.
+    out2 = lsh_bucket_assign(rd.read_parquet(f"{sf_dir_module}/embeddings.parquet"),
+                             nbits=8).to_pandas()
+    m = out.set_index("vec_id")["lsh_bucket"]
+    m2 = out2.set_index("vec_id")["lsh_bucket"]
+    pd.testing.assert_series_equal(m.sort_index(), m2.sort_index())
+
+
+def test_centroids_per_label(ray_session_module, sf_dir_module):
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import centroids_per_label
+
+    emb = rd.read_parquet(f"{sf_dir_module}/embeddings.parquet")
+    got = centroids_per_label(emb).to_pandas().set_index("label")
+
+    pdf = emb.to_pandas()
+    for label, g in pdf.groupby("label"):
+        expected = np.stack(g["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+        np.testing.assert_allclose(np.array(got.loc[label, "centroid"]), expected, rtol=1e-12)
+        assert got.loc[label, "n"] == len(g)
