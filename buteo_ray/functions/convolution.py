@@ -1,0 +1,249 @@
+"""Convolution / neighborhood (focal) operations — vectorized numpy
+re-implementations of the reference's numba kernels.
+
+Semantics follow ``/root/reference/buteo/array/convolution/funcs.py``
+(the ``_hood_*`` reducers, including their weighted max/min/contrast
+definitions and the cumulative-weight quantile) and
+``kernels.py:51-488`` (kernel constructors). The circular kernel's
+fractional edge coverage uses the analytic approximation
+``clip(radius + 0.5 − dist, 0, 1)`` rather than the reference's exact
+square/circle polygon clipping — interior and exterior cells are
+identical, only the ~4·radius boundary cells differ slightly
+(documented divergence; tests pin interior/exterior equality).
+
+Engine mapping: these run inside ``map_batches`` over HALO-PADDED tile
+rows — the tile carries ``halo`` extra pixels on each side so focal ops
+need no cross-task communication (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+# ------------------------------------------------------------------ kernels
+
+
+def circular_kernel(radius: float) -> np.ndarray:
+    """(2⌈r⌉+1)² kernel: 1 inside the circle, fractional on the rim."""
+    size = int(np.ceil(radius) * 2 + 1)
+    step = size // 2
+    yy, xx = np.meshgrid(np.arange(-step, step + 1), np.arange(-step, step + 1), indexing="ij")
+    dist = np.sqrt(xx.astype(np.float64) ** 2 + yy ** 2)
+    return np.clip(radius + 0.5 - dist, 0.0, 1.0).astype(np.float32)
+
+
+def distance_weighted_kernel(radius: float, method: int = 0, decay: float = 0.2,
+                             sigma: float = 2.0) -> np.ndarray:
+    """Distance weighting per reference ``kernels.py:149-200``:
+    0 linear (1-decay)^d, 1 sqrt, 2 power, 3 gaussian, 4 constant."""
+    size = int(np.ceil(radius) * 2 + 1)
+    step = size // 2
+    yy, xx = np.meshgrid(np.arange(-step, step + 1), np.arange(-step, step + 1), indexing="ij")
+    dist = np.sqrt(xx.astype(np.float64) ** 2 + yy ** 2)
+    if method == 0:
+        k = np.power(1 - decay, dist)
+    elif method == 1:
+        k = np.power(np.sqrt(1 - decay), dist)
+    elif method == 2:
+        k = np.power((1 - decay) ** 2, dist)
+    elif method == 3:
+        k = np.exp(-(dist ** 2) / (2 * sigma ** 2))
+    else:
+        k = np.ones_like(dist)
+    return k.astype(np.float32)
+
+
+def kernel_base(
+    radius: float,
+    circular: bool = False,
+    distance_weighted: bool = False,
+    normalised: bool = True,
+    hole: bool = False,
+    method: int = 0,
+    decay: float = 0.2,
+    sigma: float = 2.0,
+) -> np.ndarray:
+    """General kernel constructor (reference ``kernels.py:199-268``)."""
+    size = int(np.ceil(radius) * 2 + 1)
+    kernel = np.ones((size, size), dtype=np.float32)
+    if hole:
+        kernel[size // 2, size // 2] = 0.0
+    if circular:
+        kernel = kernel * circular_kernel(radius)
+    if distance_weighted:
+        kernel = kernel * distance_weighted_kernel(radius, method, decay, sigma)
+    if normalised:
+        kernel = kernel / np.sum(kernel)
+    return kernel
+
+
+def kernel_sobel(scale: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """(gx, gy) Sobel kernels (public operator)."""
+    gx = np.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], dtype=np.float32)
+    gy = gx.T.copy()
+    if scale > 1:
+        gx = np.kron(gx, np.ones((scale, scale), dtype=np.float32))
+        gy = np.kron(gy, np.ones((scale, scale), dtype=np.float32))
+    return gx, gy
+
+
+def kernel_unsharp() -> np.ndarray:
+    """3×3 unsharp kernel (reference ``kernels.py:134-108`` weights)."""
+    return np.array([
+        [-0.09911165, -0.15088834, -0.09911165],
+        [-0.15088834, 2.0, -0.15088834],
+        [-0.09911165, -0.15088834, -0.09911165],
+    ], dtype=np.float32)
+
+
+# ---------------------------------------------------------------- engine
+
+
+def _windows(arr: np.ndarray, kh: int, kw: int, pad_mode: str = "edge",
+             constant_value: float = 0.0) -> np.ndarray:
+    """(H, W) → (H, W, kh*kw) neighborhood view via SAME padding."""
+    py, px = kh // 2, kw // 2
+    if pad_mode == "constant":
+        padded = np.pad(arr, ((py, py), (px, px)), mode="constant",
+                        constant_values=constant_value)
+    else:
+        padded = np.pad(arr, ((py, py), (px, px)), mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(padded, (kh, kw))
+    return win.reshape(arr.shape[0], arr.shape[1], kh * kw)
+
+
+def _weighted_quantile(values: np.ndarray, weights: np.ndarray, q: float) -> np.ndarray:
+    """Axis=-1 weighted quantile with the reference's intersect scheme
+    (``funcs.py:115-128``): interp(q, (cumsum - 0.5·w)/total, sorted)."""
+    order = np.argsort(values, axis=-1, kind="stable")
+    sv = np.take_along_axis(values, order, axis=-1)
+    sw = np.take_along_axis(weights, order, axis=-1)
+    cum = np.cumsum(sw, axis=-1)
+    total = cum[..., -1:]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        intersect = (cum - 0.5 * sw) / total
+    below = (intersect < q).sum(axis=-1)
+    hi = np.clip(below, 0, sv.shape[-1] - 1)
+    lo = np.clip(hi - 1, 0, sv.shape[-1] - 1)
+    x0 = np.take_along_axis(intersect, lo[..., None], axis=-1)[..., 0]
+    x1 = np.take_along_axis(intersect, hi[..., None], axis=-1)[..., 0]
+    y0 = np.take_along_axis(sv, lo[..., None], axis=-1)[..., 0]
+    y1 = np.take_along_axis(sv, hi[..., None], axis=-1)[..., 0]
+    denom = x1 - x0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.where(denom != 0, (q - x0) / denom, 0.0)
+    out = y0 + t * (y1 - y0)
+    return np.where(hi == 0, np.take_along_axis(sv, np.zeros_like(hi)[..., None], axis=-1)[..., 0], out)
+
+
+def convolve2d(
+    arr: np.ndarray,
+    kernel: np.ndarray,
+    method: str = "sum",
+    nodata: Optional[float] = None,
+    quantile: float = 0.5,
+) -> np.ndarray:
+    """Neighborhood reduce of a 2-D array with a 2-D kernel.
+
+    methods: sum, mean, median, quantile, max, min, contrast, mode, std,
+    var, mad, center_difference — semantics per the reference ``_hood_*``
+    reducers (weighted max = value at argmax(v·w); weighted min = value
+    at argmin(where(w==0, max, v)/(w+1e-7)); std/var centered on the
+    weighted SUM as in ``funcs.py:172-192``). ``nodata``/NaN entries get
+    weight 0 (mean/median renormalize over valid weights).
+    """
+    arr = np.asarray(arr, dtype=np.float64)
+    kh, kw = kernel.shape
+    v = _windows(arr, kh, kw)
+    w = np.broadcast_to(kernel.astype(np.float64).ravel(), v.shape).copy()
+
+    invalid = np.isnan(v)
+    if nodata is not None:
+        invalid |= v == nodata
+    w[invalid] = 0.0
+    v = np.where(invalid, 0.0, v)
+
+    if method == "sum":
+        return (v * w).sum(axis=-1)
+    if method == "mean":
+        den = w.sum(axis=-1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(den > 0, (v * w).sum(axis=-1) / den, np.nan)
+    if method in ("median", "quantile", "mad"):
+        q = 0.5 if method != "quantile" else quantile
+        vq = np.where(w > 0, v, np.nan)
+        med = _weighted_quantile(np.where(np.isnan(vq), np.inf, vq), w, q)
+        if method != "mad":
+            return med
+        absdev = np.abs(v - med[..., None])
+        return _weighted_quantile(np.where(w > 0, absdev, np.inf), w, 0.5)
+    if method == "max":
+        idx = np.argmax(v * w, axis=-1)
+        return np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
+    if method == "min":
+        vmax = v.max(axis=-1, keepdims=True)
+        adjusted = np.where(w == 0.0, vmax, v)
+        idx = np.argmin(adjusted / (w + 1e-7), axis=-1)
+        return np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
+    if method == "contrast":
+        vmax = v.max(axis=-1, keepdims=True)
+        local_min = (np.where(w == 0.0, vmax, v) / (w + 1e-7)).min(axis=-1)
+        local_max = (v * w).max(axis=-1)
+        return np.abs(local_max - local_min)
+    if method == "mode":
+        vr = np.rint(v)
+        order = np.argsort(vr, axis=-1, kind="stable")
+        sv = np.take_along_axis(vr, order, axis=-1)
+        sw = np.take_along_axis(w, order, axis=-1)
+        h_, w_, k_ = sv.shape
+        flat_v = sv.reshape(-1, k_)
+        flat_w = sw.reshape(-1, k_)
+        out = np.zeros(flat_v.shape[0])
+        change = np.ones_like(flat_v, dtype=bool)
+        change[:, 1:] = flat_v[:, 1:] != flat_v[:, :-1]
+        # Per-row segmented weight sums via cumsum differencing.
+        csum = np.cumsum(flat_w, axis=-1)
+        for_row = np.arange(flat_v.shape[0])
+        best_val = np.full(flat_v.shape[0], 0.0)
+        best_wt = np.full(flat_v.shape[0], -np.inf)
+        # Bounded loop over run starts (≤ k): iterate k positions, masked.
+        run_start_sum = np.where(change, np.concatenate([np.zeros((flat_v.shape[0], 1)), csum[:, :-1]], axis=1), np.nan)
+        run_id = np.cumsum(change, axis=-1) - 1
+        nruns = run_id[:, -1] + 1
+        for r in range(int(nruns.max())):
+            in_run = run_id == r
+            has = in_run.any(axis=-1)
+            wt = np.where(in_run, flat_w, 0.0).sum(axis=-1)
+            val = np.where(has, flat_v[for_row, np.argmax(in_run, axis=-1)], 0.0)
+            better = has & (wt > best_wt)
+            best_wt = np.where(better, wt, best_wt)
+            best_val = np.where(better, val, best_val)
+        return best_val.reshape(h_, w_)
+    if method in ("std", "var"):
+        summed = (v * w).sum(axis=-1)
+        variance = ((v - summed[..., None]) ** 2 * w).sum(axis=-1)
+        return np.sqrt(variance) if method == "std" else variance
+    if method == "center_difference":
+        center = arr
+        k2 = kernel.copy()
+        k2[kh // 2, kw // 2] = 0.0
+        s = k2.sum()
+        if s != 0:
+            k2 = k2 / s
+        hood_mean = convolve2d(arr, k2, "mean", nodata=nodata)
+        return center - hood_mean
+    raise ValueError(f"unknown method {method}")
+
+
+def convolve(arr: np.ndarray, kernel: np.ndarray, method: str = "sum",
+             nodata: Optional[float] = None, quantile: float = 0.5) -> np.ndarray:
+    """2-D or channel-last 3-D (per-channel) convolution."""
+    if arr.ndim == 2:
+        return convolve2d(arr, kernel, method, nodata, quantile)
+    if arr.ndim == 3:
+        return np.stack(
+            [convolve2d(arr[..., c], kernel, method, nodata, quantile)
+             for c in range(arr.shape[2])], axis=-1)
+    raise ValueError("array must be 2D or 3D (channel-last)")

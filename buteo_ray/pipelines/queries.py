@@ -529,6 +529,28 @@ def sql_window_agg() -> str:
     )
 
 
+def q_rasterize_count(sf_dir: str):
+    """Point rasterization as per-pixel counts (≙ vector_rasterize burn
+    step, reference vector/rasterize.py:31-217; tile assembly tested in
+    tests/test_raster_functions.py)."""
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    ds = geocode(ds)
+    ds = assign_tiles(ds, _TILE_GRID)
+    out = ds.groupby(["px", "py"]).aggregate(Count(alias_name="n_points")).to_pandas()
+    out["n_points"] = out["n_points"].astype("int64")
+    return out
+
+
+def sql_rasterize_count() -> str:
+    e = tile_sql_exprs(_TILE_GRID, _LAT_SQL, _LON_SQL)
+    return (
+        f"SELECT {e['px']} AS px, {e['py']} AS py, COUNT(*) AS n_points "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
 def q_add_field(sf_dir: str):
     """Computed attribute column (≙ vector_add_field; reference
     core_vector/core_vector_attributes.py:154-225)."""
@@ -610,6 +632,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "window_agg": q_window_agg,
     "add_field": q_add_field,
+    "rasterize_count": q_rasterize_count,
     # rows-only (no SQL oracle; pytest-verified instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "simhash": q_simhash,
@@ -638,4 +661,5 @@ ORACLE_SQL: Dict[str, str] = {
     "ann_topk": sql_ann_topk(),
     "window_agg": sql_window_agg(),
     "add_field": sql_add_field(),
+    "rasterize_count": sql_rasterize_count(),
 }

@@ -1,0 +1,232 @@
+"""Tile-row raster datasets: a raster is a ``ray.data.Dataset`` with one
+row per tile (SURVEY.md §1.3 schema) — the Ray-native replacement for
+the reference's GDAL-dataset-or-path raster abstraction
+(``/root/reference/buteo/core_raster/core_raster_read.py:62-151``).
+
+Schema: ``raster_id:string, tile_x:int64, tile_y:int64, x_off:int64,
+y_off:int64, width:int64, height:int64, bands:int64, halo:int64,
+dtype:string, nodata:double, data:binary`` — ``data`` is the C-order
+(h+2·halo, w+2·halo, bands) pixel buffer, zero-copied to numpy inside
+``map_batches``. Tiles are cut with ``halo`` overlap pixels at creation
+so focal ops (convolution/morphology, §2.8) crop their own halo and need
+no cross-task exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.grid.offsets import get_patch_offsets_fixed_size
+from buteo_ray.stages.tiling import GridSpec
+
+
+def _tile_rows(arr: np.ndarray, raster_id: str, tile_size: int, halo: int,
+               border_strategy: int, nodata: Optional[float]) -> pa.Table:
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, bands = arr.shape
+    offsets = get_patch_offsets_fixed_size((bands, h, w), tile_size, tile_size,
+                                           border_strategy=border_strategy)
+    rows = {k: [] for k in ("raster_id", "tile_x", "tile_y", "x_off", "y_off",
+                            "width", "height", "bands", "halo", "dtype", "nodata", "data")}
+    for (x0, y0, tw, th) in offsets:
+        ys = max(y0 - halo, 0)
+        ye = min(y0 + th + halo, h)
+        xs = max(x0 - halo, 0)
+        xe = min(x0 + tw + halo, w)
+        block = arr[ys:ye, xs:xe, :]
+        if halo > 0:
+            pad_top = halo - (y0 - ys)
+            pad_bot = halo - (ye - (y0 + th))
+            pad_lef = halo - (x0 - xs)
+            pad_rig = halo - (xe - (x0 + tw))
+            block = np.pad(block, ((pad_top, pad_bot), (pad_lef, pad_rig), (0, 0)), mode="edge")
+        rows["raster_id"].append(raster_id)
+        rows["tile_x"].append(x0 // tile_size)
+        rows["tile_y"].append(y0 // tile_size)
+        rows["x_off"].append(x0)
+        rows["y_off"].append(y0)
+        rows["width"].append(tw)
+        rows["height"].append(th)
+        rows["bands"].append(bands)
+        rows["halo"].append(halo)
+        rows["dtype"].append(str(arr.dtype))
+        rows["nodata"].append(np.nan if nodata is None else float(nodata))
+        rows["data"].append(np.ascontiguousarray(block).tobytes())
+    return pa.table({
+        **{k: rows[k] for k in rows if k != "data"},
+        "data": pa.array(rows["data"], type=pa.binary()),
+    })
+
+
+def raster_from_array(
+    arr: np.ndarray,
+    raster_id: str = "r0",
+    tile_size: int = 256,
+    halo: int = 0,
+    border_strategy: int = 3,
+    nodata: Optional[float] = None,
+):
+    """ndarray (H, W[, C]) → tile-row Dataset (≙ reference
+    ``raster_create_from_array``, core_raster_write.py:247-352)."""
+    import ray.data as rd
+
+    return rd.from_arrow(_tile_rows(arr, raster_id, tile_size, halo, border_strategy, nodata))
+
+
+def raster_create_empty(
+    height: int, width: int, bands: int = 1, value: float = 0.0,
+    dtype: str = "float32", raster_id: str = "r0", tile_size: int = 256,
+):
+    """Constant raster (≙ ``raster_create_empty``, core_raster_write.py:
+    118-246) — generated distributed, no driver array."""
+    import ray.data as rd
+
+    offsets = get_patch_offsets_fixed_size((bands, height, width), tile_size, tile_size, 3)
+    meta = pd.DataFrame({
+        "x_off": [o[0] for o in offsets],
+        "y_off": [o[1] for o in offsets],
+        "width": [o[2] for o in offsets],
+        "height": [o[3] for o in offsets],
+    })
+    base = rd.from_pandas(meta)
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("raster_id", "tile_x", "tile_y", "x_off", "y_off",
+                               "width", "height", "bands", "halo", "dtype", "nodata", "data")}
+        for x0, y0, tw, th in zip(batch["x_off"].to_pylist(), batch["y_off"].to_pylist(),
+                                  batch["width"].to_pylist(), batch["height"].to_pylist()):
+            out["raster_id"].append(raster_id)
+            out["tile_x"].append(x0 // tile_size)
+            out["tile_y"].append(y0 // tile_size)
+            out["x_off"].append(x0)
+            out["y_off"].append(y0)
+            out["width"].append(tw)
+            out["height"].append(th)
+            out["bands"].append(bands)
+            out["halo"].append(0)
+            out["dtype"].append(dtype)
+            out["nodata"].append(np.nan)
+            out["data"].append(np.full((th, tw, bands), value, dtype=dtype).tobytes())
+        return pa.table({**{k: out[k] for k in out if k != "data"},
+                         "data": pa.array(out["data"], type=pa.binary())})
+
+    return base.map_batches(_fill, batch_format="pyarrow", batch_size=None)
+
+
+def tile_to_ndarray(row: dict) -> np.ndarray:
+    """One tile row → (h+2·halo, w+2·halo, bands) ndarray (zero-copy)."""
+    h = row["height"] + 2 * row["halo"]
+    w = row["width"] + 2 * row["halo"]
+    return np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(h, w, row["bands"])
+
+
+def raster_to_array(ds, raster_id: Optional[str] = None,
+                    background: float = np.nan) -> np.ndarray:
+    """Stitch a (small) tile-row Dataset back into one ndarray (≙
+    reference ``raster_to_array``; driver-side, test/export use —
+    at scale use :func:`map_tiles` + ``write_parquet`` instead)."""
+    tbl = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    if raster_id is not None:
+        tbl = tbl[tbl["raster_id"] == raster_id]
+    h = int((tbl["y_off"] + tbl["height"]).max())
+    w = int((tbl["x_off"] + tbl["width"]).max())
+    bands = int(tbl["bands"].iloc[0])
+    dtype = np.dtype(tbl["dtype"].iloc[0])
+    out = np.full((h, w, bands), background, dtype=np.float64)
+    for _, row in tbl.iterrows():
+        block = tile_to_ndarray(row)
+        halo = row["halo"]
+        core = block[halo:halo + row["height"], halo:halo + row["width"], :]
+        out[row["y_off"]:row["y_off"] + row["height"],
+            row["x_off"]:row["x_off"] + row["width"], :] = core
+    return out.astype(dtype) if not np.isnan(background) else out
+
+
+def map_tiles(ds, fn: Callable[[np.ndarray, dict], np.ndarray],
+              out_dtype: Optional[str] = None, crop_halo: bool = True,
+              concurrency: Optional[int] = None):
+    """Apply ``fn(tile_array, row_meta) → tile_array`` to every tile —
+    the engine's generic per-tile kernel stage (filters, casts, scalers
+    over rasters). ``fn`` sees the halo-padded array; when ``crop_halo``
+    the output is cropped to the core and halo is reset to 0."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        new_data, new_dtype, new_bands = [], [], []
+        for _, row in pdf.iterrows():
+            arr = tile_to_ndarray(row)
+            out = fn(arr, row)
+            if out.ndim == 2:
+                out = out[:, :, None]
+            halo = row["halo"]
+            if crop_halo and halo > 0:
+                out = out[halo:halo + row["height"], halo:halo + row["width"], :]
+            if out_dtype:
+                out = out.astype(out_dtype)
+            new_data.append(np.ascontiguousarray(out).tobytes())
+            new_dtype.append(str(out.dtype))
+            new_bands.append(out.shape[2])
+        pdf["data"] = new_data
+        pdf["dtype"] = new_dtype
+        pdf["bands"] = new_bands
+        if crop_halo:
+            pdf["halo"] = 0
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    kwargs = dict(batch_format="pyarrow", batch_size=None)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(_apply, **kwargs)
+
+
+def rasterize_points(points_ds, grid: GridSpec, value_col: Optional[str] = None,
+                     lat_col: str = "lat", lon_col: str = "lon"):
+    """Burn a point Dataset onto the grid (≙ ``vector_rasterize``,
+    reference vector/rasterize.py:31-217): per-batch partial per-pixel
+    sums/counts → ``groupby(tile)`` final → tile rows. Output band 0 =
+    count (or sum of ``value_col``)."""
+    ts = grid.tile_size
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        px, py = grid.pixel_of(lon, lat)
+        val = (batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+               if value_col else np.ones(px.shape[0]))
+        key = py * grid.width + px
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=val)
+        upx = (uniq % grid.width).astype(np.int64)
+        upy = (uniq // grid.width).astype(np.int64)
+        return pa.table({
+            "tile_x": upx // ts, "tile_y": upy // ts,
+            "off_x": upx % ts, "off_y": upy % ts,
+            "value": sums,
+        })
+
+    def _to_tile(g: pd.DataFrame) -> pd.DataFrame:
+        tx = int(g["tile_x"].iloc[0])
+        ty = int(g["tile_y"].iloc[0])
+        agg = g.groupby(["off_y", "off_x"])["value"].sum()
+        block = np.zeros((ts, ts, 1), dtype=np.float64)
+        oy = agg.index.get_level_values(0).to_numpy()
+        ox = agg.index.get_level_values(1).to_numpy()
+        block[oy, ox, 0] = agg.to_numpy()
+        return pd.DataFrame({
+            "raster_id": ["points"], "tile_x": [tx], "tile_y": [ty],
+            "x_off": [tx * ts], "y_off": [ty * ts],
+            "width": [ts], "height": [ts], "bands": [1], "halo": [0],
+            "dtype": ["float64"], "nodata": [np.nan],
+            "data": [block.tobytes()],
+        })
+
+    return (
+        points_ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["tile_x", "tile_y"])
+        .map_groups(_to_tile, batch_format="pandas")
+    )

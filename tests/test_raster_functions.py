@@ -1,0 +1,229 @@
+"""Convolution/filters/scalers/encodings kernels + tile-row raster model."""
+
+import numpy as np
+import pytest
+
+from buteo_ray.functions.convolution import (
+    circular_kernel,
+    convolve,
+    convolve2d,
+    kernel_base,
+    kernel_sobel,
+)
+from buteo_ray.functions.encoding import (
+    decode_latitude,
+    decode_longitude,
+    encode_latitude,
+    encode_longitude,
+    timeseries_least_square_slope,
+    timeseries_robust_slope,
+)
+from buteo_ray.functions.filters import (
+    filter_blur,
+    filter_edge_detection,
+    filter_max,
+    filter_mean,
+    filter_median,
+    filter_min,
+    morph_bothat,
+    morph_close,
+    morph_dilate,
+    morph_difference,
+    morph_erode,
+    morph_open,
+    morph_tophat,
+)
+from buteo_ray.functions.scalers import (
+    scaler_iqr,
+    scaler_minmax,
+    scaler_standardise,
+    scaler_standardise_mad,
+    scaler_to_range,
+    scaler_truncate,
+)
+
+
+def test_kernel_base_normalised():
+    k = kernel_base(1.0, circular=False, normalised=True)
+    assert k.shape == (3, 3)
+    np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+    k2 = kernel_base(2.0, circular=True, normalised=False, hole=True)
+    assert k2.shape == (5, 5)
+    assert k2[2, 2] == 0.0
+    # circular: corners outside radius+0.5 are 0
+    assert k2[0, 0] == 0.0
+
+
+def test_circular_kernel_interior_exterior():
+    k = circular_kernel(2.0)
+    assert k[2, 2] == 1.0 and k[2, 1] == 1.0   # strictly interior (d <= r-0.5)
+    assert k[2, 0] == 0.5                       # centered exactly on the rim
+    assert k[0, 0] == 0.0                       # d = 2.83 > r+0.5
+
+
+def test_convolve_sum_matches_manual():
+    arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+    k = np.ones((3, 3), dtype=np.float32)
+    out = convolve2d(arr, k, "sum")
+    # Interior pixel (1,1): sum of 3x3 block
+    assert out[1, 1] == arr[0:3, 0:3].sum()
+    # mean == sum/9 for constant-weight kernel
+    out_mean = convolve2d(arr, k, "mean")
+    np.testing.assert_allclose(out_mean[1, 1], arr[0:3, 0:3].mean())
+
+
+def test_convolve_nodata_renormalizes():
+    arr = np.ones((5, 5))
+    arr[2, 2] = -9999.0
+    out = convolve2d(arr, np.ones((3, 3), dtype=np.float32), "mean", nodata=-9999.0)
+    np.testing.assert_allclose(out[1, 1], 1.0)  # the nodata is excluded
+    np.testing.assert_allclose(out[2, 2], 1.0)
+
+
+def test_convolve_median_min_max_mode():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 5, (6, 6)).astype(np.float64)
+    k = np.ones((3, 3), dtype=np.float32)
+    med = convolve2d(arr, k, "median")
+    assert med[2, 2] == np.median(arr[1:4, 1:4])
+    assert convolve2d(arr, k, "max")[2, 2] == arr[1:4, 1:4].max()
+    assert convolve2d(arr, k, "min")[2, 2] == arr[1:4, 1:4].min()
+    mode = convolve2d(arr, k, "mode")
+    vals, counts = np.unique(arr[1:4, 1:4], return_counts=True)
+    assert mode[2, 2] == vals[np.argmax(counts)]
+
+
+def test_filters_smoke_and_shapes():
+    rng = np.random.default_rng(5)
+    arr = rng.normal(size=(8, 8, 2))
+    for f in (filter_blur, filter_median, filter_min, filter_max, filter_mean):
+        out = f(arr, radius=1.0)
+        assert out.shape == arr.shape
+    edges = filter_edge_detection(arr[:, :, 0])
+    assert edges.shape == (8, 8)
+    assert (edges >= 0).all()
+
+
+def test_morphology_properties():
+    arr = np.zeros((9, 9))
+    arr[4, 4] = 1.0
+    dil = morph_dilate(arr, 1.0)
+    assert dil[3, 4] == 1.0 and dil[4, 3] == 1.0
+    ero = morph_erode(arr, 1.0)
+    assert ero.max() == 0.0
+    opened = morph_open(arr, 1.0)
+    assert opened.max() == 0.0  # single pixel removed by opening
+    closed = morph_close(arr, 1.0)
+    assert closed[4, 4] == 1.0
+    np.testing.assert_allclose(morph_tophat(arr, 1.0), arr - opened)
+    np.testing.assert_allclose(morph_bothat(arr, 1.0), closed - arr)
+    np.testing.assert_allclose(morph_difference(arr, 1.0), dil - ero)
+
+
+def test_scalers_reference_semantics():
+    arr = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    r, d = scaler_minmax(arr)
+    np.testing.assert_allclose(r, [0, 0.25, 0.5, 0.75, 1.0])
+    assert d == {"min": 1.0, "max": 5.0}
+
+    r, d = scaler_standardise(arr)
+    np.testing.assert_allclose(r.mean(), 0.0, atol=1e-7)
+
+    r, d = scaler_standardise_mad(arr)
+    assert d["median"] == 3.0
+    np.testing.assert_allclose(d["madstd"], 1.4826)
+
+    r, _ = scaler_iqr(arr)
+    assert r[2] == 0.0  # median maps to 0
+
+    r, _ = scaler_to_range(arr, 0.0, 10.0)
+    np.testing.assert_allclose(r, [0, 2.5, 5, 7.5, 10])
+
+    r, _ = scaler_truncate(arr, 2.0, 4.0)
+    np.testing.assert_allclose(r, [0, 0, 0.5, 1.0, 1.0])
+    with pytest.raises(ValueError):
+        scaler_truncate(arr, 4.0, 2.0)
+
+    # stat_dict reuse applies foreign stats (inference-time path).
+    r, _ = scaler_minmax(np.array([2.0, 3.0]), {"min": 1.0, "max": 5.0})
+    np.testing.assert_allclose(r, [0.25, 0.5])
+
+
+def test_encodings_roundtrip():
+    lats = np.array([-90.0, -45.5, 0.0, 37.77, 89.0])
+    lons = np.array([-180.0, -122.4, 0.0, 12.5, 179.0])
+    el = encode_latitude(lats)
+    eg = encode_longitude(lons)
+    assert el.shape == (5, 2) and eg.shape == (5, 2)
+    assert (el >= 0).all() and (el <= 1).all()
+    np.testing.assert_allclose(decode_latitude(el[:, 0], el[:, 1]), lats, atol=1e-4)
+    np.testing.assert_allclose(decode_longitude(eg[:, 0], eg[:, 1]), lons, atol=1e-4)
+
+
+def test_timeseries_slope():
+    t = np.arange(6, dtype=np.float64)
+    base = np.stack([2.0 * t + 1.0, -0.5 * t + 3.0], axis=0)[None, :, :]  # (1, 2, 6)
+    slope = timeseries_least_square_slope(base)
+    np.testing.assert_allclose(slope[0, :, 0], [2.0, -0.5], rtol=1e-9)
+    # Robust: one outlier shouldn't destroy the slope.
+    noisy = base.copy()
+    noisy[0, 0, 3] = 100.0
+    rob = timeseries_robust_slope(noisy, std_threshold=1.0, iterations=3)
+    assert abs(rob[0, 0, 0] - 2.0) < abs(timeseries_least_square_slope(noisy)[0, 0, 0] - 2.0)
+
+
+# ------------------------------ tile-row raster model (needs Ray) ---------
+
+
+def test_raster_roundtrip(ray_session, rng):
+    from buteo_ray.sources.raster import raster_from_array, raster_to_array
+
+    arr = rng.normal(size=(300, 520, 2)).astype(np.float32)
+    ds = raster_from_array(arr, tile_size=256, halo=0)
+    assert ds.count() == 6  # 2x3 tiles (border strategy 3)
+    back = raster_to_array(ds)
+    np.testing.assert_allclose(back[..., :], arr, rtol=1e-6)
+
+
+def test_raster_halo_filter(ray_session, rng):
+    from buteo_ray.functions.filters import filter_mean
+    from buteo_ray.sources.raster import map_tiles, raster_from_array, raster_to_array
+
+    arr = rng.normal(size=(64, 96)).astype(np.float64)
+    ds = raster_from_array(arr, tile_size=32, halo=2)
+    out = map_tiles(ds, lambda a, row: filter_mean(a, radius=1.0))
+    stitched = raster_to_array(out)[:, :, 0]
+    # Oracle: filter over the whole array at once — halo makes tile
+    # boundaries invisible (interior pixels only; edges use padding).
+    oracle = filter_mean(arr[:, :, None], radius=1.0)[:, :, 0]
+    np.testing.assert_allclose(stitched[2:-2, 2:-2], oracle[2:-2, 2:-2], rtol=1e-9)
+
+
+def test_raster_create_empty(ray_session):
+    from buteo_ray.sources.raster import raster_create_empty, raster_to_array
+
+    ds = raster_create_empty(100, 200, bands=2, value=7.0, tile_size=64)
+    arr = raster_to_array(ds)
+    assert arr.shape == (100, 200, 2)
+    assert (arr == 7.0).all()
+
+
+def test_rasterize_points(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from buteo_ray.sources.raster import rasterize_points, tile_to_ndarray
+    from buteo_ray.stages.tiling import GridSpec
+
+    grid = GridSpec.global_grid(2, tile_size=64)  # 256x128 px world
+    pts = pd.DataFrame({
+        "lat": [0.0, 0.0, 0.0, 45.0],
+        "lon": [0.0, 0.0, 0.1, 90.0],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    tiles = rasterize_points(rd.from_pandas(pts), grid).to_pandas()
+    total = sum(tile_to_ndarray(row).sum() for _, row in tiles.iterrows())
+    assert total == 4.0  # counts
+    tiles_v = rasterize_points(rd.from_pandas(pts), grid, value_col="v").to_pandas()
+    total_v = sum(tile_to_ndarray(row).sum() for _, row in tiles_v.iterrows())
+    assert total_v == 10.0
