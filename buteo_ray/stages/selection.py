@@ -1,0 +1,70 @@
+"""Dataset selection/sampling: train/val/test splits, stratified and
+uniform sampling — the reference's ``ai/selection.py:11-240`` mapped to
+Ray Data (SURVEY.md §2.9). Splits are seeded and hash-based so they are
+deterministic, order-free and resumable (a row's split never depends on
+partitioning)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.stages.dedup import _splitmix64
+
+
+def _split_unit(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic per-id uniform in [0, 1) from splitmix64."""
+    h = _splitmix64(ids.astype(np.uint64) + np.uint64(seed * 0x9E3779B9))
+    return h.astype(np.float64) / 2.0**64
+
+
+def add_split_column(ds, id_col: str, val_frac: float = 0.1,
+                     test_frac: float = 0.0, seed: int = 42,
+                     out_col: str = "split"):
+    """Append 'train'/'val'/'test' labels (≙ split_train_val(_test),
+    reference ``ai/selection.py:11-140``; hash split instead of
+    permutation → identical assignment at any scale/partitioning)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        u = _split_unit(batch[id_col].to_numpy(zero_copy_only=False), seed)
+        lab = np.where(u < test_frac, "test",
+                       np.where(u < test_frac + val_frac, "val", "train"))
+        return batch.append_column(out_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def split_train_val(ds, id_col: str, val_frac: float = 0.1, seed: int = 42):
+    """(train_ds, val_ds) via the hash split."""
+    tagged = add_split_column(ds, id_col, val_frac=val_frac, seed=seed)
+    train = tagged.filter(expr="split == 'train'")
+    val = tagged.filter(expr="split == 'val'")
+    return train, val
+
+
+def sampling_random(ds, fraction: float, id_col: str, seed: int = 42):
+    """Seeded uniform sample (≙ ``sampling_random``, selection.py:200-240)
+    — hash-based, so the same rows are kept on re-runs."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        u = _split_unit(batch[id_col].to_numpy(zero_copy_only=False), seed + 1)
+        return batch.filter(pa.array(u < fraction))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def sampling_stratified(ds, class_col: str, n_per_class: int, seed: int = 42):
+    """Per-class fixed-size sample (≙ ``sampling_stratified``,
+    selection.py:141-199): groupby(class) → seeded in-group choice."""
+
+    def _take(g: pd.DataFrame) -> pd.DataFrame:
+        rng = np.random.default_rng((seed, hash(str(g[class_col].iloc[0])) & 0x7FFFFFFF))
+        if len(g) <= n_per_class:
+            return g
+        idx = rng.choice(len(g), size=n_per_class, replace=False)
+        return g.iloc[np.sort(idx)]
+
+    return ds.groupby(class_col).map_groups(_take, batch_format="pandas")
