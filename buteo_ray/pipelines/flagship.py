@@ -50,6 +50,9 @@ def flagship_pipeline(
     ds = broadcast_pip_join(ds, aoi, how="inner", exact=True, concurrency=concurrency)
     ds = assign_tiles(ds, GridSpec.global_grid(zoom))
     if write_to is not None:
-        ds.write_parquet(write_to, partition_cols=["cell_r5"])
-        return None
+        # Resumable sink: one atomic dir per cell_r5 partition + lineage
+        # manifest; a rerun skips completed partitions.
+        from buteo_ray.state.checkpoint import write_partitioned_resumable
+
+        return write_partitioned_resumable(ds, write_to, "cell_r5", op_version="flagship-v1")
     return ds

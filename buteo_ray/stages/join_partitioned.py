@@ -1,0 +1,158 @@
+"""Large-large co-partitioned spatial join (SURVEY.md §2.4): when the
+polygon side is too big to broadcast, BOTH sides are keyed by quadcell
+and joined cell-by-cell inside ``groupby(cell).map_groups``.
+
+Plan:
+1. points → one row per point keyed by its cell at ``res``;
+2. polygons → ``flat_map`` to one row per COVERING cell (bbox cover,
+   so a polygon spanning k cells is replicated k× — boundary/dateline
+   duplication per SURVEY.md §2.4);
+3. tag sides, union, ``groupby(cell)`` → within each group build a
+   bbox index over the local polygons, probe the local points, exact
+   PiP refine;
+4. duplicates from polygon replication are impossible by construction:
+   a (point, polygon) pair meets only in the single cell containing the
+   point (the polygon is replicated, the point is not).
+
+Skew: pass ``salt_factor > 1`` to split HOT cells — hot-cell points get
+``salt = hash(id) % k`` while the polygon side is replicated into every
+salt of a hot cell (build-side replication, probe-side split).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.geom.polyset import PolygonSet
+from buteo_ray.geom.wkb import parse_wkb
+from buteo_ray.grid.cells import cell_xy
+from buteo_ray.stages.dedup import _splitmix64
+
+
+def _cell_key(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    return (cy.astype(np.int64) << np.int64(32)) | cx.astype(np.int64)
+
+
+def cell_partitioned_pip_join(
+    points_ds,
+    polys_ds,
+    res: int = 7,
+    point_id_col: str = "doc_id",
+    poly_id_col: str = "aoi_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    hot_cells: Optional[Dict[int, int]] = None,
+    salt_factor: int = 1,
+):
+    """Inner PiP join of two large Datasets. Returns
+    Dataset[(point_id_col, poly_id_col)].
+
+    ``hot_cells``: optional {cell_key: count} from
+    :func:`buteo_ray.state.skew.hot_keys`; hot cells are salted
+    ``salt_factor`` ways (points split, polygons replicated).
+    """
+    hot = set(hot_cells or ())
+    k = max(int(salt_factor), 1)
+
+    def _point_rows(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        cx, cy = cell_xy(lat, lon, res)
+        key = _cell_key(cx, cy)
+        pid = batch[point_id_col].to_numpy(zero_copy_only=False)
+        if hot and k > 1:
+            h = _splitmix64(pid.astype(np.uint64)) % np.uint64(k)
+            salt = np.where(np.isin(key, np.fromiter(hot, dtype=np.int64)),
+                            h.astype(np.int64), 0)
+        else:
+            salt = np.zeros(len(pid), dtype=np.int64)
+        return pa.table({
+            "cell": key, "salt": salt, "side": np.zeros(len(pid), dtype=np.int8),
+            "pid": pid, "lat": lat, "lon": lon,
+            "poly_id": np.full(len(pid), -1, dtype=np.int64),
+            "wkb": pa.array([b""] * len(pid), type=pa.binary()),
+        })
+
+    def _poly_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        xmin = batch["bbox_xmin"].to_numpy()
+        xmax = batch["bbox_xmax"].to_numpy()
+        ymin = batch["bbox_ymin"].to_numpy()
+        ymax = batch["bbox_ymax"].to_numpy()
+        x0, y0 = cell_xy(ymin, xmin, res)
+        x1, y1 = cell_xy(ymax, xmax, res)
+        nx = (x1 - x0 + 1).astype(np.int64)
+        ny = (y1 - y0 + 1).astype(np.int64)
+        counts = nx * ny
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(n), counts)
+        block_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(total, dtype=np.int64) - np.repeat(block_starts, counts)
+        rep_nx = np.repeat(nx, counts)
+        cx = np.repeat(x0, counts) + local % rep_nx
+        cy = np.repeat(y0, counts) + local // rep_nx
+        key = _cell_key(cx, cy)
+        poly_id = batch[poly_id_col].to_numpy(zero_copy_only=False)[rep]
+        wkbs = batch["geom_wkb"].to_pylist()
+        wkb_rep = [wkbs[i] for i in rep]
+        # Hot-cell polygon rows replicate into every salt bucket.
+        if hot and k > 1:
+            is_hot = np.isin(key, np.fromiter(hot, dtype=np.int64))
+            reps = np.where(is_hot, k, 1)
+            key = np.repeat(key, reps)
+            poly_id = np.repeat(poly_id, reps)
+            wkb_rep = [w for w, r in zip(wkb_rep, reps) for _ in range(r)]
+            salt = np.concatenate([np.arange(r, dtype=np.int64) for r in reps]) if len(reps) else np.empty(0, np.int64)
+        else:
+            salt = np.zeros(key.shape[0], dtype=np.int64)
+        m = key.shape[0]
+        return pa.table({
+            "cell": key, "salt": salt, "side": np.ones(m, dtype=np.int8),
+            "pid": np.full(m, -1, dtype=np.int64),
+            "lat": np.zeros(m), "lon": np.zeros(m),
+            "poly_id": poly_id,
+            "wkb": pa.array(wkb_rep, type=pa.binary()),
+        })
+
+    pts = points_ds.map_batches(_point_rows, batch_format="pyarrow", batch_size=None)
+    pls = polys_ds.map_batches(_poly_rows, batch_format="pyarrow", batch_size=None)
+    both = pts.union(pls)
+
+    def _join_cell(g: pd.DataFrame) -> pd.DataFrame:
+        points = g[g["side"] == 0]
+        polys = g[g["side"] == 1]
+        if len(points) == 0 or len(polys) == 0:
+            return pd.DataFrame({point_id_col: pd.Series([], dtype="int64"),
+                                 poly_id_col: pd.Series([], dtype="int64")})
+        ring_lists = []
+        for wkb in polys["wkb"]:
+            kind, rings = parse_wkb(wkb)
+            ring_lists.append(rings if kind == "polygon"
+                              else [r for poly in rings for r in poly])
+        pset = PolygonSet(ring_lists)
+        lon = points["lon"].to_numpy()
+        lat = points["lat"].to_numpy()
+        # All local pairs, bbox-pruned then exact.
+        npts, npol = len(points), len(polys)
+        pi = np.repeat(np.arange(npts), npol)
+        gi = np.tile(np.arange(npol), npts)
+        xmin = np.array([r[0][:, 0].min() for r in ring_lists])
+        xmax = np.array([r[0][:, 0].max() for r in ring_lists])
+        ymin = np.array([r[0][:, 1].min() for r in ring_lists])
+        ymax = np.array([r[0][:, 1].max() for r in ring_lists])
+        keep = ((lon[pi] >= xmin[gi]) & (lon[pi] <= xmax[gi])
+                & (lat[pi] >= ymin[gi]) & (lat[pi] <= ymax[gi]))
+        pi, gi = pi[keep], gi[keep]
+        if pi.size:
+            exact = pset.contains_pairs(lon[pi], lat[pi], gi)
+            pi, gi = pi[exact], gi[exact]
+        return pd.DataFrame({
+            point_id_col: points["pid"].to_numpy()[pi],
+            poly_id_col: polys["poly_id"].to_numpy()[gi],
+        })
+
+    return both.groupby(["cell", "salt"]).map_groups(_join_cell, batch_format="pandas")

@@ -1,0 +1,77 @@
+"""Skew handling: hot-key detection and salted two-level aggregation
+(SURVEY.md §4 "salted keys for hot cells — required by the north rule").
+
+Web pages geocode heavily into urban cells (the synthetic generator puts
+30% of pages into one ~2° hot cluster on purpose); a bare
+``groupby(cell)`` sends every hot-cell row to one reducer. The salted
+plan:
+
+1. cheap ``groupby(key).count()`` (tiny result) → hot-key set,
+2. hot rows get ``salt = hash(row) % k``; cold rows salt 0,
+3. wide op runs on ``(key, salt)`` — hot keys now spread over k
+   reducers,
+4. a second, small aggregation merges the k salted partials per key.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.stages.dedup import _splitmix64
+
+
+def key_counts(ds, key: str) -> pd.DataFrame:
+    """Per-key row counts (the skew probe — one cheap shuffle of
+    pre-aggregated partials)."""
+    from ray.data.aggregate import Count
+
+    return ds.groupby(key).aggregate(Count(alias_name="n")).to_pandas()
+
+
+def hot_keys(ds, key: str, threshold: Optional[int] = None) -> Dict:
+    """Keys whose count exceeds ``threshold`` (default: 10× the median
+    key count). Returns {key_value: count}."""
+    counts = key_counts(ds, key)
+    if len(counts) == 0:
+        return {}
+    if threshold is None:
+        threshold = max(int(counts["n"].median()) * 10, 1000)
+    hot = counts[counts["n"] > threshold]
+    return dict(zip(hot[key], hot["n"]))
+
+
+def add_salt(ds, key: str, hot: Dict, salt_factor: int = 8,
+             id_col: Optional[str] = None, salt_col: str = "salt"):
+    """Append a salt column: ``hash(id) % salt_factor`` for hot keys,
+    0 for cold. The hot-key set is broadcast in the task closure."""
+    hot_set = set(hot)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        kv = batch[key].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(kv, np.array(list(hot_set), dtype=kv.dtype)) if hot_set else np.zeros(len(kv), bool)
+        if id_col is not None:
+            h = _splitmix64(batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = _splitmix64(np.arange(len(kv), dtype=np.uint64))
+        salt = np.where(is_hot, (h % np.uint64(salt_factor)).astype(np.int64), 0)
+        return batch.append_column(salt_col, pa.array(salt))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def salted_count(ds, key: str, salt_factor: int = 8,
+                 id_col: Optional[str] = None,
+                 threshold: Optional[int] = None) -> pd.DataFrame:
+    """Two-level salted count per key — the canonical salted-aggregation
+    plan (generalize by swapping the aggregate)."""
+    from ray.data.aggregate import Sum
+
+    hot = hot_keys(ds, key, threshold)
+    salted = add_salt(ds, key, hot, salt_factor, id_col=id_col)
+    partial = salted.groupby([key, "salt"]).count().to_pandas()
+    out = partial.groupby(key, as_index=False)["count()"].sum()
+    return out.rename(columns={"count()": "n"})
