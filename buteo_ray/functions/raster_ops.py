@@ -1,0 +1,186 @@
+"""Raster long-tail kernels: resample, DEM derivatives, distance
+transform, nodata infill, border padding — per-tile numpy kernels for
+``map_tiles`` (reference modules: ``raster/resample.py``,
+``raster/dem.py``, ``raster/proximity.py`` + ``array/distance.py``,
+``array/fill.py``, ``raster/borders.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+# ------------------------------------------------------------- resample
+
+
+def resample_nearest(arr: np.ndarray, scale: float) -> np.ndarray:
+    """Nearest-neighbour resample by a scale factor (≙ resample_alg
+    'nearest', reference raster/resample.py:29-332). Channel-last."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, _ = arr.shape
+    oh, ow = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    yi = np.minimum((np.arange(oh) / scale).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(ow) / scale).astype(np.int64), w - 1)
+    return arr[yi[:, None], xi[None, :], :]
+
+
+def resample_average(arr: np.ndarray, factor: int) -> np.ndarray:
+    """Integer-factor downscale by block mean (≙ 'average')."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    h2, w2 = (h // factor) * factor, (w // factor) * factor
+    v = arr[:h2, :w2, :].reshape(h2 // factor, factor, w2 // factor, factor, c)
+    return v.mean(axis=(1, 3))
+
+
+def resample_max(arr: np.ndarray, factor: int) -> np.ndarray:
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    h2, w2 = (h // factor) * factor, (w // factor) * factor
+    v = arr[:h2, :w2, :].reshape(h2 // factor, factor, w2 // factor, factor, c)
+    return v.max(axis=(1, 3))
+
+
+def resample_bilinear(arr: np.ndarray, scale: float) -> np.ndarray:
+    """Bilinear resample (≙ 'bilinear'); standard formulation."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    oh, ow = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    fy = (np.arange(oh) + 0.5) / scale - 0.5
+    fx = (np.arange(ow) + 0.5) / scale - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = arr[y0[:, None], x0[None, :], :]
+    b = arr[y0[:, None], x1[None, :], :]
+    cc = arr[y1[:, None], x0[None, :], :]
+    d = arr[y1[:, None], x1[None, :], :]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + cc * wy * (1 - wx) + d * wy * wx)
+
+
+# ---------------------------------------------------------------- DEM
+
+
+def dem_slope(arr: np.ndarray, pixel_size: float = 1.0, degrees: bool = True) -> np.ndarray:
+    """Slope via Horn's method (public; ≙ GDAL DEMProcessing 'slope',
+    reference raster/dem.py:16-495). 2-D input."""
+    p = np.pad(arr, 1, mode="edge")
+    dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / (8.0 * pixel_size)
+    dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / (8.0 * pixel_size)
+    slope = np.arctan(np.sqrt(dzdx**2 + dzdy**2))
+    return np.degrees(slope) if degrees else slope
+
+
+def dem_aspect(arr: np.ndarray, degrees: bool = True) -> np.ndarray:
+    """Aspect (downslope direction, 0=N clockwise), Horn's method."""
+    p = np.pad(arr, 1, mode="edge")
+    dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
+    dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
+    aspect = np.arctan2(dzdy, -dzdx)
+    aspect = np.mod(np.pi / 2 - aspect, 2 * np.pi)
+    return np.degrees(aspect) if degrees else aspect
+
+
+def dem_hillshade(arr: np.ndarray, azimuth: float = 315.0, altitude: float = 45.0,
+                  pixel_size: float = 1.0) -> np.ndarray:
+    """Hillshade 0-255 (standard GDAL-style formula)."""
+    slope = dem_slope(arr, pixel_size, degrees=False)
+    aspect = dem_aspect(arr, degrees=False)
+    az = np.radians(360.0 - azimuth + 90.0)
+    alt = np.radians(altitude)
+    shaded = (np.sin(alt) * np.cos(slope)
+              + np.cos(alt) * np.sin(slope) * np.cos(az - np.pi / 2 - aspect))
+    return np.clip(shaded * 255.0, 0, 255)
+
+
+# ------------------------------------------------- distance / proximity
+
+
+def distance_transform(mask: np.ndarray, pixel_size: float = 1.0,
+                       max_dist: Optional[float] = None) -> np.ndarray:
+    """Exact euclidean distance to the nearest True pixel — Felzenszwalb
+    & Huttenlocher's separable parabola EDT (public, 2004). ≙ the
+    reference's ``convolve_distance`` / ``raster_get_proximity``
+    (raster/proximity.py:25-195) without the max_dist window scan."""
+    mask = np.asarray(mask, dtype=bool)
+    INF = 1e18
+    d = np.where(mask, 0.0, INF)
+
+    def _edt_1d(f: np.ndarray) -> np.ndarray:
+        n = f.shape[0]
+        v = np.zeros(n, dtype=np.int64)
+        z = np.full(n + 1, 0.0)
+        z[0], z[1] = -INF, INF
+        k = 0
+        out = np.empty(n)
+        for q in range(1, n):
+            s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+            while s <= z[k]:
+                k -= 1
+                s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+            k += 1
+            v[k] = q
+            z[k] = s
+            z[k + 1] = INF
+        k = 0
+        for q in range(n):
+            while z[k + 1] < q:
+                k += 1
+            out[q] = (q - v[k]) ** 2 + f[v[k]]
+        return out
+
+    # Pass 1: columns; pass 2: rows.
+    for x in range(d.shape[1]):
+        d[:, x] = _edt_1d(d[:, x])
+    for y in range(d.shape[0]):
+        d[y, :] = _edt_1d(d[y, :])
+    out = np.sqrt(d) * pixel_size
+    if max_dist is not None:
+        out = np.minimum(out, max_dist)
+    return out
+
+
+def fill_nearest(arr: np.ndarray, nodata: float, max_iter: int = 100) -> np.ndarray:
+    """Fill nodata with the nearest valid value by iterative 3×3
+    majority-of-neighbours dilation (≙ ``convolve_fill_nearest``,
+    reference array/fill.py:18-225)."""
+    arr = np.asarray(arr, dtype=np.float64).copy()
+    invalid = (arr == nodata) | np.isnan(arr)
+    for _ in range(max_iter):
+        if not invalid.any():
+            break
+        p = np.pad(np.where(invalid, np.nan, arr), 1, mode="edge")
+        stack = np.stack([
+            p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:],
+            p[1:-1, :-2], p[1:-1, 2:],
+            p[2:, :-2], p[2:, 1:-1], p[2:, 2:],
+        ])
+        with np.errstate(all="ignore"):
+            neigh = np.nanmean(stack, axis=0)
+        fill = invalid & ~np.isnan(neigh)
+        arr[fill] = neigh[fill]
+        invalid = invalid & ~fill
+    return arr
+
+
+def add_border(arr: np.ndarray, border_size: int = 1, value: float = 0.0) -> np.ndarray:
+    """Constant border padding (≙ ``raster_add_border``,
+    reference raster/borders.py:30-226)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return np.pad(arr, ((border_size, border_size), (border_size, border_size), (0, 0)),
+                  mode="constant", constant_values=value)

@@ -270,9 +270,10 @@ def clip_polygon_convex(subject: Ring, clip_ring: Ring) -> np.ndarray:
             if p_in:
                 output.append((px, py))
             if p_in != q_in:
+                # Solve orient(c0, c1, p + t·(q−p)) = 0 for t.
                 denom = (cx1 - cx0) * (qy - py) - (cy1 - cy0) * (qx - px)
                 if denom != 0:
-                    t = ((cx1 - cx0) * (py - cy0) - (cy1 - cy0) * (px - cx0)) / denom
+                    t = ((cy1 - cy0) * (px - cx0) - (cx1 - cx0) * (py - cy0)) / denom
                     output.append((px + t * (qx - px), py + t * (qy - py)))
     if len(output) < 3:
         return np.empty((0, 2), dtype=np.float64)

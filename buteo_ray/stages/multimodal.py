@@ -1,0 +1,159 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+exactly as the task brief requires: ``decoder="real"`` raises
+``NotImplementedError`` at the decode call site (drop in PIL/ffmpeg
+there on a real deployment), while ``decoder="fake"`` produces a
+deterministic pseudo-image from the payload hash so the Ray-side
+plumbing — schema, batch sizing, actor lifecycle, output layout — is
+real and tested end-to-end. Downstream stages (resize, feature
+extraction, frame sampling) operate on decoded arrays and are fully
+real.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.functions.raster_ops import resample_bilinear
+from buteo_ray.stages.dedup import _splitmix64
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),       # image | audio | video
+    ("payload", pa.binary()),          # encoded bytes (opaque)
+    ("width", pa.int32()),             # declared metadata
+    ("height", pa.int32()),
+    ("n_frames", pa.int32()),
+])
+
+
+def synth_media_table(n: int, media_type: str = "image",
+                      width: int = 64, height: int = 48,
+                      n_frames: int = 1) -> pa.Table:
+    """Deterministic fake encoded-media table (payload = seeded bytes)."""
+    ids = np.arange(n, dtype=np.int64)
+    payloads = []
+    for i in ids:
+        h = _splitmix64(np.arange(32, dtype=np.uint64) + np.uint64(i * 7919))
+        payloads.append(h.tobytes())
+    return pa.table({
+        "media_id": ids,
+        "media_type": [media_type] * n,
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": np.full(n, width, dtype=np.int32),
+        "height": np.full(n, height, dtype=np.int32),
+        "n_frames": np.full(n, n_frames, dtype=np.int32),
+    })
+
+
+def _fake_decode(payload: bytes, height: int, width: int, channels: int = 3) -> np.ndarray:
+    """Deterministic pseudo-decode: payload hash → uint8 pixels."""
+    seed = np.frombuffer(payload[:8], dtype=np.uint64)[0] if len(payload) >= 8 else np.uint64(0)
+    idx = np.arange(height * width * channels, dtype=np.uint64) + seed
+    return (_splitmix64(idx) % np.uint64(256)).astype(np.uint8).reshape(height, width, channels)
+
+
+class MediaDecoder:
+    """Actor-pool decode stage. ``__init__`` is where a real deployment
+    loads codecs/models ONCE per actor; ``__call__`` decodes per batch.
+
+    Output: ``media_id`` + decoded ``pixels:binary`` (uint8 C-order) +
+    ``dec_height/dec_width/dec_channels``. Keep ``batch_size`` small —
+    decoded frames are ~H·W·3 bytes per row and batch × concurrency
+    must fit the worker heap (task-brief sizing note).
+    """
+
+    def __init__(self, decoder: str = "fake", target: Optional[Tuple[int, int]] = None):
+        if decoder not in ("fake", "real"):
+            raise ValueError("decoder must be 'fake' or 'real'")
+        self.decoder = decoder
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            # Drop in PIL.Image.open / av.open here on a deployment with
+            # codecs installed.
+            raise NotImplementedError(
+                "no image/audio codecs in this environment; use decoder='fake'"
+            )
+        out_pixels, oh, ow, oc = [], [], [], []
+        for i in range(batch.num_rows):
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            img = _fake_decode(batch["payload"][i].as_py(), h, w)
+            if self.target is not None:
+                th, tw = self.target
+                img = resample_bilinear(img.astype(np.float64), th / img.shape[0])
+                img = np.clip(img, 0, 255).astype(np.uint8)
+                img = img[:th, :tw, :]
+            out_pixels.append(np.ascontiguousarray(img).tobytes())
+            oh.append(img.shape[0])
+            ow.append(img.shape[1])
+            oc.append(img.shape[2])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "pixels": pa.array(out_pixels, type=pa.binary()),
+            "dec_height": pa.array(oh, type=pa.int32()),
+            "dec_width": pa.array(ow, type=pa.int32()),
+            "dec_channels": pa.array(oc, type=pa.int32()),
+        })
+
+
+def decode_media(ds, decoder: str = "fake", target: Optional[Tuple[int, int]] = None,
+                 concurrency: int = 2, batch_size: int = 64):
+    """Decode (or fake-decode) a media Dataset via the actor pool."""
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs=dict(decoder=decoder, target=target),
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def extract_features(decoded_ds):
+    """Per-image channel statistics (the feature-extraction stage shape:
+    swap the body for a model forward pass)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        means, stds = [], []
+        for i in range(batch.num_rows):
+            h = batch["dec_height"][i].as_py()
+            w = batch["dec_width"][i].as_py()
+            c = batch["dec_channels"][i].as_py()
+            img = np.frombuffer(batch["pixels"][i].as_py(), dtype=np.uint8).reshape(h, w, c)
+            means.append(img.mean(axis=(0, 1)).tolist())
+            stds.append(img.std(axis=(0, 1)).tolist())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "channel_mean": pa.array(means, type=pa.list_(pa.float64())),
+            "channel_std": pa.array(stds, type=pa.list_(pa.float64())),
+        })
+
+    return decoded_ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def sample_frames(ds, every_nth: int = 2):
+    """Frame sampling for video rows: explode n_frames → keep every
+    n-th (the video-pipeline plumbing; frames share the payload stub)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        ids, frame_idx = [], []
+        for i in range(batch.num_rows):
+            n = batch["n_frames"][i].as_py()
+            mid = batch["media_id"][i].as_py()
+            for f in range(0, n, every_nth):
+                ids.append(mid)
+                frame_idx.append(f)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(frame_idx, type=pa.int64()),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

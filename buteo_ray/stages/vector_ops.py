@@ -1,0 +1,262 @@
+"""Vector toolbox over WKB-geometry Datasets — capability parity with the
+reference's ``core_vector``/``vector`` modules re-expressed as
+``map_batches``/``groupby`` stages.
+
+Geometry Datasets carry ``geom_wkb:binary`` + ``bbox_*`` columns
+(SURVEY.md §1.3). All geometry math is this package's pure-numpy layer
+(no GDAL/shapely). Union of arbitrary polygons is out of v1 scope —
+dissolve offers bbox-hull and convex-hull geometries (documented).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.geom.predicates import clip_polygon_convex, polygon_area, polygon_centroid
+from buteo_ray.geom.wkb import geom_bbox, parse_wkb, wkb_multipolygon, wkb_polygon
+from buteo_ray.grid.projection import reproject_points
+
+
+def _rebuild_bbox_cols(pdf: pd.DataFrame) -> pd.DataFrame:
+    boxes = np.array([geom_bbox(w) for w in pdf["geom_wkb"]]) if len(pdf) else np.zeros((0, 4))
+    pdf["bbox_xmin"], pdf["bbox_xmax"] = boxes[:, 0] if len(pdf) else [], boxes[:, 1] if len(pdf) else []
+    pdf["bbox_ymin"], pdf["bbox_ymax"] = boxes[:, 2] if len(pdf) else [], boxes[:, 3] if len(pdf) else []
+    return pdf
+
+
+def vector_filter_by_function(ds, attr_fn: Optional[Callable] = None,
+                              geom_fn: Optional[Callable] = None):
+    """Per-feature UDF filter (≙ ``vector_filter_by_function``, reference
+    core_vector/core_vector_filter.py:143-301): ``attr_fn(row_dict) →
+    bool`` and/or ``geom_fn(parsed_geom) → bool``."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = np.ones(len(batch), dtype=bool)
+        if attr_fn is not None:
+            keep &= np.array([bool(attr_fn(r._asdict() if hasattr(r, "_asdict") else dict(r)))
+                              for r in batch.to_dict("records")])
+        if geom_fn is not None:
+            keep &= np.array([bool(geom_fn(parse_wkb(w))) for w in batch["geom_wkb"]])
+        return batch[keep]
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def vector_clip_convex(ds, clip_ring: np.ndarray):
+    """Geometric intersection-and-crop against a CONVEX clip ring (≙
+    ``vector_clip``, reference vector/clip.py:24-151: bbox prefilter +
+    exact clip, empty results dropped)."""
+    cxmin, cymin = clip_ring[:, 0].min(), clip_ring[:, 1].min()
+    cxmax, cymax = clip_ring[:, 0].max(), clip_ring[:, 1].max()
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        # bbox prefilter (the reference's -spat)
+        keep = ~((batch["bbox_xmax"] < cxmin) | (batch["bbox_xmin"] > cxmax)
+                 | (batch["bbox_ymax"] < cymin) | (batch["bbox_ymin"] > cymax))
+        batch = batch[keep].copy()
+        out_wkb = []
+        kept = []
+        for w in batch["geom_wkb"]:
+            kind, payload = parse_wkb(w)
+            rings = payload if kind == "polygon" else [r for p in payload for r in p]
+            clipped = clip_polygon_convex(rings[0], clip_ring)
+            if clipped.shape[0] >= 4:
+                out_wkb.append(wkb_polygon([clipped]))
+                kept.append(True)
+            else:
+                kept.append(False)
+        batch = batch[np.array(kept, dtype=bool)] if len(batch) else batch
+        batch["geom_wkb"] = out_wkb
+        return _rebuild_bbox_cols(batch)
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def _convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull (public algorithm) → closed ring."""
+    pts = np.unique(points, axis=0)
+    if pts.shape[0] < 3:
+        raise ValueError("need >= 3 distinct points for a hull")
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def _half(pp):
+        out = []
+        for p in pp:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = _half(pts)
+    upper = _half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([hull, hull[:1]])
+
+
+def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull"):
+    """Grouped dissolve (≙ ``vector_dissolve``, reference
+    vector/dissolve.py:26-264). Output geometry per group: 'convex_hull'
+    of all vertices or 'bbox' hull (exact polygon union is out of v1
+    scope — documented). ``by=None`` dissolves everything into one row
+    (reference's global union / vector_merge_features)."""
+
+    def _dissolve(g: pd.DataFrame) -> pd.DataFrame:
+        pts = []
+        for w in g["geom_wkb"]:
+            kind, payload = parse_wkb(w)
+            rings = payload if kind == "polygon" else [r for p in payload for r in p]
+            pts.append(rings[0][:-1])
+        allpts = np.vstack(pts)
+        if geometry == "bbox":
+            x0, y0 = allpts[:, 0].min(), allpts[:, 1].min()
+            x1, y1 = allpts[:, 0].max(), allpts[:, 1].max()
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        else:
+            ring = _convex_hull(allpts)
+        out = pd.DataFrame({
+            "geom_wkb": [wkb_polygon([ring])],
+            "n_features": [len(g)],
+            "area": [polygon_area([ring])],
+        })
+        if by is not None:
+            out.insert(0, by, [g[by].iloc[0]])
+        return _rebuild_bbox_cols(out)
+
+    if by is None:
+        import ray.data as rd
+
+        tagged = ds.map_batches(
+            lambda t: t.append_column("__all", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow", batch_size=None)
+        out = tagged.groupby("__all").map_groups(_dissolve, batch_format="pandas")
+        return out
+    return ds.groupby(by).map_groups(_dissolve, batch_format="pandas")
+
+
+def multipart_to_singlepart(ds):
+    """Explode multipolygons into one row per member polygon (≙
+    reference core_vector/conversion/multipart.py:58-190; 1→N with a
+    ``part_idx`` ordinal)."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            kind, payload = parse_wkb(r["geom_wkb"])
+            polys = [payload] if kind == "polygon" else payload
+            for i, rings in enumerate(polys):
+                rr = dict(r)
+                rr["geom_wkb"] = wkb_polygon(rings)
+                rr["part_idx"] = i
+                rows.append(rr)
+        out = pd.DataFrame(rows) if rows else batch.assign(part_idx=0).iloc[:0]
+        return _rebuild_bbox_cols(out)
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def singlepart_to_multipart(ds, by: str):
+    """Collect polygons per key into one multipolygon row (N→1, ≙
+    multipart.py:191-297)."""
+
+    def _collect(g: pd.DataFrame) -> pd.DataFrame:
+        polys = []
+        for w in sorted(g["geom_wkb"], key=lambda b: b):  # deterministic order
+            kind, payload = parse_wkb(w)
+            polys.extend([payload] if kind == "polygon" else payload)
+        out = pd.DataFrame({by: [g[by].iloc[0]],
+                            "geom_wkb": [wkb_multipolygon(polys)],
+                            "n_parts": [len(polys)]})
+        return _rebuild_bbox_cols(out)
+
+    return ds.groupby(by).map_groups(_collect, batch_format="pandas")
+
+
+def vector_fix_geometry(ds):
+    """MakeValid-lite (≙ ``vector_fix_geometry``, reference
+    core_vector/core_vector_fixgeometry.py:16-225): close open rings,
+    drop degenerate (<3 distinct vertex) rings, enforce CCW exteriors."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        fixed, keep = [], []
+        for w in batch["geom_wkb"]:
+            kind, payload = parse_wkb(w)
+            rings = payload if kind == "polygon" else [r for p in payload for r in p]
+            out_rings = []
+            for ring in rings:
+                if not (ring[0] == ring[-1]).all():
+                    ring = np.vstack([ring, ring[:1]])
+                if np.unique(ring[:-1], axis=0).shape[0] < 3:
+                    continue
+                x, y = ring[:-1, 0], ring[:-1, 1]
+                x1, y1 = ring[1:, 0], ring[1:, 1]
+                if float(np.sum(x * y1 - x1 * y)) < 0 and not out_rings:
+                    ring = ring[::-1]  # exterior must be CCW
+                out_rings.append(ring)
+            if out_rings:
+                fixed.append(wkb_polygon(out_rings))
+                keep.append(True)
+            else:
+                keep.append(False)
+        batch = batch[np.array(keep, dtype=bool)].copy() if len(batch) else batch
+        batch["geom_wkb"] = fixed
+        return _rebuild_bbox_cols(batch)
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def vector_reproject(ds, src: str, dst: str):
+    """Reproject every geometry (≙ ``vector_reproject``, reference
+    vector/reproject.py:24-151) using the from-scratch projection math
+    (``grid/projection.py``)."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for w in batch["geom_wkb"]:
+            kind, payload = parse_wkb(w)
+            if kind == "point":
+                x, y = reproject_points(payload[0], payload[1], src, dst)
+                from buteo_ray.geom.wkb import wkb_point
+
+                out.append(wkb_point(float(x), float(y)))
+                continue
+            polys = [payload] if kind == "polygon" else payload
+            new_polys = []
+            for rings in polys:
+                new_rings = []
+                for ring in rings:
+                    x, y = reproject_points(ring[:, 0], ring[:, 1], src, dst)
+                    new_rings.append(np.column_stack([x, y]))
+                new_polys.append(new_rings)
+            out.append(wkb_polygon(new_polys[0]) if kind == "polygon"
+                       else wkb_multipolygon(new_polys))
+        batch = batch.copy()
+        batch["geom_wkb"] = out
+        return _rebuild_bbox_cols(batch)
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def vector_add_centroids(ds):
+    """Append centroid_x/centroid_y/area columns (attribute derivation
+    ≙ vector_add_field family)."""
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        cx, cy, areas = [], [], []
+        for w in batch["geom_wkb"]:
+            kind, payload = parse_wkb(w)
+            rings = payload if kind == "polygon" else payload[0]
+            c = polygon_centroid(rings)
+            cx.append(c[0])
+            cy.append(c[1])
+            areas.append(polygon_area(rings))
+        batch = batch.copy()
+        batch["centroid_x"] = cx
+        batch["centroid_y"] = cy
+        batch["area"] = areas
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
