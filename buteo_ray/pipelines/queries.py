@@ -568,6 +568,112 @@ def sql_add_field() -> str:
             "FROM part")
 
 
+def q_sessionize(sf_dir: str):
+    """Session assignment over the events log (30-min gap rule) via
+    groupby(user).map_groups — the engine's stream-sessionization op."""
+    import pandas as pd
+
+    from buteo_ray.stages.streaming import sessionize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, gap=pd.Timedelta(minutes=30))
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+def sql_sessionize() -> str:
+    return (
+        "WITH o AS (SELECT event_id, user_id, ts, "
+        "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o"
+    )
+
+
+def q_join_multiway(sf_dir: str):
+    """TPC-H-Q3-shaped 3-table join + aggregate using Ray's hash-
+    partitioned ``Dataset.join`` (both sides large → shuffle join) with
+    a broadcast dimension lookup on top."""
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(_derive, batch_format="pyarrow", batch_size=None)
+    oc = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(oc, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    from ray.data.aggregate import Count, Sum
+
+    out = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_lines"), Sum("revenue", alias_name="revenue"),
+    ).to_pandas()
+    out["revenue"] = np.floor(out["revenue"] * 10000.0 + 0.5) / 10000.0
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return out
+
+
+def sql_join_multiway() -> str:
+    return (
+        "SELECT c.c_mktsegment, COUNT(*) AS n_lines, "
+        "FLOOR(SUM(l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0 + 0.5) / 10000.0 AS revenue "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    )
+
+
+def q_scale_minmax(sf_dir: str):
+    """Two-phase global min-max scaling of a column (≙ scaler_minmax,
+    reference ai/scalers.py:11-59: exact global min/max via distributed
+    aggregate, then a stateless transform)."""
+    from buteo_ray.functions.scalers import scale_column
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = scale_column(ds, "o_totalprice", method="minmax", out_col="price_scaled")
+    return out.select_columns(["o_orderkey", "price_scaled"])
+
+
+def sql_scale_minmax() -> str:
+    # float32 parity: numpy divides in float64 and casts the RESULT to
+    # float32 (ufunc out=float32); the SQL twin divides in double then
+    # casts once to FLOAT.
+    return (
+        "SELECT o_orderkey, CAST(CAST("
+        "(o_totalprice - (SELECT MIN(o_totalprice) FROM orders)) / "
+        "((SELECT MAX(o_totalprice) FROM orders) - (SELECT MIN(o_totalprice) FROM orders)) "
+        "AS FLOAT) AS DOUBLE) AS price_scaled FROM orders"
+    )
+
+
+def q_topk_per_group(sf_dir: str):
+    """Per-key top-k (top 3 orders per customer by price; ≙ SURVEY.md
+    §2.9 per-key top-k via groupby + in-group sort)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, False], kind="stable").head(3)
+
+    return ds.groupby("o_custkey").map_groups(_top, batch_format="pandas")
+
+
+def sql_topk_per_group() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders) t "
+        "WHERE rn <= 3"
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -633,6 +739,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "window_agg": q_window_agg,
     "add_field": q_add_field,
     "rasterize_count": q_rasterize_count,
+    "sessionize": q_sessionize,
+    "join_multiway": q_join_multiway,
+    "scale_minmax": q_scale_minmax,
+    "topk_per_group": q_topk_per_group,
     # rows-only (no SQL oracle; pytest-verified instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "simhash": q_simhash,
@@ -662,4 +772,8 @@ ORACLE_SQL: Dict[str, str] = {
     "window_agg": sql_window_agg(),
     "add_field": sql_add_field(),
     "rasterize_count": sql_rasterize_count(),
+    "sessionize": sql_sessionize(),
+    "join_multiway": sql_join_multiway(),
+    "scale_minmax": sql_scale_minmax(),
+    "topk_per_group": sql_topk_per_group(),
 }

@@ -1,0 +1,110 @@
+"""Stream-shaped operators over the events log (SURVEY.md §2.12: the
+reference is strictly batch, so these are required new capabilities).
+
+Ray Data has no event-time windows; the engine treats the events table
+as an ordered, partitioned log: partition by key, sort within partition
+inside ``groupby(key).map_groups``, and compute windows/sessions with
+vectorized pandas. Ordering assumption: per-key processing sorts by
+``ts`` — global order is never required (documented per the guide).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
+               gap: pd.Timedelta = pd.Timedelta(minutes=30)):
+    """Assign session ids per key: a new session starts when the gap to
+    the previous event exceeds ``gap``. Returns the input rows +
+    ``session_id`` (key-scoped, 0-based) + ``session_key`` (globally
+    unique string)."""
+
+    def _fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        gaps = g[ts_col].diff() > gap
+        g["session_id"] = gaps.cumsum().fillna(0).astype(np.int64)
+        g["session_key"] = g[key_col].astype(str) + "#" + g["session_id"].astype(str)
+        return g
+
+    return ds.groupby(key_col).map_groups(_fn, batch_format="pandas")
+
+
+def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  gap: pd.Timedelta = pd.Timedelta(minutes=30)):
+    """One row per session: count, start/end, duration seconds."""
+
+    def _fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        sid = (g[ts_col].diff() > gap).cumsum().fillna(0).astype(np.int64)
+        out = g.groupby(sid).agg(
+            n_events=(ts_col, "size"),
+            t_start=(ts_col, "min"),
+            t_end=(ts_col, "max"),
+        ).reset_index(drop=True)
+        out.insert(0, key_col, g[key_col].iloc[0])
+        out["session_id"] = np.arange(len(out), dtype=np.int64)
+        out["duration_sec"] = (out["t_end"] - out["t_start"]).dt.total_seconds()
+        return out
+
+    return ds.groupby(key_col).map_groups(_fn, batch_format="pandas")
+
+
+def tumbling_window(ds, ts_col: str = "ts", window: str = "1h",
+                    keys: Optional[list] = None, value_col: str = "value"):
+    """Tumbling-window aggregate: window id = epoch // width; grouped
+    count/sum per (keys..., window)."""
+    def _assign(t: pa.Table) -> pa.Table:
+        unit = t.schema.field(ts_col).type.unit  # s | ms | us | ns
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        width = int(pd.Timedelta(window).total_seconds() * per_sec)
+        ticks = t[ts_col].cast(pa.int64()).to_numpy()
+        return t.append_column("window_id", pa.array(ticks // width))
+
+    from ray.data.aggregate import Count, Sum
+
+    group_keys = (keys or []) + ["window_id"]
+    return (
+        ds.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+        .groupby(group_keys)
+        .aggregate(Count(alias_name="n_events"), Sum(value_col, alias_name="sum_value"))
+    )
+
+
+def sliding_window_counts(ds, ts_col: str = "ts", window: str = "1h",
+                          slide: str = "30min", keys: Optional[list] = None):
+    """Sliding windows via flat_map into the ⌈window/slide⌉ overlapping
+    window ids each event belongs to, then a tumbling groupby."""
+    def _explode(t: pa.Table) -> pa.Table:
+        unit = t.schema.field(ts_col).type.unit
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        width_t = int(pd.Timedelta(window).total_seconds() * per_sec)
+        slide_t = int(pd.Timedelta(slide).total_seconds() * per_sec)
+        n_overlap = (width_t + slide_t - 1) // slide_t
+        ticks = t[ts_col].cast(pa.int64()).to_numpy()
+        base = ticks // slide_t
+        cols = {c: [] for c in (keys or [])}
+        win = []
+        for k in range(n_overlap):
+            wid = base - k
+            keep = (wid * slide_t + width_t) > ticks
+            win.append(wid[keep])
+            for c in keys or []:
+                cols[c].append(t[c].to_numpy(zero_copy_only=False)[keep])
+        out = {"window_start": np.concatenate(win) * slide_t}
+        for c in keys or []:
+            out[c] = np.concatenate(cols[c])
+        return pa.table(out)
+
+    from ray.data.aggregate import Count
+
+    group_keys = (keys or []) + ["window_start"]
+    return (
+        ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+        .groupby(group_keys)
+        .aggregate(Count(alias_name="n_events"))
+    )
