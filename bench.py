@@ -103,14 +103,15 @@ def run_headline() -> dict:
 def run_queries() -> dict:
     from buteo_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
+    import ray.data
+
     times = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
         t0 = time.perf_counter()
         out = fn(SF_DIR)
-        # Force execution for lazy Datasets.
-        if hasattr(out, "count") and not hasattr(out, "columns"):
-            out.count()
+        if isinstance(out, ray.data.Dataset):
+            out.count()  # force execution of lazy pipelines
         times[name] = round(time.perf_counter() - t0, 3)
     return times
 

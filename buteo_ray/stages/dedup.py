@@ -171,21 +171,23 @@ def minhash_lsh_pairs(
                 h = h * np.uint64(1099511628211) + chunk[:, j]
             band_hash[:, b] = _splitmix64(h + np.uint64(b))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out = {
+        # Signature packed into ONE binary column (512 B) instead of 64
+        # uint64 columns — ~8× less shuffle width per band row.
+        sig_bytes = [sig[i].tobytes() for i in range(n)]
+        return pa.table({
             id_col: np.repeat(ids, bands),
             "band": np.tile(np.arange(bands, dtype=np.int64), n),
             "band_hash": band_hash.ravel(),
-        }
-        for b in range(_BINS):
-            out[f"sig_{b}"] = np.repeat(sig[:, b], bands)
-        return pa.table(out)
+            "sig": pa.array([sig_bytes[i] for i in range(n) for _ in range(bands)],
+                            type=pa.binary()),
+        })
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
         g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
         ids = g[id_col].to_numpy()
-        sig = g[[f"sig_{b}" for b in range(_BINS)]].to_numpy()
+        sig = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
         ia, ib = np.triu_indices(len(ids), k=1)
         est = (sig[ia] == sig[ib]).mean(axis=1)
         keep = est >= threshold
@@ -195,8 +197,38 @@ def minhash_lsh_pairs(
             "est_jaccard": est[keep],
         })
 
+    # Materialize: the band rows are consumed twice (count probe + pair
+    # stage) and are small (~0.5 KB/doc·bands); recomputing the minhash
+    # pass per consumer would double the whole job.
+    band_rows = ds.map_batches(_bands, batch_format="pyarrow", batch_size=None).materialize()
+
+    # Nearly every bucket is a singleton: find multi-member buckets with a
+    # vectorized aggregate (no per-group Python), broadcast the small hot
+    # set, and run the per-bucket pairing ONLY on those rows — turns
+    # O(#buckets) map_groups calls into O(#candidate buckets).
+    from ray.data.aggregate import Count
+
+    counts = band_rows.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="n")).to_pandas()
+    multi = counts[counts["n"] >= 2]
+    hot_keys = set(zip(multi["band"].tolist(), multi["band_hash"].tolist()))
+    if not hot_keys:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "est_jaccard": pd.Series([], dtype="float64")}))
+
+    def _only_hot(t: pa.Table) -> pa.Table:
+        b = t["band"].to_numpy()
+        h = t["band_hash"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(((bb, hh) in hot_keys for bb, hh in zip(b, h)),
+                           dtype=bool, count=len(b))
+        return t.filter(pa.array(keep))
+
     pairs = (
-        ds.map_batches(_bands, batch_format="pyarrow", batch_size=None)
+        band_rows.map_batches(_only_hot, batch_format="pyarrow", batch_size=None)
         .groupby(["band", "band_hash"])
         .map_groups(_pairs, batch_format="pandas")
     )
