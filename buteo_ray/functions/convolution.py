@@ -225,6 +225,37 @@ def convolve2d(
         summed = (v * w).sum(axis=-1)
         variance = ((v - summed[..., None]) ** 2 * w).sum(axis=-1)
         return np.sqrt(variance) if method == "std" else variance
+    if method in ("roughness", "tpi", "tri", "zscore", "zscore_mad"):
+        center = arr[..., None]  # (H, W, 1) vs windows (H, W, K)
+        if method == "roughness":
+            # |center − value at argmax(|v−center|·w)| (funcs.py:238-253).
+            idx = np.argmax(np.abs(v - center) * w, axis=-1)
+            far = np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
+            return np.abs(arr - far)
+        if method == "tpi":
+            # center − weighted hood mean (funcs.py:254-270).
+            den = w.sum(axis=-1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = np.where(den > 0, (v * w).sum(axis=-1) / den, np.nan)
+            return arr - mean
+        if method == "tri":
+            # weighted mean absolute difference to center (funcs.py:271-287).
+            den = w.sum(axis=-1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.where(den > 0, (np.abs(v - center) * w).sum(axis=-1) / den, np.nan)
+        if method == "zscore":
+            # (center − Σv·w) / weighted-std (funcs.py:142-156).
+            summed = (v * w).sum(axis=-1)
+            std = np.sqrt(((v - summed[..., None]) ** 2 * w).sum(axis=-1))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return (arr - summed) / std
+        # zscore_mad: (center − median) / (MAD·1.4826) (funcs.py:157-171).
+        vq = np.where(w > 0, v, np.inf)
+        med = _weighted_quantile(vq, w, 0.5)
+        absdev = np.where(w > 0, np.abs(v - med[..., None]), np.inf)
+        mad_std = _weighted_quantile(absdev, w, 0.5) * 1.4826
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return (arr - med) / mad_std
     if method == "center_difference":
         center = arr
         k2 = kernel.copy()

@@ -184,6 +184,55 @@ def map_tiles(ds, fn: Callable[[np.ndarray, dict], np.ndarray],
     return ds.map_batches(_apply, **kwargs)
 
 
+def raster_extract_bands(ds, bands):
+    """Select a band subset from every tile (≙ ``raster_extract_bands``,
+    reference core_raster/core_raster_subset.py:19-94)."""
+    bands = list(bands)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        out = []
+        for _, row in pdf.iterrows():
+            arr = tile_to_ndarray(row)[:, :, bands]
+            out.append(np.ascontiguousarray(arr).tobytes())
+        pdf["data"] = out
+        pdf["bands"] = len(bands)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def raster_stack(ds_a, ds_b):
+    """Stack two aligned tile-row rasters band-wise (≙
+    ``raster_stack_list``, reference core_raster/core_raster_stack.py:
+    24-265): positional join on the tile key via tagged union +
+    ``groupby(tile).map_groups`` concatenating channel dims. Both inputs
+    must share the tiling grid (same x_off/y_off/size per tile)."""
+
+    def _tag(side):
+        def _fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+
+        return _fn
+
+    both = ds_a.map_batches(_tag(0), batch_format="pyarrow", batch_size=None).union(
+        ds_b.map_batches(_tag(1), batch_format="pyarrow", batch_size=None))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__side", kind="stable")
+        if len(g) != 2:
+            raise ValueError("raster_stack: tile present on only one side")
+        arrs = [tile_to_ndarray(row) for _, row in g.iterrows()]
+        stacked = np.concatenate(arrs, axis=2)
+        out = g.iloc[[0]].drop(columns="__side").copy()
+        out["data"] = [np.ascontiguousarray(stacked).tobytes()]
+        out["bands"] = stacked.shape[2]
+        out["dtype"] = str(stacked.dtype)
+        return out
+
+    return both.groupby(["tile_x", "tile_y"]).map_groups(_merge, batch_format="pandas")
+
+
 def rasterize_points(points_ds, grid: GridSpec, value_col: Optional[str] = None,
                      lat_col: str = "lat", lon_col: str = "lon"):
     """Burn a point Dataset onto the grid (≙ ``vector_rasterize``,
