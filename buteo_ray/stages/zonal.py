@@ -1,0 +1,90 @@
+"""Zonal statistics: per-zone reductions of a value raster against a
+zone raster (reference ``raster/zonal_statistics.py:29-157``: rasterized
+zone ids + per-zone stats; and the 21-stat vector variant marked broken
+since 0.7, ``vector/zonal_statistics.py``).
+
+Ray plan (SURVEY.md §2.5): positional tile join (tagged union on the
+tile key) → per-tile PARTIAL stats via ``np.bincount`` over zone ids
+(sum/count/min/max/sumsq) → tiny ``groupby(zone)`` final merge. Mean,
+std and variance are exact (derived from merged moments); median is
+exact only per-collection (use ``exact_median=True`` to gather values
+per zone — bounded by zone size; the scalable default reports the
+moment stats, approximation documented like the reference's plan note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.sources.raster import tile_to_ndarray
+
+
+def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
+                     exact_median: bool = False):
+    """Per-zone stats of band 0 of ``value_ds`` grouped by the integer
+    zone ids in band 0 of ``zone_ds`` (same tiling grid). Returns
+    Dataset[(zone, n, sum, mean, min, max, std, var[, median])]."""
+
+    def _tag(side):
+        def _fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+
+        return _fn
+
+    both = value_ds.map_batches(_tag(0), batch_format="pyarrow", batch_size=None).union(
+        zone_ds.map_batches(_tag(1), batch_format="pyarrow", batch_size=None))
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        vals_row = g[g["__side"] == 0]
+        zone_row = g[g["__side"] == 1]
+        if len(vals_row) != 1 or len(zone_row) != 1:
+            raise ValueError("zonal_statistics: tile missing on one side")
+        v = tile_to_ndarray(vals_row.iloc[0])[:, :, 0].ravel().astype(np.float64)
+        z = tile_to_ndarray(zone_row.iloc[0])[:, :, 0].ravel().astype(np.int64)
+        valid = ~np.isnan(v)
+        if nodata is not None:
+            valid &= v != nodata
+        v, z = v[valid], z[valid]
+        if v.size == 0:
+            return pd.DataFrame({"zone": pd.Series([], dtype="int64")})
+        zones, inv = np.unique(z, return_inverse=True)
+        zmin = np.full(zones.shape[0], np.inf)
+        zmax = np.full(zones.shape[0], -np.inf)
+        np.minimum.at(zmin, inv, v)
+        np.maximum.at(zmax, inv, v)
+        out = pd.DataFrame({
+            "zone": zones,
+            "n": np.bincount(inv),
+            "sum": np.bincount(inv, weights=v),
+            "sumsq": np.bincount(inv, weights=v * v),
+            "min": zmin,
+            "max": zmax,
+        })
+        if exact_median:
+            out["values"] = [v[inv == i].tobytes() for i in range(zones.shape[0])]
+        return out
+
+    partials = both.groupby(["tile_x", "tile_y"]).map_groups(_partial, batch_format="pandas")
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        s = float(g["sum"].sum())
+        ss = float(g["sumsq"].sum())
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        out = {
+            "zone": [int(g["zone"].iloc[0])],
+            "n": [n], "sum": [s], "mean": [mean],
+            "min": [float(g["min"].min())], "max": [float(g["max"].max())],
+            "std": [float(np.sqrt(var))], "var": [var],
+        }
+        if exact_median:
+            vals = np.concatenate([np.frombuffer(b) for b in g["values"]])
+            out["median"] = [float(np.median(vals))]
+        return pd.DataFrame(out)
+
+    return partials.groupby("zone").map_groups(_final, batch_format="pandas")

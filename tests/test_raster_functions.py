@@ -291,3 +291,25 @@ def test_hood_center_reducers():
     varied = np.arange(9, dtype=np.float64).reshape(3, 3)
     zm = convolve2d(varied, k, "zscore_mad")
     assert np.isfinite(zm[1, 1])
+
+
+def test_zonal_statistics_raster(ray_session, rng):
+    from buteo_ray.sources.raster import raster_from_array
+    from buteo_ray.stages.zonal import zonal_statistics
+
+    vals = rng.normal(size=(64, 64)).astype(np.float64)
+    zones = (rng.integers(0, 4, size=(64, 64))).astype(np.float64)
+    out = zonal_statistics(
+        raster_from_array(vals, tile_size=32),
+        raster_from_array(zones, tile_size=32),
+        exact_median=True,
+    ).to_pandas().set_index("zone")
+
+    for z in range(4):
+        sel = vals[zones == z]
+        np.testing.assert_allclose(out.loc[z, "n"], sel.size)
+        np.testing.assert_allclose(out.loc[z, "mean"], sel.mean(), rtol=1e-12)
+        np.testing.assert_allclose(out.loc[z, "min"], sel.min())
+        np.testing.assert_allclose(out.loc[z, "max"], sel.max())
+        np.testing.assert_allclose(out.loc[z, "std"], sel.std(), rtol=1e-9)
+        np.testing.assert_allclose(out.loc[z, "median"], np.median(sel), rtol=1e-12)
