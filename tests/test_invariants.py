@@ -1,0 +1,70 @@
+"""North-rule invariants: per-row text byte-identity through the whole
+pipeline, and the exact-PiP join vs a from-first-principles brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_text_byte_identity_through_flagship(ray_session, sf_dir):
+    """input_hint invariant: extracted text must be byte-identical per
+    document through the full flagship chain (geocode → cells → join →
+    tiles)."""
+    import duckdb
+
+    from buteo_ray.pipelines.flagship import flagship_pipeline
+
+    out = flagship_pipeline(sf_dir).to_pandas()
+    src = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchdf().set_index("doc_id")["text"]
+
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        expected = src.loc[row["doc_id"]]
+        assert row["text"] == expected, f"text mutated for doc {row['doc_id']}"
+        assert row["text"].encode() == expected.encode()
+
+
+def test_pip_join_exact_vs_brute_force(ray_session):
+    """Broadcast exact PiP join vs an independent brute force over every
+    (point, polygon) pair using the pinned even-odd + boundary rule."""
+    import ray.data as rd
+
+    from buteo_ray.geom.predicates import points_in_polygon
+    from buteo_ray.geom.wkb import parse_wkb
+    from buteo_ray.sources.aoi import synth_aoi_polygons
+    from buteo_ray.stages.geocode import geocode, hash_coords_from_ids
+    from buteo_ray.stages.join import broadcast_pip_join
+
+    n_docs, n_polys = 400, 80
+    aoi = synth_aoi_polygons(n_polys)
+    docs = pd.DataFrame({"doc_id": np.arange(n_docs)})
+    got = broadcast_pip_join(geocode(rd.from_pandas(docs)), aoi, how="inner",
+                             exact=True).select_columns(["doc_id", "aoi_id"]).to_pandas()
+    got_pairs = set(zip(got["doc_id"], got["aoi_id"]))
+
+    lat, lon = hash_coords_from_ids(np.arange(n_docs))
+    expected = set()
+    for j, wkb in enumerate(aoi["geom_wkb"].to_pylist()):
+        kind, rings = parse_wkb(wkb)
+        inside = points_in_polygon(lon, lat, rings)
+        for i in np.nonzero(inside)[0]:
+            expected.add((int(i), j))
+
+    assert got_pairs == expected
+    assert len(got) == len(expected)  # no duplicates
+
+
+def test_flagship_partition_and_resume_consistency(ray_session, sf_dir, tmp_path):
+    """Same rows whether returned directly or via the resumable sink."""
+    from buteo_ray.pipelines.flagship import flagship_pipeline
+    from buteo_ray.state.checkpoint import read_partitioned
+
+    direct = flagship_pipeline(sf_dir).to_pandas()
+    out_dir = str(tmp_path / "flag")
+    flagship_pipeline(sf_dir, write_to=out_dir)
+    written = read_partitioned(out_dir).to_pandas()
+
+    key = lambda d: sorted(zip(d["doc_id"], d["aoi_id"], d["tile_x"], d["tile_y"]))
+    assert key(direct) == key(written)
