@@ -1,0 +1,100 @@
+"""Raster clip & dtype ops over tile-row Datasets.
+
+``raster_clip``: clip a tile raster by a polygon cutline (reference
+``raster/clip.py:46-411``): tiles fully outside the clip bbox are
+DROPPED (predicate pushdown on tile extents — the reference's ``-spat``),
+partially-covered tiles get out-of-polygon pixels set to nodata via a
+vectorized per-pixel-center PiP mask (the rasterized-cutline step).
+
+``raster_set_datatype``: safe cast per reference
+``utils/utils_translate.py:739-783`` (clip to the target range,
+round-to-nearest for integer targets).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from buteo_ray.geom.predicates import points_in_polygon
+from buteo_ray.sources.raster import tile_to_ndarray
+from buteo_ray.stages.tiling import GridSpec
+
+
+def safe_cast(arr: np.ndarray, target_dtype: str) -> np.ndarray:
+    """Range-clipped cast; integers round first (reference
+    ``_safe_numpy_casting``)."""
+    dt = np.dtype(target_dtype)
+    if arr.dtype == dt:
+        return arr
+    if np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
+        return np.clip(np.rint(arr), info.min, info.max).astype(dt)
+    info = np.finfo(dt)
+    return np.clip(arr, info.min, info.max).astype(dt)
+
+
+def raster_set_datatype(ds, target_dtype: str):
+    """Safe-cast every tile's pixels (≙ ``raster_set_datatype``,
+    reference core_raster/core_raster_datatypes.py:69-265)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        out = []
+        for _, row in pdf.iterrows():
+            arr = tile_to_ndarray(row)
+            out.append(np.ascontiguousarray(safe_cast(arr, target_dtype)).tobytes())
+        pdf["data"] = out
+        pdf["dtype"] = target_dtype
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def raster_clip(ds, clip_rings: Sequence[np.ndarray], grid: GridSpec,
+                nodata: float = np.nan, drop_outside: bool = True):
+    """Clip a tile-row raster by a polygon (rings as (N,2) map-coord
+    arrays). Tiles outside the clip bbox are dropped (when
+    ``drop_outside``); partial tiles are masked pixel-by-pixel."""
+    allpts = np.vstack([r for r in clip_rings])
+    cxmin, cxmax = allpts[:, 0].min(), allpts[:, 0].max()
+    cymin, cymax = allpts[:, 1].min(), allpts[:, 1].max()
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        keep_rows, out_data, out_nodata = [], [], []
+        for _, row in pdf.iterrows():
+            # Tile extent in map coordinates (y_off grows downward).
+            x0 = grid.origin_x + row["x_off"] * grid.pixel_width
+            x1 = grid.origin_x + (row["x_off"] + row["width"]) * grid.pixel_width
+            y0 = grid.origin_y + (row["y_off"] + row["height"]) * grid.pixel_height
+            y1 = grid.origin_y + row["y_off"] * grid.pixel_height
+            if x1 < cxmin or x0 > cxmax or y1 < cymin or y0 > cymax:
+                if drop_outside:
+                    keep_rows.append(False)
+                    out_data.append(b"")
+                    out_nodata.append(row["nodata"])
+                    continue
+            arr = tile_to_ndarray(row).astype(np.float64).copy()
+            halo = row["halo"]
+            h, w = row["height"], row["width"]
+            jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+            px = grid.origin_x + (row["x_off"] + jj + 0.5) * grid.pixel_width
+            py = grid.origin_y + (row["y_off"] + ii + 0.5) * grid.pixel_height
+            inside = points_in_polygon(px.ravel(), py.ravel(), clip_rings).reshape(h, w)
+            core = arr[halo:halo + h, halo:halo + w, :]
+            core[~inside, :] = nodata
+            arr[halo:halo + h, halo:halo + w, :] = core
+            keep_rows.append(True)
+            out_data.append(np.ascontiguousarray(arr).tobytes())
+            out_nodata.append(float(nodata))
+        pdf["data"] = out_data
+        pdf["nodata"] = out_nodata
+        pdf["dtype"] = "float64"
+        pdf = pdf[np.array(keep_rows, dtype=bool)]
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

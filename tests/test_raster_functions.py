@@ -313,3 +313,29 @@ def test_zonal_statistics_raster(ray_session, rng):
         np.testing.assert_allclose(out.loc[z, "max"], sel.max())
         np.testing.assert_allclose(out.loc[z, "std"], sel.std(), rtol=1e-9)
         np.testing.assert_allclose(out.loc[z, "median"], np.median(sel), rtol=1e-12)
+
+
+def test_raster_clip_and_cast(ray_session):
+    from buteo_ray.sources.raster import raster_from_array, raster_to_array
+    from buteo_ray.stages.raster_clip import raster_clip, raster_set_datatype, safe_cast
+    from buteo_ray.stages.tiling import GridSpec
+
+    # 32x32 raster over [0,32]x[0,32] map units, 1 unit/px.
+    grid = GridSpec(origin_x=0.0, origin_y=32.0, pixel_width=1.0,
+                    pixel_height=-1.0, width=32, height=32, tile_size=16)
+    arr = np.ones((32, 32), dtype=np.float64)
+    ds = raster_from_array(arr, tile_size=16)
+
+    # Clip polygon covering the left half [0,16]x[0,32].
+    ring = np.array([[0, 0], [16, 0], [16, 32], [0, 32], [0, 0]], dtype=np.float64)
+    clipped = raster_clip(ds, [ring], grid, nodata=-9.0)
+    out = raster_to_array(clipped, background=-9.0)[:, :, 0]
+    # Right-half tiles dropped entirely; left half survives as 1.0.
+    assert (out[:, :15] == 1.0).all()
+    assert (out[:, 17:] == -9.0).all()
+
+    # Safe cast: float -> uint8 rounds and clips.
+    assert safe_cast(np.array([-5.0, 3.6, 300.0]), "uint8").tolist() == [0, 4, 255]
+    casted = raster_set_datatype(raster_from_array(arr * 300.0, tile_size=16), "uint8")
+    cast_arr = raster_to_array(casted, background=0)
+    assert cast_arr.dtype == np.uint8 and (cast_arr == 255).all()
