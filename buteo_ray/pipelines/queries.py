@@ -702,6 +702,31 @@ def q_lang_pred(sf_dir: str):
     return add_lang_pred(ds).select_columns(["doc_id", "lang_pred"])
 
 
+def q_pip_join_poly(sf_dir: str):
+    """Exact point-in-POLYGON broadcast join (star polygons, even-odd +
+    boundary rule). Verified against a from-first-principles brute force
+    in tests/test_invariants.py; no SQL oracle (ray-casting isn't
+    SQL-expressible without a spatial extension)."""
+    from buteo_ray.sources.aoi import synth_aoi_polygons
+    from buteo_ray.stages.join import broadcast_pip_join
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    ds = geocode(ds)
+    out = broadcast_pip_join(ds, synth_aoi_polygons(1000), how="inner", exact=True)
+    return out.select_columns(["doc_id", "aoi_id"])
+
+
+def q_embed_centroids(sf_dir: str):
+    """Per-label mean embedding via partial+final aggregation (IVF coarse
+    quantizer builder; rows-only — list-valued result)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import centroids_per_label
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return centroids_per_label(emb)
+
+
 def q_knn_cells(sf_dir: str):
     """Cell-partitioned k-ring kNN, haversine metric (the scale path;
     exactness vs brute force verified in tests/test_knn.py)."""
@@ -748,6 +773,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "simhash": q_simhash,
     "lang_pred": q_lang_pred,
     "knn_cells": q_knn_cells,
+    "pip_join_poly": q_pip_join_poly,
+    "embed_centroids": q_embed_centroids,
 }
 
 ORACLE_SQL: Dict[str, str] = {
