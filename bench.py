@@ -137,7 +137,7 @@ def main():
 
 
 def scaling():
-    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "8000000")
+    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "16000000")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="headline",

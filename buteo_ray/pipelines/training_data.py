@@ -1,0 +1,84 @@
+"""End-to-end training-data pipeline — the canonical 100 TB web-text
+preparation chain composed from the engine's operators:
+
+read pages → language ID (actor pool) → quality filter (vectorized
+heuristics) → exact dedup (hash-partition + first) → near-dup removal
+(OPH-MinHash LSH pairs → drop the higher id of each pair) → token count
+→ deterministic train/val split → resumable partitioned write.
+
+Every stage streams; the only shuffles are the two dedup groupbys and
+the near-dup pair join (broadcast of the small drop-set). All
+randomness is hash-derived → any partition is recomputable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from buteo_ray.stages.dedup import exact_dedup, minhash_lsh_pairs
+from buteo_ray.stages.selection import add_split_column
+from buteo_ray.stages.text import add_lang_pred, add_quality_score
+
+
+def training_data_pipeline(
+    pages_ds,
+    id_col: str = "page_id",
+    text_col: str = "text",
+    keep_langs: Optional[set] = None,
+    min_tokens: int = 10,
+    near_dup_threshold: float = 0.85,
+    val_frac: float = 0.05,
+    write_to: Optional[str] = None,
+    lang_concurrency: Optional[int] = None,
+):
+    """Run the chain over a page Dataset; returns the final Dataset (or
+    lineage rows when ``write_to`` is set)."""
+    import ray
+
+    ds = add_lang_pred(pages_ds, concurrency=lang_concurrency)
+    if keep_langs:
+        langs = set(keep_langs)
+
+        def _lang_filter(t: pa.Table) -> pa.Table:
+            keep = pa.array([l in langs for l in t["lang_pred"].to_pylist()])
+            return t.filter(keep)
+
+        ds = ds.map_batches(_lang_filter, batch_format="pyarrow", batch_size=None)
+
+    ds = add_quality_score(ds, text_col=text_col)
+
+    def _quality_filter(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy()
+        return t.filter(pa.array(n >= min_tokens))
+
+    ds = ds.map_batches(_quality_filter, batch_format="pyarrow", batch_size=None)
+
+    # Exact dedup (min-id row per identical text).
+    ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
+
+    # Near-dup removal: LSH candidate pairs → drop the larger id of each
+    # kept pair (broadcast drop-set; candidate volume ≪ corpus).
+    pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
+                              threshold=near_dup_threshold).to_pandas()
+    drop = set(pairs["id_b"].tolist()) if len(pairs) else set()
+    if drop:
+        drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
+
+        def _drop(t: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(ids, d)))
+
+        ds = ds.map_batches(_drop, batch_format="pyarrow", batch_size=None)
+
+    ds = add_split_column(ds, id_col=id_col, val_frac=val_frac)
+
+    if write_to is not None:
+        from buteo_ray.state.checkpoint import write_partitioned_resumable
+
+        return write_partitioned_resumable(ds, write_to, "split",
+                                           op_version="training-data-v1")
+    return ds

@@ -1,5 +1,11 @@
 """Dataset-level operators: every stage takes and returns a
-``ray.data.Dataset`` (or adds columns via zero-copy Arrow batch fns)."""
+``ray.data.Dataset`` (or adds columns via zero-copy Arrow batch fns).
+
+Modules (import directly for the full surface):
+geocode, cell_assign, tiling, join (broadcast spatial),
+join_partitioned (large-large co-partitioned), knn, dedup, text, ann,
+selection, streaming, vector_ops, zonal, raster_clip, multimodal.
+"""
 
 from buteo_ray.stages.geocode import (
     hash_u32,

@@ -68,3 +68,45 @@ def test_flagship_partition_and_resume_consistency(ray_session, sf_dir, tmp_path
 
     key = lambda d: sorted(zip(d["doc_id"], d["aoi_id"], d["tile_x"], d["tile_y"]))
     assert key(direct) == key(written)
+
+
+def test_training_data_pipeline(ray_session, tmp_path):
+    """End-to-end: lang filter → quality → exact + near dedup → split →
+    resumable write."""
+    import pandas as pd
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    rows = []
+    for i in range(60):
+        base = "the cat and the dog sat in the house with the mouse " * 3
+        rows.append({"page_id": i, "text": base + f"variant {i % 20}"})
+    # Exact duplicates: ids 100..104 duplicate id 0's text.
+    for i in range(100, 105):
+        rows.append({"page_id": i, "text": rows[0]["text"]})
+    # Junk rows: too short.
+    for i in range(200, 205):
+        rows.append({"page_id": i, "text": "short junk"})
+    df = pd.DataFrame(rows)
+
+    out = training_data_pipeline(
+        rd.from_pandas(df), keep_langs={"en"}, min_tokens=10,
+        near_dup_threshold=0.97, val_frac=0.2,
+    ).to_pandas()
+
+    assert (out["n_tokens"] >= 10).all()
+    assert (out["lang_pred"] == "en").all()
+    # Exact dupes collapsed to the min id.
+    assert 0 in set(out["page_id"]) and not ({100, 101, 102} & set(out["page_id"]))
+    # Near-dups (same variant text) deduped: each variant text appears once
+    # unless the LSH threshold let distinct variants through.
+    assert out["text"].duplicated().sum() == 0
+    assert set(out["split"]) <= {"train", "val"}
+
+    # Resumable write path.
+    lineage = training_data_pipeline(
+        rd.from_pandas(df), keep_langs={"en"}, min_tokens=10,
+        near_dup_threshold=0.97, write_to=str(tmp_path / "td"),
+    )
+    assert {r["partition"] for r in lineage} <= {"train", "val"}
