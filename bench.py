@@ -146,7 +146,8 @@ def scaling():
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # Generate input once (outside both timed runs).
     global N_PAGES, PAGES_DIR
     N_PAGES = int(scaling_pages)
@@ -165,15 +166,17 @@ def scaling():
     tput_hi = r_hi["pages_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
     print(json.dumps({
-        "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
+        "metric": f"scaling efficiency ({lo} -> {hi} CPUs, same input)",
         "pages": r_lo["pages"],
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "pages_per_sec_8": tput_lo,
-        "pages_per_sec_32": tput_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "pages_per_sec_lo": tput_lo,
+        "pages_per_sec_hi": tput_hi,
         "scaling_efficiency": round(eff, 3),
-        "all_runs_8": [r["value"] for r in runs_lo],
-        "all_runs_32": [r["value"] for r in runs_hi],
+        "all_runs_lo": [r["value"] for r in runs_lo],
+        "all_runs_hi": [r["value"] for r in runs_hi],
     }))
 
 

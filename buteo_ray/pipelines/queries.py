@@ -159,7 +159,7 @@ def q_filter_project(sf_dir: str):
         mask = pc.and_(mask, pc.equal(t["l_returnflag"], pa.scalar("R")))
         return t.filter(mask).select(["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"])
 
-    return ds.map_batches(_f, batch_format="pyarrow")
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 def sql_filter_project() -> str:
@@ -187,7 +187,7 @@ def q_agg_groupby(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("revenue", rev)
 
-    ds = ds.map_batches(_derive, batch_format="pyarrow")
+    ds = ds.map_batches(_derive, batch_format="pyarrow", batch_size=None)
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Sum("l_extendedprice", alias_name="sum_base_price"),
