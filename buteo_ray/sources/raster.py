@@ -279,3 +279,94 @@ def rasterize_points(points_ds, grid: GridSpec, value_col: Optional[str] = None,
         .groupby(["tile_x", "tile_y"])
         .map_groups(_to_tile, batch_format="pandas")
     )
+
+
+def raster_intersection_info(grid_a: GridSpec, grid_b: GridSpec) -> Optional[dict]:
+    """bbox intersection tests between two rasters (≙ check_rasters_
+    intersect / get_raster_intersection / get_raster_overlap_fraction,
+    reference core_raster/core_raster_extent.py:27-291). Returns None
+    when disjoint, else {bbox, overlap_fraction_a, overlap_fraction_b}."""
+    from buteo_ray.grid.bbox import bboxes_intersect, intersection_bboxes
+
+    def _bbox(g: GridSpec):
+        x0, y1 = g.origin_x, g.origin_y
+        x1 = g.origin_x + g.width * g.pixel_width
+        y0 = g.origin_y + g.height * g.pixel_height
+        return [min(x0, x1), max(x0, x1), min(y0, y1), max(y0, y1)]
+
+    ba, bb = _bbox(grid_a), _bbox(grid_b)
+    if not bboxes_intersect(ba, bb):
+        return None
+    ib = intersection_bboxes(ba, bb)
+    area = (ib[1] - ib[0]) * (ib[3] - ib[2])
+    area_a = (ba[1] - ba[0]) * (ba[3] - ba[2])
+    area_b = (bb[1] - bb[0]) * (bb[3] - bb[2])
+    return {"bbox": ib, "overlap_fraction_a": area / area_a,
+            "overlap_fraction_b": area / area_b}
+
+
+def grid_shift(grid: GridSpec, dx: float, dy: float, pixel_units: bool = False) -> GridSpec:
+    """Translate a grid's origin by map units or pixels (≙ raster_shift /
+    raster_shift_pixel, reference raster/shift.py:28-238 — metadata-only,
+    no pixel work)."""
+    from dataclasses import replace
+
+    if pixel_units:
+        dx = dx * grid.pixel_width
+        dy = dy * grid.pixel_height
+    return replace(grid, origin_x=grid.origin_x + dx, origin_y=grid.origin_y + dy)
+
+
+def coordinate_grid_raster(grid: GridSpec, tile_size: Optional[int] = None):
+    """Raster whose two bands are the x/y map coordinates of each pixel
+    center (≙ raster_create_grid_with_coordinates, reference
+    raster/coordinates.py:17-58) — generated per tile, no driver array."""
+    import ray.data as rd
+
+    ts = tile_size or grid.tile_size
+    offsets = get_patch_offsets_fixed_size((1, grid.height, grid.width), ts, ts, 3)
+    meta = pd.DataFrame({
+        "x_off": [o[0] for o in offsets], "y_off": [o[1] for o in offsets],
+        "width": [o[2] for o in offsets], "height": [o[3] for o in offsets],
+    })
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("raster_id", "tile_x", "tile_y", "x_off", "y_off",
+                               "width", "height", "bands", "halo", "dtype", "nodata", "data")}
+        for x0, y0, tw, th in zip(batch["x_off"].to_pylist(), batch["y_off"].to_pylist(),
+                                  batch["width"].to_pylist(), batch["height"].to_pylist()):
+            xs = grid.origin_x + (x0 + np.arange(tw) + 0.5) * grid.pixel_width
+            ys = grid.origin_y + (y0 + np.arange(th) + 0.5) * grid.pixel_height
+            gx, gy = np.meshgrid(xs, ys)
+            block = np.stack([gx, gy], axis=-1)
+            out["raster_id"].append("coords")
+            out["tile_x"].append(x0 // ts)
+            out["tile_y"].append(y0 // ts)
+            out["x_off"].append(x0)
+            out["y_off"].append(y0)
+            out["width"].append(tw)
+            out["height"].append(th)
+            out["bands"].append(2)
+            out["halo"].append(0)
+            out["dtype"].append("float64")
+            out["nodata"].append(np.nan)
+            out["data"].append(np.ascontiguousarray(block).tobytes())
+        return pa.table({**{k: out[k] for k in out if k != "data"},
+                         "data": pa.array(out["data"], type=pa.binary())})
+
+    return rd.from_pandas(meta).map_batches(_fill, batch_format="pyarrow", batch_size=None)
+
+
+def random_patches(arr: np.ndarray, n: int, patch_size: int, seed: int = 42) -> np.ndarray:
+    """N seeded random fixed-size patches → (N, t, t, C) (≙
+    raster_to_array_random_patches, reference core_raster/core_raster_
+    array.py:359-455; seeded generator replaces the infinite iterator)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if h < patch_size or w < patch_size:
+        raise ValueError("array smaller than patch size")
+    rng = np.random.default_rng(seed)
+    ys = rng.integers(0, h - patch_size + 1, n)
+    xs = rng.integers(0, w - patch_size + 1, n)
+    return np.stack([arr[y:y + patch_size, x:x + patch_size, :] for y, x in zip(ys, xs)])

@@ -339,3 +339,38 @@ def test_raster_clip_and_cast(ray_session):
     casted = raster_set_datatype(raster_from_array(arr * 300.0, tile_size=16), "uint8")
     cast_arr = raster_to_array(casted, background=0)
     assert cast_arr.dtype == np.uint8 and (cast_arr == 255).all()
+
+
+def test_raster_helpers(ray_session):
+    from buteo_ray.sources.raster import (
+        coordinate_grid_raster,
+        grid_shift,
+        random_patches,
+        raster_intersection_info,
+        raster_to_array,
+    )
+    from buteo_ray.stages.tiling import GridSpec
+
+    a = GridSpec(0.0, 10.0, 1.0, -1.0, 10, 10, 5)
+    b = GridSpec(5.0, 10.0, 1.0, -1.0, 10, 10, 5)
+    c = GridSpec(100.0, 10.0, 1.0, -1.0, 10, 10, 5)
+    info = raster_intersection_info(a, b)
+    assert info["overlap_fraction_a"] == pytest.approx(0.5)
+    assert raster_intersection_info(a, c) is None
+
+    shifted = grid_shift(a, 2.0, -3.0)
+    assert (shifted.origin_x, shifted.origin_y) == (2.0, 7.0)
+    shifted_px = grid_shift(a, 2.0, 3.0, pixel_units=True)
+    assert (shifted_px.origin_x, shifted_px.origin_y) == (2.0, 7.0)
+
+    coords = coordinate_grid_raster(a)
+    arr = raster_to_array(coords)
+    assert arr.shape == (10, 10, 2)
+    assert arr[0, 0, 0] == 0.5 and arr[0, 0, 1] == 9.5  # pixel centers
+    assert arr[9, 9, 0] == 9.5 and arr[9, 9, 1] == 0.5
+
+    src = np.arange(400, dtype=np.float64).reshape(20, 20)
+    p = random_patches(src, 7, 8, seed=1)
+    assert p.shape == (7, 8, 8, 1)
+    p2 = random_patches(src, 7, 8, seed=1)
+    np.testing.assert_array_equal(p, p2)  # seeded determinism
