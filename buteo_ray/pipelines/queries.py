@@ -674,6 +674,131 @@ def sql_topk_per_group() -> str:
     )
 
 
+def q_filter_agg(sf_dir: str):
+    """TPC-H-Q6-shaped filter + global aggregate (predicate pushdown +
+    single-pass partial sums)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"],
+                                     pa.scalar(pd.Timestamp("1994-01-01"), type=pa.timestamp("us"))),
+                    pc.less(t["l_shipdate"],
+                            pa.scalar(pd.Timestamp("1995-01-01"), type=pa.timestamp("us"))))
+        m = pc.and_(m, pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                               pc.less_equal(t["l_discount"], pa.scalar(0.07))))
+        m = pc.and_(m, pc.less(t["l_quantity"], pa.scalar(24.0)))
+        t = t.filter(m)
+        return pa.table({"revenue": pc.multiply(t["l_extendedprice"], t["l_discount"])})
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = ds.map_batches(_f, batch_format="pyarrow", batch_size=None).aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n_lines"))
+    rev = agg["revenue"] or 0.0
+    return pd.DataFrame({
+        "revenue": [np.floor(rev * 10000.0 + 0.5) / 10000.0],
+        "n_lines": [np.int64(agg["n_lines"])],
+    })
+
+
+def sql_filter_agg() -> str:
+    return (
+        "SELECT FLOOR(COALESCE(SUM(l_extendedprice * l_discount), 0) * 10000.0 + 0.5) / 10000.0 "
+        "AS revenue, COUNT(*) AS n_lines FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    )
+
+
+def q_count_distinct(sf_dir: str):
+    """Count-distinct per group (distinct users per event type): two-level
+    plan — dedupe (type, user) pairs, then count per type."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).count()
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def sql_count_distinct() -> str:
+    return ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type")
+
+
+def q_string_ops(sf_dir: str):
+    """Vectorized string kernels (upper/substr/length/concat) — the
+    scalar-function library over the web-text payload (SURVEY.md §2.11)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "name_upper": pc.utf8_upper(t["p_name"]),
+            "name_prefix": pc.utf8_slice_codeunits(t["p_name"], 0, 5),
+            "name_len": pc.utf8_length(t["p_name"]).cast(pa.int64()),
+            "branded": pc.binary_join_element_wise(t["p_brand"], t["p_name"], pa.scalar(":")),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def sql_string_ops() -> str:
+    return (
+        "SELECT p_partkey, UPPER(p_name) AS name_upper, "
+        "substr(p_name, 1, 5) AS name_prefix, "
+        "CAST(length(p_name) AS BIGINT) AS name_len, "
+        "p_brand || ':' || p_name AS branded FROM part"
+    )
+
+
+def q_median_by_group(sf_dir: str):
+    """Exact per-group median (per-group gather; both engines interpolate
+    the middle pair identically on these small-int quantities)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "median_qty": [float(np.median(g["l_quantity"].to_numpy()))],
+        })
+
+    return ds.groupby("l_returnflag").map_groups(_med, batch_format="pandas")
+
+
+def sql_median_by_group() -> str:
+    return ("SELECT l_returnflag, CAST(MEDIAN(l_quantity) AS DOUBLE) AS median_qty "
+            "FROM lineitem GROUP BY l_returnflag")
+
+
+def q_histogram(sf_dir: str):
+    """Fixed-width histogram of order totals (bucket = value // width —
+    the 1-D rasterization primitive)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy()
+        return pa.table({"bucket": np.floor(v / 25000.0).astype(np.int64)})
+
+    out = (ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+           .groupby("bucket").aggregate(Count(alias_name="n_orders")).to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def sql_histogram() -> str:
+    return ("SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket, "
+            "COUNT(*) AS n_orders FROM orders GROUP BY 1")
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -768,6 +893,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "join_multiway": q_join_multiway,
     "scale_minmax": q_scale_minmax,
     "topk_per_group": q_topk_per_group,
+    "filter_agg": q_filter_agg,
+    "count_distinct": q_count_distinct,
+    "string_ops": q_string_ops,
+    "median_by_group": q_median_by_group,
+    "histogram": q_histogram,
     # rows-only (no SQL oracle; pytest-verified instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "simhash": q_simhash,
@@ -803,4 +933,9 @@ ORACLE_SQL: Dict[str, str] = {
     "join_multiway": sql_join_multiway(),
     "scale_minmax": sql_scale_minmax(),
     "topk_per_group": sql_topk_per_group(),
+    "filter_agg": sql_filter_agg(),
+    "count_distinct": sql_count_distinct(),
+    "string_ops": sql_string_ops(),
+    "median_by_group": sql_median_by_group(),
+    "histogram": sql_histogram(),
 }
