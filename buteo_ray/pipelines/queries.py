@@ -195,8 +195,12 @@ def q_agg_groupby(sf_dir: str):
         Mean("l_quantity", alias_name="avg_qty"),
         Count(alias_name="n_rows"),
     ).to_pandas()
-    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"]:
-        out[c] = out[c].round(4)
+    # Large sums round to whole units: engine summation orders differ by
+    # O(n·ulp) — at sf0.1 that is ~1e-4 on ~1e9 totals, which crosses a
+    # 4-decimal rounding boundary. Means stay at 4 decimals (tiny values).
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        out[c] = np.floor(out[c] + 0.5)
+    out["avg_qty"] = out["avg_qty"].round(4)
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
 
@@ -204,9 +208,9 @@ def q_agg_groupby(sf_dir: str):
 def sql_agg_groupby() -> str:
     return (
         "SELECT l_returnflag, l_linestatus, "
-        "ROUND(SUM(l_quantity), 4) AS sum_qty, "
-        "ROUND(SUM(l_extendedprice), 4) AS sum_base_price, "
-        "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price, "
+        "FLOOR(SUM(l_quantity) + 0.5) AS sum_qty, "
+        "FLOOR(SUM(l_extendedprice) + 0.5) AS sum_base_price, "
+        "FLOOR(SUM(l_extendedprice * (1.0 - l_discount)) + 0.5) AS sum_disc_price, "
         "ROUND(AVG(l_quantity), 4) AS avg_qty, "
         "COUNT(*) AS n_rows "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
@@ -238,7 +242,7 @@ def q_join_broadcast(sf_dir: str):
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
         .to_pandas()
     )
-    out["total_price"] = out["total_price"].round(4)
+    out["total_price"] = np.floor(out["total_price"] + 0.5)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
 
@@ -246,7 +250,7 @@ def q_join_broadcast(sf_dir: str):
 def sql_join_broadcast() -> str:
     return (
         "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
-        "ROUND(SUM(o.o_totalprice), 4) AS total_price "
+        "FLOOR(SUM(o.o_totalprice) + 0.5) AS total_price "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     )
@@ -615,7 +619,7 @@ def q_join_multiway(sf_dir: str):
     out = j.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_lines"), Sum("revenue", alias_name="revenue"),
     ).to_pandas()
-    out["revenue"] = np.floor(out["revenue"] * 10000.0 + 0.5) / 10000.0
+    out["revenue"] = np.floor(out["revenue"] + 0.5)
     out["n_lines"] = out["n_lines"].astype("int64")
     return out
 
@@ -623,7 +627,7 @@ def q_join_multiway(sf_dir: str):
 def sql_join_multiway() -> str:
     return (
         "SELECT c.c_mktsegment, COUNT(*) AS n_lines, "
-        "FLOOR(SUM(l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0 + 0.5) / 10000.0 AS revenue "
+        "FLOOR(SUM(l.l_extendedprice * (1.0 - l.l_discount)) + 0.5) AS revenue "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
@@ -699,14 +703,14 @@ def q_filter_agg(sf_dir: str):
         Sum("revenue", alias_name="revenue"), Count(alias_name="n_lines"))
     rev = agg["revenue"] or 0.0
     return pd.DataFrame({
-        "revenue": [np.floor(rev * 10000.0 + 0.5) / 10000.0],
+        "revenue": [np.floor(rev + 0.5)],
         "n_lines": [np.int64(agg["n_lines"])],
     })
 
 
 def sql_filter_agg() -> str:
     return (
-        "SELECT FLOOR(COALESCE(SUM(l_extendedprice * l_discount), 0) * 10000.0 + 0.5) / 10000.0 "
+        "SELECT FLOOR(COALESCE(SUM(l_extendedprice * l_discount), 0) + 0.5) "
         "AS revenue, COUNT(*) AS n_lines FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
