@@ -232,3 +232,13 @@ class AugmentationPipeline:
             if rng.random() <= prob:
                 X = fn(X, rng, **kwargs)
         return X
+
+
+def augmentation_blur_xy(X: np.ndarray, y: np.ndarray, rng: np.random.Generator):
+    """Blur features and labels together (``transform.py:264-321``)."""
+    return augmentation_blur(X, rng), augmentation_blur(y, rng)
+
+
+def augmentation_sharpen_xy(X: np.ndarray, y: np.ndarray, rng: np.random.Generator):
+    """Sharpen features and labels together (``transform.py:411-468``)."""
+    return augmentation_sharpen(X, rng), augmentation_sharpen(y, rng)

@@ -260,3 +260,26 @@ def vector_add_centroids(ds):
         return batch
 
     return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def vector_add_fid(ds, id_col: str = None, out_col: str = "fid"):
+    """Stable deterministic row ids (≙ vector_reset_fids /
+    vector_create_attribute_from_fid, reference core_vector/
+    core_vector_fids.py:19-281). Divergence, by design: the reference
+    renumbers 0..N-1 sequentially (single-process order); at scale a
+    global sequential renumber is an all-to-all sort, so fids here are
+    order-free 64-bit hashes of ``id_col`` (or of the row's content hash
+    when no id exists) — stable across partitionings and resumes."""
+    import pandas as pd
+
+    from buteo_ray.stages.dedup import _splitmix64, content_hash_column
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        if id_col is not None:
+            base = batch[id_col].to_numpy().astype(np.uint64)
+        else:
+            base = content_hash_column(batch["geom_wkb"].map(lambda b: b.hex()))
+        batch[out_col] = _splitmix64(base).astype(np.int64)
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)

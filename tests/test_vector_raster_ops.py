@@ -254,3 +254,14 @@ def test_add_border():
     out = add_border(arr, 2, value=7.0)
     assert out.shape == (7, 7, 1)
     assert out[0, 0, 0] == 7.0 and out[3, 3, 0] == 1.0
+
+
+def test_vector_add_fid(poly_ds):
+    from buteo_ray.stages.vector_ops import vector_add_fid
+
+    out = vector_add_fid(poly_ds, id_col="fid", out_col="stable_fid").to_pandas()
+    assert out["stable_fid"].nunique() == len(out)
+    out2 = vector_add_fid(poly_ds, id_col="fid", out_col="stable_fid").to_pandas()
+    m = out.set_index("fid")["stable_fid"].sort_index()
+    m2 = out2.set_index("fid")["stable_fid"].sort_index()
+    assert (m == m2).all()  # stable across runs
