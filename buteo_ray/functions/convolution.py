@@ -160,112 +160,132 @@ def convolve2d(
     w = np.broadcast_to(kernel.astype(np.float64).ravel(), v.shape).copy()
 
     invalid = np.isnan(v)
+    center_invalid = np.isnan(arr)
     if nodata is not None:
         invalid |= v == nodata
+        center_invalid = center_invalid | (arr == nodata)
     w[invalid] = 0.0
     v = np.where(invalid, 0.0, v)
 
-    if method == "sum":
-        return (v * w).sum(axis=-1)
-    if method == "mean":
-        den = w.sum(axis=-1)
+    if nodata is not None and invalid.any():
+        # Reference nodata semantics (base.py hood renormalisation):
+        # surviving weights are scaled back up to the full kernel mass,
+        # and a nodata CENTER stays nodata in the output.
+        kernel_total = float(kernel.astype(np.float64).sum())
+        valid_sum = w.sum(axis=-1)
         with np.errstate(invalid="ignore", divide="ignore"):
-            return np.where(den > 0, (v * w).sum(axis=-1) / den, np.nan)
-    if method in ("median", "quantile", "mad"):
-        q = 0.5 if method != "quantile" else quantile
-        vq = np.where(w > 0, v, np.nan)
-        med = _weighted_quantile(np.where(np.isnan(vq), np.inf, vq), w, q)
-        if method != "mad":
-            return med
-        absdev = np.abs(v - med[..., None])
-        return _weighted_quantile(np.where(w > 0, absdev, np.inf), w, 0.5)
-    if method == "max":
-        idx = np.argmax(v * w, axis=-1)
-        return np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
-    if method == "min":
-        vmax = v.max(axis=-1, keepdims=True)
-        adjusted = np.where(w == 0.0, vmax, v)
-        idx = np.argmin(adjusted / (w + 1e-7), axis=-1)
-        return np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
-    if method == "contrast":
-        vmax = v.max(axis=-1, keepdims=True)
-        local_min = (np.where(w == 0.0, vmax, v) / (w + 1e-7)).min(axis=-1)
-        local_max = (v * w).max(axis=-1)
-        return np.abs(local_max - local_min)
-    if method == "mode":
-        vr = np.rint(v)
-        order = np.argsort(vr, axis=-1, kind="stable")
-        sv = np.take_along_axis(vr, order, axis=-1)
-        sw = np.take_along_axis(w, order, axis=-1)
-        h_, w_, k_ = sv.shape
-        flat_v = sv.reshape(-1, k_)
-        flat_w = sw.reshape(-1, k_)
-        out = np.zeros(flat_v.shape[0])
-        change = np.ones_like(flat_v, dtype=bool)
-        change[:, 1:] = flat_v[:, 1:] != flat_v[:, :-1]
-        # Per-row segmented weight sums via cumsum differencing.
-        csum = np.cumsum(flat_w, axis=-1)
-        for_row = np.arange(flat_v.shape[0])
-        best_val = np.full(flat_v.shape[0], 0.0)
-        best_wt = np.full(flat_v.shape[0], -np.inf)
-        # Bounded loop over run starts (≤ k): iterate k positions, masked.
-        run_start_sum = np.where(change, np.concatenate([np.zeros((flat_v.shape[0], 1)), csum[:, :-1]], axis=1), np.nan)
-        run_id = np.cumsum(change, axis=-1) - 1
-        nruns = run_id[:, -1] + 1
-        for r in range(int(nruns.max())):
-            in_run = run_id == r
-            has = in_run.any(axis=-1)
-            wt = np.where(in_run, flat_w, 0.0).sum(axis=-1)
-            val = np.where(has, flat_v[for_row, np.argmax(in_run, axis=-1)], 0.0)
-            better = has & (wt > best_wt)
-            best_wt = np.where(better, wt, best_wt)
-            best_val = np.where(better, val, best_val)
-        return best_val.reshape(h_, w_)
-    if method in ("std", "var"):
-        summed = (v * w).sum(axis=-1)
-        variance = ((v - summed[..., None]) ** 2 * w).sum(axis=-1)
-        return np.sqrt(variance) if method == "std" else variance
-    if method in ("roughness", "tpi", "tri", "zscore", "zscore_mad"):
-        center = arr[..., None]  # (H, W, 1) vs windows (H, W, K)
-        if method == "roughness":
-            # |center − value at argmax(|v−center|·w)| (funcs.py:238-253).
-            idx = np.argmax(np.abs(v - center) * w, axis=-1)
-            far = np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
-            return np.abs(arr - far)
-        if method == "tpi":
-            # center − weighted hood mean (funcs.py:254-270).
+            factor = np.where(valid_sum > 0, kernel_total / valid_sum, 0.0)
+        w = w * factor[..., None]
+
+    def _restore_nodata(out: np.ndarray) -> np.ndarray:
+        if nodata is not None:
+            return np.where(center_invalid, nodata, out)
+        return out
+
+    def _compute() -> np.ndarray:
+        if method == "sum":
+            return (v * w).sum(axis=-1)
+        if method == "mean":
             den = w.sum(axis=-1)
             with np.errstate(invalid="ignore", divide="ignore"):
-                mean = np.where(den > 0, (v * w).sum(axis=-1) / den, np.nan)
-            return arr - mean
-        if method == "tri":
-            # weighted mean absolute difference to center (funcs.py:271-287).
-            den = w.sum(axis=-1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                return np.where(den > 0, (np.abs(v - center) * w).sum(axis=-1) / den, np.nan)
-        if method == "zscore":
-            # (center − Σv·w) / weighted-std (funcs.py:142-156).
+                return np.where(den > 0, (v * w).sum(axis=-1) / den, np.nan)
+        if method in ("median", "quantile", "mad"):
+            q = 0.5 if method != "quantile" else quantile
+            vq = np.where(w > 0, v, np.nan)
+            med = _weighted_quantile(np.where(np.isnan(vq), np.inf, vq), w, q)
+            if method != "mad":
+                return med
+            absdev = np.abs(v - med[..., None])
+            return _weighted_quantile(np.where(w > 0, absdev, np.inf), w, 0.5)
+        if method == "max":
+            idx = np.argmax(v * w, axis=-1)
+            return np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
+        if method == "min":
+            vmax = v.max(axis=-1, keepdims=True)
+            adjusted = np.where(w == 0.0, vmax, v)
+            idx = np.argmin(adjusted / (w + 1e-7), axis=-1)
+            return np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
+        if method == "contrast":
+            vmax = v.max(axis=-1, keepdims=True)
+            local_min = (np.where(w == 0.0, vmax, v) / (w + 1e-7)).min(axis=-1)
+            local_max = (v * w).max(axis=-1)
+            return np.abs(local_max - local_min)
+        if method == "mode":
+            vr = np.rint(v)
+            order = np.argsort(vr, axis=-1, kind="stable")
+            sv = np.take_along_axis(vr, order, axis=-1)
+            sw = np.take_along_axis(w, order, axis=-1)
+            h_, w_, k_ = sv.shape
+            flat_v = sv.reshape(-1, k_)
+            flat_w = sw.reshape(-1, k_)
+            out = np.zeros(flat_v.shape[0])
+            change = np.ones_like(flat_v, dtype=bool)
+            change[:, 1:] = flat_v[:, 1:] != flat_v[:, :-1]
+            # Per-row segmented weight sums via cumsum differencing.
+            csum = np.cumsum(flat_w, axis=-1)
+            for_row = np.arange(flat_v.shape[0])
+            best_val = np.full(flat_v.shape[0], 0.0)
+            best_wt = np.full(flat_v.shape[0], -np.inf)
+            # Bounded loop over run starts (≤ k): iterate k positions, masked.
+            run_start_sum = np.where(change, np.concatenate([np.zeros((flat_v.shape[0], 1)), csum[:, :-1]], axis=1), np.nan)
+            run_id = np.cumsum(change, axis=-1) - 1
+            nruns = run_id[:, -1] + 1
+            for r in range(int(nruns.max())):
+                in_run = run_id == r
+                has = in_run.any(axis=-1)
+                wt = np.where(in_run, flat_w, 0.0).sum(axis=-1)
+                val = np.where(has, flat_v[for_row, np.argmax(in_run, axis=-1)], 0.0)
+                better = has & (wt > best_wt)
+                best_wt = np.where(better, wt, best_wt)
+                best_val = np.where(better, val, best_val)
+            return best_val.reshape(h_, w_)
+        if method in ("std", "var"):
             summed = (v * w).sum(axis=-1)
-            std = np.sqrt(((v - summed[..., None]) ** 2 * w).sum(axis=-1))
+            variance = ((v - summed[..., None]) ** 2 * w).sum(axis=-1)
+            return np.sqrt(variance) if method == "std" else variance
+        if method in ("roughness", "tpi", "tri", "zscore", "zscore_mad"):
+            center = arr[..., None]  # (H, W, 1) vs windows (H, W, K)
+            if method == "roughness":
+                # |center − value at argmax(|v−center|·w)| (funcs.py:238-253).
+                idx = np.argmax(np.abs(v - center) * w, axis=-1)
+                far = np.take_along_axis(v, idx[..., None], axis=-1)[..., 0]
+                return np.abs(arr - far)
+            if method == "tpi":
+                # center − weighted hood mean (funcs.py:254-270).
+                den = w.sum(axis=-1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mean = np.where(den > 0, (v * w).sum(axis=-1) / den, np.nan)
+                return arr - mean
+            if method == "tri":
+                # weighted mean absolute difference to center (funcs.py:271-287).
+                den = w.sum(axis=-1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    return np.where(den > 0, (np.abs(v - center) * w).sum(axis=-1) / den, np.nan)
+            if method == "zscore":
+                # (center − Σv·w) / weighted-std (funcs.py:142-156).
+                summed = (v * w).sum(axis=-1)
+                std = np.sqrt(((v - summed[..., None]) ** 2 * w).sum(axis=-1))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    return (arr - summed) / std
+            # zscore_mad: (center − median) / (MAD·1.4826) (funcs.py:157-171).
+            vq = np.where(w > 0, v, np.inf)
+            med = _weighted_quantile(vq, w, 0.5)
+            absdev = np.where(w > 0, np.abs(v - med[..., None]), np.inf)
+            mad_std = _weighted_quantile(absdev, w, 0.5) * 1.4826
             with np.errstate(invalid="ignore", divide="ignore"):
-                return (arr - summed) / std
-        # zscore_mad: (center − median) / (MAD·1.4826) (funcs.py:157-171).
-        vq = np.where(w > 0, v, np.inf)
-        med = _weighted_quantile(vq, w, 0.5)
-        absdev = np.where(w > 0, np.abs(v - med[..., None]), np.inf)
-        mad_std = _weighted_quantile(absdev, w, 0.5) * 1.4826
-        with np.errstate(invalid="ignore", divide="ignore"):
-            return (arr - med) / mad_std
-    if method == "center_difference":
-        center = arr
-        k2 = kernel.copy()
-        k2[kh // 2, kw // 2] = 0.0
-        s = k2.sum()
-        if s != 0:
-            k2 = k2 / s
-        hood_mean = convolve2d(arr, k2, "mean", nodata=nodata)
-        return center - hood_mean
-    raise ValueError(f"unknown method {method}")
+                return (arr - med) / mad_std
+        if method == "center_difference":
+            center = arr
+            k2 = kernel.copy()
+            k2[kh // 2, kw // 2] = 0.0
+            s = k2.sum()
+            if s != 0:
+                k2 = k2 / s
+            hood_mean = convolve2d(arr, k2, "mean", nodata=nodata)
+            return center - hood_mean
+        raise ValueError(f"unknown method {method}")
+
+    return _restore_nodata(_compute())
 
 
 def convolve(arr: np.ndarray, kernel: np.ndarray, method: str = "sum",

@@ -31,6 +31,13 @@ def _tile_rows(arr: np.ndarray, raster_id: str, tile_size: int, halo: int,
     h, w, bands = arr.shape
     offsets = get_patch_offsets_fixed_size((bands, h, w), tile_size, tile_size,
                                            border_strategy=border_strategy)
+    # Tile indices are ORDINALS of the per-axis position lists, not
+    # x_off // tile_size: border strategy 2 shifts the last patch back,
+    # which would collide with its neighbour's floor-division key.
+    xs_positions = sorted({o[0] for o in offsets})
+    ys_positions = sorted({o[1] for o in offsets})
+    x_index = {x: i for i, x in enumerate(xs_positions)}
+    y_index = {y: i for i, y in enumerate(ys_positions)}
     rows = {k: [] for k in ("raster_id", "tile_x", "tile_y", "x_off", "y_off",
                             "width", "height", "bands", "halo", "dtype", "nodata", "data")}
     for (x0, y0, tw, th) in offsets:
@@ -46,8 +53,8 @@ def _tile_rows(arr: np.ndarray, raster_id: str, tile_size: int, halo: int,
             pad_rig = halo - (xe - (x0 + tw))
             block = np.pad(block, ((pad_top, pad_bot), (pad_lef, pad_rig), (0, 0)), mode="edge")
         rows["raster_id"].append(raster_id)
-        rows["tile_x"].append(x0 // tile_size)
-        rows["tile_y"].append(y0 // tile_size)
+        rows["tile_x"].append(x_index[x0])
+        rows["tile_y"].append(y_index[y0])
         rows["x_off"].append(x0)
         rows["y_off"].append(y0)
         rows["width"].append(tw)

@@ -66,9 +66,17 @@ def ann_cosine_topk(
             cos = dots / (enorm[:, None] * qnorm[None, :])
         cos = np.where(ids[:, None] == qid[None, :], -np.inf, cos)
         kk = min(k, cos.shape[0])
-        part = np.argpartition(-cos, kk - 1, axis=0)[:kk, :]
-        cols = np.tile(np.arange(cos.shape[1]), kk)
-        rows = part.ravel()
+        # Per-query (−cos, neighbor_id) lexsort: argpartition alone breaks
+        # similarity ties arbitrarily at the k boundary (quantized
+        # embeddings make exact ties likely) and would diverge from the
+        # deterministic neighbor_id tie rule the oracle uses.
+        rows_l, cols_l = [], []
+        for qi in range(cos.shape[1]):
+            order = np.lexsort((ids, -cos[:, qi]))[:kk]
+            rows_l.append(order)
+            cols_l.append(np.full(order.shape[0], qi))
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
         sim = cos[rows, cols]
         finite = np.isfinite(sim)
         return pa.table({

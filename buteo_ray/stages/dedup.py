@@ -127,6 +127,17 @@ def oph_minhash(texts: List[str]) -> np.ndarray:
     if empty.any():
         fill = sig.min(axis=1)
         sig = np.where(empty, fill[:, None], sig)
+    # Shingle-less docs (len < shingle size) would all share the 0xFF…
+    # sentinel and be reported as mutual near-dups; give them signatures
+    # derived from their full content instead (identical short texts
+    # still collide — by design).
+    n_shingles = np.diff(offsets)
+    for i in np.nonzero(n_shingles == 0)[0]:
+        data = np.frombuffer(texts[i].encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        hv = np.uint64(14695981039346656037)
+        for b in data:
+            hv = hv * np.uint64(1099511628211) + b
+        sig[i] = _splitmix64(hv + np.arange(_BINS, dtype=np.uint64))
     return sig
 
 

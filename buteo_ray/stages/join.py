@@ -117,28 +117,29 @@ def broadcast_pip_join(
 ):
     """Point-in-polygon join of a streaming point Dataset against a small
     AOI polygon table (broadcast). Returns the joined/filtered Dataset."""
-    import ray
-
     index = build_aoi_index(aoi_table)
-    index_ref = ray.put(index)
     aoi_ids = aoi_table["aoi_id"].to_numpy() if "aoi_id" in aoi_table.column_names else None
 
     # batch_size=None keeps whole blocks (zero-copy Arrow, no re-slicing);
     # callers lower it only for memory-heavy probes.
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
     if concurrency is not None:
+        import ray
+
+        # Actor pool: the index travels as an object-store ref, fetched
+        # once per actor in __init__.
         kwargs["concurrency"] = concurrency
         return ds.map_batches(
             BroadcastIndexProbe,
             fn_constructor_kwargs=dict(
-                index_ref=index_ref, how=how, exact=exact,
+                index_ref=ray.put(index), how=how, exact=exact,
                 lat_col=lat_col, lon_col=lon_col, aoi_ids=aoi_ids,
             ),
             **kwargs,
         )
-    # Task path: closure captures the object-store ref (fetched per task,
-    # zero-copy from plasma — cheap on a single node; use the actor pool
-    # for multi-node or expensive-deserialize indexes).
+    # Task path: the index rides inside the serialized callable, which
+    # Ray puts to the object store ONCE and caches per worker process —
+    # no separate ray.put (that would store a second, never-read copy).
     probe = BroadcastIndexProbe(index, how=how, exact=exact,
                                 lat_col=lat_col, lon_col=lon_col, aoi_ids=aoi_ids)
     return ds.map_batches(probe, **kwargs)

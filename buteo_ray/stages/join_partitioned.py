@@ -136,14 +136,16 @@ def cell_partitioned_pip_join(
         pset = PolygonSet(ring_lists)
         lon = points["lon"].to_numpy()
         lat = points["lat"].to_numpy()
-        # All local pairs, bbox-pruned then exact.
+        # All local pairs, bbox-pruned then exact. Bboxes span ALL rings
+        # (a multipolygon member beyond ring 0 must not be pruned away).
         npts, npol = len(points), len(polys)
         pi = np.repeat(np.arange(npts), npol)
         gi = np.tile(np.arange(npol), npts)
-        xmin = np.array([r[0][:, 0].min() for r in ring_lists])
-        xmax = np.array([r[0][:, 0].max() for r in ring_lists])
-        ymin = np.array([r[0][:, 1].min() for r in ring_lists])
-        ymax = np.array([r[0][:, 1].max() for r in ring_lists])
+        allv = [np.vstack(r) for r in ring_lists]
+        xmin = np.array([v[:, 0].min() for v in allv])
+        xmax = np.array([v[:, 0].max() for v in allv])
+        ymin = np.array([v[:, 1].min() for v in allv])
+        ymax = np.array([v[:, 1].max() for v in allv])
         keep = ((lon[pi] >= xmin[gi]) & (lon[pi] <= xmax[gi])
                 & (lat[pi] >= ymin[gi]) & (lat[pi] <= ymax[gi]))
         pi, gi = pi[keep], gi[keep]

@@ -70,9 +70,16 @@ def _pairs_from_batch(
     d = np.where(cid[None, :] == qid[:, None], np.inf, d)
 
     kk = min(k, d.shape[1])
-    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-    rows = np.repeat(np.arange(d.shape[0]), kk)
-    cols = part.ravel()
+    # Per-query (dist, neighbor_id) lexsort: a plain argpartition would
+    # break distance ties arbitrarily at the k boundary and could drop
+    # the candidate the deterministic tie rule keeps.
+    rows_l, cols_l = [], []
+    for qi in range(d.shape[0]):
+        order = np.lexsort((cid, d[qi]))[:kk]
+        rows_l.append(np.full(order.shape[0], qi))
+        cols_l.append(order)
+    rows = np.concatenate(rows_l) if rows_l else np.empty(0, dtype=np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.empty(0, dtype=np.int64)
     dist = d[rows, cols]
     finite = np.isfinite(dist)
     return qid[rows[finite]], cid[cols[finite]], dist[finite]

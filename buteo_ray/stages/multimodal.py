@@ -20,8 +20,25 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from buteo_ray.functions.raster_ops import resample_bilinear
 from buteo_ray.stages.dedup import _splitmix64
+
+
+def _resize_bilinear(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Axis-independent bilinear resize to exactly (th, tw)."""
+    h, w, c = img.shape
+    fy = (np.arange(th) + 0.5) * h / th - 0.5
+    fx = (np.arange(tw) + 0.5) * w / tw - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    ty = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    tx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0[:, None], x0[None, :], :].astype(np.float64)
+    b = img[y0[:, None], x1[None, :], :].astype(np.float64)
+    cc = img[y1[:, None], x0[None, :], :].astype(np.float64)
+    d = img[y1[:, None], x1[None, :], :].astype(np.float64)
+    return a * (1 - ty) * (1 - tx) + b * (1 - ty) * tx + cc * ty * (1 - tx) + d * ty * tx
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -89,9 +106,7 @@ class MediaDecoder:
             img = _fake_decode(batch["payload"][i].as_py(), h, w)
             if self.target is not None:
                 th, tw = self.target
-                img = resample_bilinear(img.astype(np.float64), th / img.shape[0])
-                img = np.clip(img, 0, 255).astype(np.uint8)
-                img = img[:th, :tw, :]
+                img = np.clip(_resize_bilinear(img, th, tw), 0, 255).astype(np.uint8)
             out_pixels.append(np.ascontiguousarray(img).tobytes())
             oh.append(img.shape[0])
             ow.append(img.shape[1])

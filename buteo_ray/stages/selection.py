@@ -61,7 +61,12 @@ def sampling_stratified(ds, class_col: str, n_per_class: int, seed: int = 42):
     selection.py:141-199): groupby(class) → seeded in-group choice."""
 
     def _take(g: pd.DataFrame) -> pd.DataFrame:
-        rng = np.random.default_rng((seed, hash(str(g[class_col].iloc[0])) & 0x7FFFFFFF))
+        # zlib.crc32 is process-stable (Python's str hash is salted per
+        # process, which would break resumable determinism).
+        import zlib
+
+        class_hash = zlib.crc32(str(g[class_col].iloc[0]).encode())
+        rng = np.random.default_rng((seed, class_hash))
         if len(g) <= n_per_class:
             return g
         idx = rng.choice(len(g), size=n_per_class, replace=False)

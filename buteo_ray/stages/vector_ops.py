@@ -248,11 +248,23 @@ def vector_add_centroids(ds):
         cx, cy, areas = [], [], []
         for w in batch["geom_wkb"]:
             kind, payload = parse_wkb(w)
-            rings = payload if kind == "polygon" else payload[0]
-            c = polygon_centroid(rings)
-            cx.append(c[0])
-            cy.append(c[1])
-            areas.append(polygon_area(rings))
+            if kind == "point":
+                cx.append(payload[0])
+                cy.append(payload[1])
+                areas.append(0.0)
+                continue
+            polys = [payload] if kind == "polygon" else payload
+            # Multipolygons: area-weighted centroid over all members.
+            part_area = np.array([polygon_area(rings) for rings in polys])
+            part_c = np.array([polygon_centroid(rings) for rings in polys])
+            total = part_area.sum()
+            if total > 0:
+                c = (part_c * part_area[:, None]).sum(axis=0) / total
+            else:
+                c = part_c.mean(axis=0)
+            cx.append(float(c[0]))
+            cy.append(float(c[1]))
+            areas.append(float(total))
         batch = batch.copy()
         batch["centroid_x"] = cx
         batch["centroid_y"] = cy

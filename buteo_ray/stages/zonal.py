@@ -43,8 +43,15 @@ def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
         zone_row = g[g["__side"] == 1]
         if len(vals_row) != 1 or len(zone_row) != 1:
             raise ValueError("zonal_statistics: tile missing on one side")
-        v = tile_to_ndarray(vals_row.iloc[0])[:, :, 0].ravel().astype(np.float64)
-        z = tile_to_ndarray(zone_row.iloc[0])[:, :, 0].ravel().astype(np.int64)
+
+        def _core(row):
+            # Crop any halo: stats must count each core pixel exactly once.
+            arr = tile_to_ndarray(row)
+            halo = row["halo"]
+            return arr[halo:halo + row["height"], halo:halo + row["width"], 0]
+
+        v = _core(vals_row.iloc[0]).ravel().astype(np.float64)
+        z = _core(zone_row.iloc[0]).ravel().astype(np.int64)
         valid = ~np.isnan(v)
         if nodata is not None:
             valid &= v != nodata

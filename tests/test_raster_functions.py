@@ -76,8 +76,13 @@ def test_convolve_nodata_renormalizes():
     arr = np.ones((5, 5))
     arr[2, 2] = -9999.0
     out = convolve2d(arr, np.ones((3, 3), dtype=np.float32), "mean", nodata=-9999.0)
-    np.testing.assert_allclose(out[1, 1], 1.0)  # the nodata is excluded
-    np.testing.assert_allclose(out[2, 2], 1.0)
+    np.testing.assert_allclose(out[1, 1], 1.0)      # the nodata is excluded
+    np.testing.assert_allclose(out[2, 2], -9999.0)  # nodata center preserved
+    # Weighted-sum path renormalizes surviving weights to the full kernel
+    # mass (reference hood-normalise semantics).
+    k = np.ones((3, 3), dtype=np.float32) / 9.0
+    s = convolve2d(arr * 10.0, k, "sum", nodata=-99990.0)
+    np.testing.assert_allclose(s[1, 1], 10.0, rtol=1e-6)
 
 
 def test_convolve_median_min_max_mode():
