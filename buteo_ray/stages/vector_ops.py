@@ -295,3 +295,32 @@ def vector_add_fid(ds, id_col: str = None, out_col: str = "fid"):
         return batch
 
     return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def vector_change_multitype(ds, target: str):
+    """Promote polygons to single-member multipolygons or demote
+    single-member multipolygons to polygons (≙ vector_change_multitype,
+    reference core_vector/conversion/multitype.py:69-190; demoting a
+    true multi-part geometry raises, as the reference errors)."""
+    if target not in ("multi", "single"):
+        raise ValueError("target must be 'multi' or 'single'")
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for w in batch["geom_wkb"]:
+            kind, payload = parse_wkb(w)
+            if target == "multi":
+                polys = [payload] if kind == "polygon" else payload
+                out.append(wkb_multipolygon(polys))
+            else:
+                if kind == "polygon":
+                    out.append(w)
+                elif len(payload) == 1:
+                    out.append(wkb_polygon(payload[0]))
+                else:
+                    raise ValueError("cannot demote a multi-part geometry to single")
+        batch = batch.copy()
+        batch["geom_wkb"] = out
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
