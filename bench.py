@@ -99,6 +99,8 @@ def run_headline() -> dict:
     t0 = time.perf_counter()
     ds.write_parquet(OUT_DIR)
     sec = time.perf_counter() - t0
+    # Don't leave multi-GB output resident in tmpfs after the bench.
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
     return {"sec": sec, "pages": N_PAGES, "pages_per_sec": N_PAGES / sec}
 
 

@@ -86,9 +86,9 @@ def augmentation_contrast(X: np.ndarray, rng: np.random.Generator,
     return ((X - mean) * factor + mean).astype(X.dtype)
 
 
-def augmentation_blur(X: np.ndarray, rng: np.random.Generator,
-                      p_skip: float = 0.0) -> np.ndarray:
-    """Gaussian-ish blur (``transform.py:182-321``)."""
+def augmentation_blur(X: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Gaussian-ish blur (``transform.py:182-321``; apply-probability is
+    the AugmentationPipeline step's job, not this kernel's)."""
     return filter_blur(X, radius=1.0).astype(X.dtype)
 
 

@@ -218,16 +218,12 @@ def convolve2d(
             h_, w_, k_ = sv.shape
             flat_v = sv.reshape(-1, k_)
             flat_w = sw.reshape(-1, k_)
-            out = np.zeros(flat_v.shape[0])
             change = np.ones_like(flat_v, dtype=bool)
             change[:, 1:] = flat_v[:, 1:] != flat_v[:, :-1]
-            # Per-row segmented weight sums via cumsum differencing.
-            csum = np.cumsum(flat_w, axis=-1)
             for_row = np.arange(flat_v.shape[0])
             best_val = np.full(flat_v.shape[0], 0.0)
             best_wt = np.full(flat_v.shape[0], -np.inf)
-            # Bounded loop over run starts (≤ k): iterate k positions, masked.
-            run_start_sum = np.where(change, np.concatenate([np.zeros((flat_v.shape[0], 1)), csum[:, :-1]], axis=1), np.nan)
+            # Bounded loop over run ids (≤ k distinct values per hood).
             run_id = np.cumsum(change, axis=-1) - 1
             nruns = run_id[:, -1] + 1
             for r in range(int(nruns.max())):

@@ -19,7 +19,12 @@ MAD_TO_STD = 1.4826
 def scaler_minmax(arr: np.ndarray, stat_dict: Optional[dict] = None) -> Tuple[np.ndarray, dict]:
     arr_min = stat_dict["min"] if stat_dict else arr.min()
     arr_max = stat_dict["max"] if stat_dict else arr.max()
-    stat_dict = {"min": arr.min(), "max": arr.max()}
+    # Return the stats actually APPLIED (fit-on-train / apply-on-test
+    # callers chain this dict; recomputing from the input would leak
+    # batch-local stats). Deliberate divergence: the reference recomputes
+    # from the input here (scalers.py:48-51) while its own scaler_to_range
+    # returns the applied stats — we follow the consistent contract.
+    stat_dict = {"min": arr_min, "max": arr_max}
     num = np.subtract(arr, arr_min)
     den = np.subtract(arr_max, arr_min)
     result = np.zeros_like(arr, dtype="float32")

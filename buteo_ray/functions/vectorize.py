@@ -27,6 +27,8 @@ def label_regions(arr: np.ndarray, nodata: Optional[float] = None) -> np.ndarray
     vectorized passes."""
     arr = np.asarray(arr)
     h, w = arr.shape
+    if h == 0 or w == 0:
+        return np.full((h, w), -1, dtype=np.int64)
     labels = np.arange(h * w, dtype=np.int64).reshape(h, w)
     valid = np.ones((h, w), dtype=bool)
     if nodata is not None:
@@ -71,7 +73,7 @@ def vectorize_array(arr: np.ndarray, nodata: Optional[float] = None,
     coords, offset by (x_off, y_off)), geom_wkb = bbox ring."""
     labels = label_regions(arr, nodata)
     flat_l = labels.ravel()
-    keep = flat_l >= 0
+    keep = flat_l >= 0 if flat_l.size else np.zeros(0, dtype=bool)
     if not keep.any():
         return pd.DataFrame({"region_id": [], "value": [], "n_pixels": [],
                              "bbox_xmin": [], "bbox_xmax": [],

@@ -39,6 +39,10 @@ def _prediction_offsets(shape, tile_size: int, n_offsets: int, border_check: boo
     """Offset grids: dithered + border (reference ``prediction.py:102-118``
     via ``array_to_patches`` offset logic)."""
     h, w = shape[0], shape[1]
+    if h < tile_size or w < tile_size:
+        # Same guard as the reference's array_to_patches — border offsets
+        # would go negative and slice wrong-shaped patches.
+        raise ValueError("Array must be larger or equal to tile_size")
     offsets = get_dither_offsets(tile_size, n_offsets)
     if border_check:
         need_y = all((h - off[0]) % tile_size != 0 for off in offsets)

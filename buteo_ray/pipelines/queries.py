@@ -365,8 +365,8 @@ def sql_zonal_stats() -> str:
     x_sql, y_sql = cell_xy_sql_exprs(5, _LAT_SQL, _LON_SQL)
     return (
         f"SELECT {x_sql} AS cell_x, {y_sql} AS cell_y, "
-        "COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, "
-        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, "
+        "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars, "
         "FLOOR(AVG(CAST(n_chars AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_chars "
         "FROM documents GROUP BY 1, 2"
     )
@@ -474,7 +474,10 @@ def q_ann_topk(sf_dir: str):
     from buteo_ray.stages.ann import ann_cosine_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qdf = emb.filter(lambda r: r["vec_id"] % 97 == 0).to_pandas()
+    qdf = emb.map_batches(
+        lambda t: t.filter(np.equal(t["vec_id"].to_numpy() % 97, 0)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
     qids = qdf["vec_id"].to_numpy()
     qvecs = np.stack(qdf["embedding"].to_numpy())
     out = ann_cosine_topk(emb, qids, qvecs, k=5)

@@ -56,8 +56,11 @@ def training_data_pipeline(
 
     ds = ds.map_batches(_quality_filter, batch_format="pyarrow", batch_size=None)
 
-    # Exact dedup (min-id row per identical text).
-    ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
+    # Exact dedup (min-id row per identical text). Materialize here: the
+    # deduped set is consumed TWICE (LSH pair mining + final output) and
+    # Ray Datasets are lazy — without pinning, the lang-ID pool, filters
+    # and the dedup shuffle would all execute twice.
+    ds = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
 
     # Near-dup removal: LSH candidate pairs → drop the larger id of each
     # kept pair (broadcast drop-set; candidate volume ≪ corpus).

@@ -91,6 +91,14 @@ def write_partitioned_resumable(
     of lineage rows written this run.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # Sweep tmp dirs orphaned by crashed/retried writers from earlier
+    # runs — they hold full parquet payloads and would leak unbounded
+    # across resumes of a long job.
+    import shutil
+
+    for entry in os.listdir(out_dir):
+        if entry.startswith("._tmp_"):
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     if resume:
         ds = filter_completed(ds, partition_col, out_dir)
 
