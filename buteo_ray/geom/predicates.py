@@ -227,11 +227,22 @@ def polygon_relate(rings_a: Sequence[Ring], rings_b: Sequence[Ring], predicate: 
             return False
         if _edges_properly_cross(rings_a, rings_b).any():
             return False
-        # Boundary contact only: no vertex of one strictly inside the other.
-        va = np.vstack([r[:-1] for r in rings_a])
-        vb = np.vstack([r[:-1] for r in rings_b])
-        a_in = points_strictly_in_polygon(vb[:, 0], vb[:, 1], rings_a)
-        b_in = points_strictly_in_polygon(va[:, 0], va[:, 1], rings_b)
+        # Boundary contact only: probe vertices, edge midpoints AND
+        # centroids for strict-interior hits (vertices alone miss
+        # identical/contained polygons whose vertices all sit on the
+        # other's boundary; centroid covers those for the star-shaped
+        # polygons this engine produces — pathological concave cases may
+        # still evade the probe set, documented).
+        def _probe_pts(rings):
+            v = np.vstack([r[:-1] for r in rings])
+            mids = np.vstack([(r[:-1] + r[1:]) / 2.0 for r in rings])
+            c = np.array([polygon_centroid(rings)])
+            return np.vstack([v, mids, c])
+
+        pa_pts = _probe_pts(rings_a)
+        pb_pts = _probe_pts(rings_b)
+        a_in = points_strictly_in_polygon(pb_pts[:, 0], pb_pts[:, 1], rings_a)
+        b_in = points_strictly_in_polygon(pa_pts[:, 0], pa_pts[:, 1], rings_b)
         return not (a_in.any() or b_in.any())
     if predicate == "overlaps":
         if not polygons_intersect(rings_a, rings_b):

@@ -64,7 +64,11 @@ def _parse_geom(buf: memoryview, off: int):
         raise ValueError("only little-endian WKB supported")
     (gtype,) = struct.unpack_from("<I", buf, off + 1)
     off += 5
-    gtype = gtype & 0xFF  # strip any SRID/dimension flags
+    if gtype & 0xFFFFFF00:
+        # EWKB SRID/Z/M flags change the payload layout (extra SRID word,
+        # extra coordinates); masking them off would misread coordinate
+        # bytes silently — reject instead.
+        raise ValueError(f"EWKB/Z/M geometry type {gtype:#x} not supported (2-D ISO WKB only)")
     if gtype == WKB_POINT:
         x, y = struct.unpack_from("<dd", buf, off)
         return ("point", (x, y)), off + 16

@@ -60,8 +60,14 @@ def utm_epsg_from_latlng(lat, lon) -> np.ndarray:
     return np.where(lat >= 0, 32600 + zone, 32700 + zone)
 
 
-def lonlat_to_utm(lon, lat, zone: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Forward transverse Mercator (Snyder eq. 8-9..8-15)."""
+def lonlat_to_utm(lon, lat, zone: int, south: bool = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward transverse Mercator (Snyder eq. 8-9..8-15).
+
+    ``south``: the CRS hemisphere designator. None (default) applies the
+    10,000,000 m false northing per-point by latitude sign; True forces
+    it for every point (EPSG:327xx semantics — an equator-straddling
+    dataset in a south zone must not mix offsets); False never applies it.
+    """
     lon = np.radians(np.asarray(lon, dtype=np.float64))
     lat = np.radians(np.asarray(lat, dtype=np.float64))
     lon0 = np.radians(-183.0 + 6.0 * zone)
@@ -88,7 +94,10 @@ def lonlat_to_utm(lon, lat, zone: int) -> Tuple[np.ndarray, np.ndarray]:
             + (61 - 58 * t + t**2 + 600 * c - 330 * _EP2) * a**6 / 720
         )
     )
-    northing = np.where(np.degrees(lat) < 0, northing + 10000000.0, northing)
+    if south is None:
+        northing = np.where(np.degrees(lat) < 0, northing + 10000000.0, northing)
+    elif south:
+        northing = northing + 10000000.0
     return easting, northing
 
 
@@ -150,7 +159,10 @@ def reproject_points(x, y, src: str, dst: str) -> Tuple[np.ndarray, np.ndarray]:
             return lonlat_to_mercator(lon, lat)
         if crs.startswith("UTM:"):
             z = crs[4:]
-            return lonlat_to_utm(lon, lat, int(z.rstrip("NS")))
+            # Hemisphere comes from the CRS designator, not point latitude
+            # (an equator-straddling dataset must use ONE false northing).
+            south = True if z.endswith("S") else (False if z.endswith("N") else None)
+            return lonlat_to_utm(lon, lat, int(z.rstrip("NS")), south=south)
         raise ValueError(f"unsupported CRS {crs}")
 
     lon, lat = _to_lonlat(x, y, src)

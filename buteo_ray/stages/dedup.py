@@ -135,8 +135,9 @@ def oph_minhash(texts: List[str]) -> np.ndarray:
     for i in np.nonzero(n_shingles == 0)[0]:
         data = np.frombuffer(texts[i].encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         hv = np.uint64(14695981039346656037)
-        for b in data:
-            hv = hv * np.uint64(1099511628211) + b
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            for b in data:
+                hv = hv * np.uint64(1099511628211) + b
         sig[i] = _splitmix64(hv + np.arange(_BINS, dtype=np.uint64))
     return sig
 
@@ -162,6 +163,10 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
 ):
+    if not (1 <= bands <= _BINS) or _BINS % bands != 0:
+        # bands > _BINS makes every band hash collide (O(n²) pairing);
+        # non-divisors silently drop trailing signature bins.
+        raise ValueError(f"bands must divide {_BINS} and be in [1, {_BINS}]")
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     signature → ``bands`` band-hash rows per doc (shuffle key =
@@ -219,10 +224,18 @@ def minhash_lsh_pairs(
     # O(#buckets) map_groups calls into O(#candidate buckets).
     from ray.data.aggregate import Count
 
+    # Filter to multi-member buckets DISTRIBUTED before collecting: the
+    # count table has ~n_docs·bands rows (mostly singletons) — only the
+    # small hot set may reach the driver.
     counts = band_rows.groupby(["band", "band_hash"]).aggregate(
-        Count(alias_name="n")).to_pandas()
-    multi = counts[counts["n"] >= 2]
-    hot_keys = set(zip(multi["band"].tolist(), multi["band_hash"].tolist()))
+        Count(alias_name="n"))
+    multi = counts.map_batches(
+        lambda t: t.filter(np.greater_equal(t["n"].to_numpy(), 2)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
+    # An all-singleton corpus yields an empty frame with no column names.
+    hot_keys = (set(zip(multi["band"].tolist(), multi["band_hash"].tolist()))
+                if len(multi) else set())
     if not hot_keys:
         import ray.data as rd
 

@@ -77,6 +77,13 @@ class BroadcastIndexProbe:
         if how not in ("inner", "semi", "anti"):
             raise ValueError(f"how must be inner|semi|anti, got {how}")
         self.how = how
+        if exact and self.index.payload is None:
+            # A silent downgrade to bbox-only would return false matches
+            # (and drop rows in anti joins) without any signal.
+            raise ValueError(
+                "exact=True requires polygon geometry (geom_wkb) in the AOI "
+                "table; pass exact=False for a bbox-only join"
+            )
         self.exact = exact and self.index.payload is not None
         self.lat_col = lat_col
         self.lon_col = lon_col

@@ -79,6 +79,14 @@ def cell_partitioned_pip_join(
 
     def _poly_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "cell": np.empty(0, np.int64), "salt": np.empty(0, np.int64),
+                "side": np.empty(0, np.int8), "pid": np.empty(0, np.int64),
+                "lat": np.empty(0, np.float64), "lon": np.empty(0, np.float64),
+                "poly_id": np.empty(0, np.int64),
+                "wkb": pa.array([], type=pa.binary()),
+            })
         xmin = batch["bbox_xmin"].to_numpy()
         xmax = batch["bbox_xmax"].to_numpy()
         ymin = batch["bbox_ymin"].to_numpy()
@@ -136,19 +144,19 @@ def cell_partitioned_pip_join(
         pset = PolygonSet(ring_lists)
         lon = points["lon"].to_numpy()
         lat = points["lat"].to_numpy()
-        # All local pairs, bbox-pruned then exact. Bboxes span ALL rings
-        # (a multipolygon member beyond ring 0 must not be pruned away).
-        npts, npol = len(points), len(polys)
-        pi = np.repeat(np.arange(npts), npol)
-        gi = np.tile(np.arange(npol), npts)
+        # Per-cell bbox index over the local polygons (NOT an npts×npol
+        # cartesian product — a dense urban cell with 10^6 points and
+        # 10^3 polygons would materialize 10^9 pair rows). Bboxes span
+        # ALL rings so multipolygon members beyond ring 0 survive.
         allv = [np.vstack(r) for r in ring_lists]
         xmin = np.array([v[:, 0].min() for v in allv])
         xmax = np.array([v[:, 0].max() for v in allv])
         ymin = np.array([v[:, 1].min() for v in allv])
         ymax = np.array([v[:, 1].max() for v in allv])
-        keep = ((lon[pi] >= xmin[gi]) & (lon[pi] <= xmax[gi])
-                & (lat[pi] >= ymin[gi]) & (lat[pi] <= ymax[gi]))
-        pi, gi = pi[keep], gi[keep]
+        from buteo_ray.geom.index import GridIndex
+
+        local_idx = GridIndex(xmin, xmax, ymin, ymax)
+        pi, gi = local_idx.query_points(lon, lat)
         if pi.size:
             exact = pset.contains_pairs(lon[pi], lat[pi], gi)
             pi, gi = pi[exact], gi[exact]

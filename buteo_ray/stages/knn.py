@@ -179,10 +179,24 @@ class _CellProbe:
                 d = haversine_m(self.qlat[qrow], self.qlon[qrow], clat[cand_rep], clon[cand_rep])
             keep = self.qid[qrow] != cid[cand_rep]
             out_q, out_n, out_d = self.qid[qrow[keep]], cid[cand_rep[keep]], d[keep]
+        out_q = np.asarray(out_q, dtype=np.int64)
+        out_n = np.asarray(out_n, dtype=np.int64)
+        out_d = np.asarray(out_d, dtype=np.float64)
+        if out_q.size:
+            # Per-batch partial top-k (deterministic (dist, id) order):
+            # only k rows per query per batch can survive the final merge,
+            # so don't shuffle every ring pair from a dense cell.
+            order = np.lexsort((out_n, out_d, out_q))
+            oq = out_q[order]
+            first = np.concatenate([[True], oq[1:] != oq[:-1]])
+            run_start = np.maximum.accumulate(np.where(first, np.arange(oq.size), 0))
+            rank = np.arange(oq.size) - run_start
+            sel = order[rank < self.k]
+            out_q, out_n, out_d = out_q[sel], out_n[sel], out_d[sel]
         return pa.table({
-            "query_id": np.asarray(out_q, dtype=np.int64),
-            "neighbor_id": np.asarray(out_n, dtype=np.int64),
-            "dist": np.asarray(out_d, dtype=np.float64),
+            "query_id": out_q,
+            "neighbor_id": out_n,
+            "dist": out_d,
         })
 
 
@@ -212,12 +226,14 @@ def knn_cells(
         np.asarray(query_lat, np.float64),
         np.asarray(query_lon, np.float64),
     )
-    ref = ray.put(payload)
     kwargs = dict(batch_format="pyarrow", batch_size=None)
     if concurrency is not None:
+        # Only the actor path needs the object-store ref (fetched once per
+        # actor); putting it for the task path would pin a never-read copy.
         pairs = ds.map_batches(
             _CellProbe,
-            fn_constructor_kwargs=dict(ref=ref, k=k, metric=metric, res=res, ring=ring,
+            fn_constructor_kwargs=dict(ref=ray.put(payload), k=k, metric=metric,
+                                       res=res, ring=ring,
                                        id_col=id_col, lat_col=lat_col, lon_col=lon_col),
             concurrency=concurrency, **kwargs,
         )
