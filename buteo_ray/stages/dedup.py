@@ -45,8 +45,10 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def content_hash_column(texts: pd.Series) -> np.ndarray:
-    """Vectorized deterministic 64-bit content hash."""
-    return pd.util.hash_pandas_object(texts, index=False).to_numpy()
+    """Vectorized deterministic 64-bit content hash, reinterpreted as
+    int64: uint64 shuffle keys trip Ray's Arrow conversion into a
+    pickled-object fallback in aggregate paths."""
+    return pd.util.hash_pandas_object(texts, index=False).to_numpy().view(np.int64)
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -163,16 +165,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
 ):
-    if not (1 <= bands <= _BINS) or _BINS % bands != 0:
-        # bands > _BINS makes every band hash collide (O(n²) pairing);
-        # non-divisors silently drop trailing signature bins.
-        raise ValueError(f"bands must divide {_BINS} and be in [1, {_BINS}]")
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     signature → ``bands`` band-hash rows per doc (shuffle key =
     (band, band_hash)) → per-bucket pairing → estimated Jaccard
     (matching signature fraction) ≥ threshold. Returns
     Dataset[(id_a, id_b, est_jaccard)] with id_a < id_b, deduped."""
+    if not (1 <= bands <= _BINS) or _BINS % bands != 0:
+        # bands > _BINS makes every band hash collide (O(n²) pairing);
+        # non-divisors silently drop trailing signature bins.
+        raise ValueError(f"bands must divide {_BINS} and be in [1, {_BINS}]")
     rows = _BINS // bands
 
     def _bands(batch: pa.Table) -> pa.Table:
@@ -193,7 +195,9 @@ def minhash_lsh_pairs(
         return pa.table({
             id_col: np.repeat(ids, bands),
             "band": np.tile(np.arange(bands, dtype=np.int64), n),
-            "band_hash": band_hash.ravel(),
+            # int64 view: uint64 group keys hit Ray's pickled-object
+            # fallback in the aggregate path.
+            "band_hash": band_hash.ravel().view(np.int64),
             "sig": pa.array([sig_bytes[i] for i in range(n) for _ in range(bands)],
                             type=pa.binary()),
         })
