@@ -205,12 +205,22 @@ def minhash_lsh_pairs(
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        band = int(g["band"].iloc[0])
         g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
         ids = g[id_col].to_numpy()
         sig = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
         ia, ib = np.triu_indices(len(ids), k=1)
-        est = (sig[ia] == sig[ib]).mean(axis=1)
+        eq = sig[ia] == sig[ib]
+        est = eq.mean(axis=1)
         keep = est >= threshold
+        # Ownership rule instead of a global dedup shuffle: a pair is
+        # emitted only by the FIRST band whose signature chunk matches —
+        # computable locally since both signatures are in the bucket.
+        chunk_eq = eq.reshape(eq.shape[0], bands, rows).all(axis=2)
+        first_band = chunk_eq.argmax(axis=1)
+        # chunk_eq.any guards the argmax-of-all-False → 0 artifact (a pair
+        # present only via a ~2^-64 band-hash collision is dropped).
+        keep &= chunk_eq.any(axis=1) & (first_band == band)
         return pd.DataFrame({
             "id_a": ids[ia[keep]].astype(np.int64),
             "id_b": ids[ib[keep]].astype(np.int64),
@@ -255,14 +265,12 @@ def minhash_lsh_pairs(
                            dtype=bool, count=len(b))
         return t.filter(pa.array(keep))
 
-    pairs = (
+    # No pair-dedup shuffle needed: the first-matching-band ownership
+    # rule inside _pairs makes each pair emit exactly once.
+    return (
         band_rows.map_batches(_only_hot, batch_format="pyarrow", batch_size=None)
         .groupby(["band", "band_hash"])
         .map_groups(_pairs, batch_format="pandas")
-    )
-    # A pair found in multiple bands appears multiple times → dedup.
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
     )
 
 
