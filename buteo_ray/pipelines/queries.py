@@ -806,6 +806,37 @@ def sql_histogram() -> str:
             "COUNT(*) AS n_orders FROM orders GROUP BY 1")
 
 
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each click matched to the user's latest prior purchase
+    (co-partition by user + per-group merge_asof; the guide's range-join
+    pattern). Oracle: DuckDB ASOF JOIN."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.streaming import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click"))),
+        batch_format="pyarrow", batch_size=None)
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))),
+        batch_format="pyarrow", batch_size=None)
+    out = asof_join(clicks, purchases, key_col="user_id", ts_col="ts",
+                    right_cols=["value"])
+    return out.select_columns(["event_id", "user_id", "right_value"])
+
+
+def sql_asof_join() -> str:
+    return (
+        "WITH a AS (SELECT * FROM events WHERE event_type = 'click'), "
+        "b AS (SELECT * FROM events WHERE event_type = 'purchase') "
+        "SELECT a.event_id, a.user_id, b.value AS right_value "
+        "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts"
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -905,6 +936,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "string_ops": q_string_ops,
     "median_by_group": q_median_by_group,
     "histogram": q_histogram,
+    "asof_join": q_asof_join,
     # rows-only (no SQL oracle; pytest-verified instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "simhash": q_simhash,
@@ -945,4 +977,5 @@ ORACLE_SQL: Dict[str, str] = {
     "string_ops": sql_string_ops(),
     "median_by_group": sql_median_by_group(),
     "histogram": sql_histogram(),
+    "asof_join": sql_asof_join(),
 }

@@ -108,3 +108,39 @@ def sliding_window_counts(ds, ts_col: str = "ts", window: str = "1h",
         .groupby(group_keys)
         .aggregate(Count(alias_name="n_events"))
     )
+
+
+def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
+              right_cols: Optional[list] = None):
+    """As-of join: each left row matched to the latest right row with
+    ``right.ts <= left.ts`` per key (the guide's range-join pattern:
+    co-partition by key via tagged union, ``pd.merge_asof`` per group).
+    Left rows with no prior right row are dropped (inner asof)."""
+
+    def _tag(side):
+        def _fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+
+        return _fn
+
+    both = left_ds.map_batches(_tag(0), batch_format="pyarrow", batch_size=None).union(
+        right_ds.map_batches(_tag(1), batch_format="pyarrow", batch_size=None))
+
+    rcols = right_cols or []
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0].drop(columns="__side").sort_values(ts_col, kind="stable")
+        right = g[g["__side"] == 1].drop(columns="__side").sort_values(ts_col, kind="stable")
+        empty_extra = {"right_ts": pd.Series(dtype="datetime64[ns]"),
+                       **{f"right_{c}": pd.Series(dtype="float64") for c in rcols}}
+        if len(left) == 0 or len(right) == 0:
+            return left.iloc[:0].assign(**empty_extra)
+        right2 = right[[key_col, ts_col] + rcols].rename(
+            columns={c: f"right_{c}" for c in rcols})
+        right2["right_ts"] = right2[ts_col]
+        merged = pd.merge_asof(left, right2, on=ts_col, by=key_col,
+                               direction="backward")
+        # merge_asof keeps unmatched lefts with NaT; inner semantics drop them.
+        return merged.dropna(subset=["right_ts"])
+
+    return both.groupby(key_col).map_groups(_join, batch_format="pandas")
