@@ -35,6 +35,8 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     d = len(arr[0])
     return flat.reshape(-1, d)
@@ -57,6 +59,10 @@ def ann_cosine_topk(
     qnorm = np.sqrt((q * q).sum(axis=1))
 
     def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": np.empty(0, np.int64),
+                             "neighbor_id": np.empty(0, np.int64),
+                             "cos_sim": np.empty(0, np.float64)})
         e = _emb_matrix(batch, emb_col)
         e = quantize(e) if quantized else e.astype(np.float64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -115,6 +121,8 @@ def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
     planes_cache = {}
 
     def _fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array(np.empty(0, np.int64)))
         e = _emb_matrix(batch, emb_col).astype(np.float64)
         d = e.shape[1]
         if d not in planes_cache:
@@ -123,7 +131,9 @@ def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
         bucket = np.zeros(e.shape[0], dtype=np.uint64)
         for b in range(nbits):
             bucket |= signs[:, b].astype(np.uint64) << np.uint64(b)
-        return batch.append_column(out_col, pa.array(bucket))
+        # int64 view: the bucket is a downstream group key (uint64 keys
+        # hit Ray's pickled-object fallback).
+        return batch.append_column(out_col, pa.array(bucket.view(np.int64)))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
@@ -134,6 +144,10 @@ def centroids_per_label(ds, emb_col: str = "embedding", label_col: str = "label"
     reference's scaler statistics at scale)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"label": np.empty(0, np.int32),
+                             "vec_sum": pa.array([], type=pa.list_(pa.float64())),
+                             "n": np.empty(0, np.int64)})
         e = _emb_matrix(batch, emb_col).astype(np.float64)
         labels = batch[label_col].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(labels, return_inverse=True)

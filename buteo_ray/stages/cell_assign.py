@@ -30,10 +30,15 @@ def assign_cells(
     def _fn(batch: pa.Table) -> pa.Table:
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        # int64 views (same bits; res ≤ 28 ids fit in 63 bits anyway):
+        # these are THE shuffle keys, and uint64 group keys trip Ray's
+        # pickled-object Arrow fallback in aggregate paths.
         for r in resolutions:
-            batch = batch.append_column(f"cell_r{r}", pa.array(cell_id(lat, lon, r)))
+            batch = batch.append_column(
+                f"cell_r{r}", pa.array(cell_id(lat, lon, r).view(np.int64)))
         if morton_col:
-            batch = batch.append_column(morton_col, pa.array(latlon_to_morton(lat, lon, morton_res)))
+            batch = batch.append_column(
+                morton_col, pa.array(latlon_to_morton(lat, lon, morton_res).view(np.int64)))
         return batch
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

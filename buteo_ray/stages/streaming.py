@@ -129,12 +129,12 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
     rcols = right_cols or []
 
     def _join(g: pd.DataFrame) -> pd.DataFrame:
+        # One code path for every group — merge_asof handles empty sides
+        # and the group frame carries the true dtypes, so all emitted
+        # blocks share one schema (a hand-built placeholder would guess
+        # dtypes/column order and break Arrow block unification).
         left = g[g["__side"] == 0].drop(columns="__side").sort_values(ts_col, kind="stable")
         right = g[g["__side"] == 1].drop(columns="__side").sort_values(ts_col, kind="stable")
-        empty_extra = {"right_ts": pd.Series(dtype="datetime64[ns]"),
-                       **{f"right_{c}": pd.Series(dtype="float64") for c in rcols}}
-        if len(left) == 0 or len(right) == 0:
-            return left.iloc[:0].assign(**empty_extra)
         right2 = right[[key_col, ts_col] + rcols].rename(
             columns={c: f"right_{c}" for c in rcols})
         right2["right_ts"] = right2[ts_col]

@@ -90,8 +90,12 @@ class TextScorer:
         for li in range(len(self.langs)):
             np.add.at(scores[:, li], doc_of, (masks >> li) & 1)
         best = scores.argmax(axis=1)
-        hit = scores.max(axis=1) > 0
-        pred = np.where(hit, np.array(self.langs, dtype=object)[best], "und")
+        top = scores.max(axis=1)
+        hit = top > 0
+        # Ties are genuinely ambiguous → 'und' (argmax alone would bias
+        # toward alphabetically-first languages).
+        tied = (scores == top[:, None]).sum(axis=1) > 1
+        pred = np.where(hit & ~tied, np.array(self.langs, dtype=object)[best], "und")
         return batch.append_column(self.out_col, pa.array(pred, type=pa.string()))
 
 
@@ -107,7 +111,9 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
     """64-bit deterministic document fingerprint (vectorized siphash)."""
 
     def _fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch[out_col] = pd.util.hash_pandas_object(batch[text_col], index=False).to_numpy()
+        from buteo_ray.stages.dedup import content_hash_column
+
+        batch[out_col] = content_hash_column(batch[text_col])
         return batch
 
     return ds.map_batches(_fn, batch_format="pandas", batch_size=None)

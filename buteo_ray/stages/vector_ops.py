@@ -62,10 +62,24 @@ def vector_clip_convex(ds, clip_ring: np.ndarray):
         kept = []
         for w in batch["geom_wkb"]:
             kind, payload = parse_wkb(w)
-            rings = payload if kind == "polygon" else [r for p in payload for r in p]
-            clipped = clip_polygon_convex(rings[0], clip_ring)
-            if clipped.shape[0] >= 4:
-                out_wkb.append(wkb_polygon([clipped]))
+            polys = [payload] if kind == "polygon" else payload
+            # Clip EVERY ring of EVERY member: holes clipped by a convex
+            # ring stay holes; members that vanish are dropped.
+            new_polys = []
+            for rings in polys:
+                new_rings = []
+                for i, ring in enumerate(rings):
+                    clipped = clip_polygon_convex(ring, clip_ring)
+                    if clipped.shape[0] >= 4:
+                        new_rings.append(clipped)
+                    elif i == 0:
+                        new_rings = []
+                        break  # exterior gone → whole member gone
+                if new_rings:
+                    new_polys.append(new_rings)
+            if new_polys:
+                out_wkb.append(wkb_polygon(new_polys[0]) if len(new_polys) == 1
+                               else wkb_multipolygon(new_polys))
                 kept.append(True)
             else:
                 kept.append(False)
@@ -108,8 +122,10 @@ def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull")
         pts = []
         for w in g["geom_wkb"]:
             kind, payload = parse_wkb(w)
-            rings = payload if kind == "polygon" else [r for p in payload for r in p]
-            pts.append(rings[0][:-1])
+            polys = [payload] if kind == "polygon" else payload
+            # Exterior ring of EVERY member (holes can't extend the hull).
+            for rings in polys:
+                pts.append(rings[0][:-1])
         allpts = np.vstack(pts)
         if geometry == "bbox":
             x0, y0 = allpts[:, 0].min(), allpts[:, 1].min()
@@ -181,10 +197,7 @@ def vector_fix_geometry(ds):
     drop degenerate (<3 distinct vertex) rings, enforce CCW exteriors."""
 
     def _fn(batch: pd.DataFrame) -> pd.DataFrame:
-        fixed, keep = [], []
-        for w in batch["geom_wkb"]:
-            kind, payload = parse_wkb(w)
-            rings = payload if kind == "polygon" else [r for p in payload for r in p]
+        def _fix_rings(rings):
             out_rings = []
             for ring in rings:
                 if not (ring[0] == ring[-1]).all():
@@ -196,8 +209,18 @@ def vector_fix_geometry(ds):
                 if float(np.sum(x * y1 - x1 * y)) < 0 and not out_rings:
                     ring = ring[::-1]  # exterior must be CCW
                 out_rings.append(ring)
-            if out_rings:
-                fixed.append(wkb_polygon(out_rings))
+            return out_rings
+
+        fixed, keep = [], []
+        for w in batch["geom_wkb"]:
+            kind, payload = parse_wkb(w)
+            # Fix each multipolygon member SEPARATELY — flattening would
+            # turn later members' exteriors into holes of the first.
+            polys = [payload] if kind == "polygon" else payload
+            fixed_polys = [r for r in (_fix_rings(p) for p in polys) if r]
+            if fixed_polys:
+                fixed.append(wkb_polygon(fixed_polys[0]) if len(fixed_polys) == 1
+                             else wkb_multipolygon(fixed_polys))
                 keep.append(True)
             else:
                 keep.append(False)
@@ -290,8 +313,11 @@ def vector_add_fid(ds, id_col: str = None, out_col: str = "fid"):
         if id_col is not None:
             base = batch[id_col].to_numpy().astype(np.uint64)
         else:
-            base = content_hash_column(batch["geom_wkb"].map(lambda b: b.hex()))
-        batch[out_col] = _splitmix64(base).astype(np.int64)
+            # view, not astype: content hashes are int64 and int64+uint64
+            # silently promotes to float64 inside the mixer, rounding away
+            # low bits and colliding distinct hashes above 2^53.
+            base = content_hash_column(batch["geom_wkb"].map(lambda b: b.hex())).view(np.uint64)
+        batch[out_col] = _splitmix64(base).view(np.int64)
         return batch
 
     return ds.map_batches(_fn, batch_format="pandas", batch_size=None)

@@ -57,7 +57,19 @@ def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
             valid &= v != nodata
         v, z = v[valid], z[valid]
         if v.size == 0:
-            return pd.DataFrame({"zone": pd.Series([], dtype="int64")})
+            # Full column set: a zone-only frame would give this block a
+            # different schema than every other partial.
+            empty = {
+                "zone": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sum": pd.Series([], dtype="float64"),
+                "sumsq": pd.Series([], dtype="float64"),
+                "min": pd.Series([], dtype="float64"),
+                "max": pd.Series([], dtype="float64"),
+            }
+            if exact_median:
+                empty["values"] = pd.Series([], dtype="object")
+            return pd.DataFrame(empty)
         zones, inv = np.unique(z, return_inverse=True)
         zmin = np.full(zones.shape[0], np.inf)
         zmax = np.full(zones.shape[0], -np.inf)
