@@ -294,3 +294,78 @@ def convolve(arr: np.ndarray, kernel: np.ndarray, method: str = "sum",
             [convolve2d(arr[..., c], kernel, method, nodata, quantile)
              for c in range(arr.shape[2])], axis=-1)
     raise ValueError("array must be 2D or 3D (channel-last)")
+
+
+def kernel_get_offsets_and_weights(kernel: np.ndarray, remove_zero_weights: bool = True):
+    """Kernel matrix → ((dy, dx) offsets, weights) pairs — the custom-
+    kernel hook (reference ``kernels.py:453-488``,
+    ``kernel_get_offsets_and_weights``)."""
+    kh, kw = kernel.shape
+    cy, cx = kh // 2, kw // 2
+    dy, dx = np.meshgrid(np.arange(kh) - cy, np.arange(kw) - cx, indexing="ij")
+    offsets = np.stack([dy.ravel(), dx.ravel()], axis=1).astype(np.int64)
+    weights = kernel.astype(np.float32).ravel()
+    if remove_zero_weights:
+        keep = weights != 0.0
+        offsets, weights = offsets[keep], weights[keep]
+    return offsets, weights
+
+
+def kernel_shift(x_offset: float, y_offset: float):
+    """Fractional-pixel shift kernel: ((dx, dy) offsets, weights) whose
+    weighted sum translates a raster by sub-pixel amounts (reference
+    ``kernels.py:120-...`` ``kernel_shift``; also the augmentation
+    misalignment primitive). Supports the axis-aligned cases the
+    reference implements plus the general bilinear 4-tap case."""
+    if x_offset == 0.0 and y_offset == 0.0:
+        return np.array([[0, 0]], dtype=np.int64), np.array([1.0], dtype=np.float32)
+
+    x0, x1 = int(np.floor(x_offset)), int(np.ceil(x_offset))
+    y0, y1 = int(np.floor(y_offset)), int(np.ceil(y_offset))
+    fx = x_offset - x0
+    fy = y_offset - y0
+    taps = {}
+    for (dx, wx) in ((x0, 1 - fx), (x1, fx)) if x0 != x1 else ((x0, 1.0),):
+        for (dy, wy) in ((y0, 1 - fy), (y1, fy)) if y0 != y1 else ((y0, 1.0),):
+            w = wx * wy
+            if w != 0.0:
+                taps[(dx, dy)] = taps.get((dx, dy), 0.0) + w
+    offsets = np.array(list(taps.keys()), dtype=np.int64)
+    weights = np.array(list(taps.values()), dtype=np.float32)
+    return offsets, weights
+
+
+def convolve_offsets(arr: np.ndarray, offsets: np.ndarray, weights: np.ndarray,
+                     nodata: Optional[float] = None) -> np.ndarray:
+    """Weighted sum over explicit (first-axis, second-axis) offset taps —
+    the reference's offsets+weights convolution form (``convolution/
+    base.py`` convolve_array with offsets). 2-D input; offsets rows are
+    (dy, dx) for kernel-derived taps or (dx, dy) pairs from
+    :func:`kernel_shift` are handled by the caller's convention."""
+    arr = np.asarray(arr, dtype=np.float64)
+    out = np.zeros_like(arr)
+    wsum = np.zeros_like(arr)
+    invalid_center = np.isnan(arr) | ((arr == nodata) if nodata is not None else False)
+    for (dy, dx), w in zip(offsets, weights):
+        shifted = np.roll(np.roll(arr, -int(dy), axis=0), -int(dx), axis=1)
+        # Edge handling: out-of-range taps replicate the edge (mask the
+        # wrapped region back to the nearest valid row/col).
+        if dy > 0:
+            shifted[-int(dy):, :] = shifted[-int(dy) - 1, :] if int(dy) < arr.shape[0] else shifted[-1, :]
+        elif dy < 0:
+            shifted[:-int(dy), :] = shifted[-int(dy), :]
+        if dx > 0:
+            shifted[:, -int(dx):] = shifted[:, [-int(dx) - 1]] if int(dx) < arr.shape[1] else shifted[:, [-1]]
+        elif dx < 0:
+            shifted[:, :-int(dx)] = shifted[:, [-int(dx)]]
+        valid = ~(np.isnan(shifted) | ((shifted == nodata) if nodata is not None else False))
+        out += np.where(valid, shifted, 0.0) * w * valid
+        wsum += w * valid
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # Renormalize surviving taps to the full kernel mass (reference
+        # nodata semantics, same rule as convolve2d).
+        total_w = float(np.sum(weights))
+        result = np.where(wsum > 0, out / wsum * total_w, np.nan)
+    if nodata is not None:
+        result = np.where(invalid_center, nodata, result)
+    return result

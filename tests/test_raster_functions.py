@@ -379,3 +379,28 @@ def test_raster_helpers(ray_session):
     assert p.shape == (7, 8, 8, 1)
     p2 = random_patches(src, 7, 8, seed=1)
     np.testing.assert_array_equal(p, p2)  # seeded determinism
+
+
+def test_kernel_offsets_and_shift():
+    from buteo_ray.functions.convolution import (
+        convolve_offsets,
+        kernel_get_offsets_and_weights,
+        kernel_shift,
+    )
+
+    k = np.array([[0, 1, 0], [1, 2, 1], [0, 1, 0]], dtype=np.float32)
+    off, w = kernel_get_offsets_and_weights(k)
+    assert off.shape == (5, 2) and w.sum() == 6.0
+
+    off0, w0 = kernel_shift(0.0, 0.0)
+    assert (off0 == [[0, 0]]).all() and w0[0] == 1.0
+    off1, w1 = kernel_shift(0.5, 0.0)
+    np.testing.assert_allclose(sorted(w1), [0.5, 0.5])
+    offb, wb = kernel_shift(0.25, 0.75)  # bilinear 4-tap
+    assert len(wb) == 4 and wb.sum() == pytest.approx(1.0)
+
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    np.testing.assert_allclose(
+        convolve_offsets(arr, np.array([[0, 0]]), np.array([1.0])), arr)
+    # Constant array is invariant under any normalized tap set.
+    np.testing.assert_allclose(convolve_offsets(np.ones((4, 4)), off, w), 6.0)
