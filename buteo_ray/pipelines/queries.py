@@ -223,15 +223,20 @@ def q_join_broadcast(sf_dir: str):
     probed per batch — the non-spatial sibling of the PiP join)."""
     import ray
 
+    import pyarrow.compute as pc
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # Broadcast the small side ONCE as two parallel Arrow arrays; probe
+    # per batch with vectorized pc.index_in + take (no per-row dict map).
+    lookup_ref = ray.put((pa.array(cust["c_custkey"].to_numpy()),
+                          pa.array(cust["c_mktsegment"], type=pa.string())))
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def _probe(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        seg = pd.Series(t["o_custkey"].to_numpy()).map(lookup)
-        return pa.table({"c_mktsegment": pa.array(seg, type=pa.string()),
+        keys, segs = ray.get(lookup_ref)
+        idx = pc.index_in(t["o_custkey"].cast(keys.type), value_set=keys)
+        return pa.table({"c_mktsegment": pc.take(segs, idx),
                          "o_totalprice": t["o_totalprice"]})
 
     from ray.data.aggregate import Count, Sum
@@ -612,10 +617,14 @@ def q_join_multiway(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
 
+    from buteo_ray.state.skew import derive_num_partitions
+
     li = li.map_batches(_derive, batch_format="pyarrow", batch_size=None)
-    oc = orders.join(cust, join_type="inner", num_partitions=8,
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=derive_num_partitions(orders, cust),
                      on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(oc, join_type="inner", num_partitions=8,
+    j = li.join(oc, join_type="inner",
+                num_partitions=derive_num_partitions(li, orders),
                 on=("l_orderkey",), right_on=("o_orderkey",))
     from ray.data.aggregate import Count, Sum
 
@@ -897,8 +906,12 @@ def q_knn_cells(sf_dir: str):
     from buteo_ray.stages.knn import knn_cells
 
     ds = _docs(sf_dir, columns=["doc_id"])
-    qids = ds.to_pandas()["doc_id"].to_numpy()
-    qids = qids[qids % 101 == 0]
+    # Distributed filter for the query ids — only the tiny filtered set
+    # reaches the driver (never the corpus itself).
+    qids = ds.map_batches(
+        lambda t: t.filter(np.equal(t["doc_id"].to_numpy() % 101, 0)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()["doc_id"].to_numpy()
     qlat, qlon = hash_coords_from_ids(qids)
     return knn_cells(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
 

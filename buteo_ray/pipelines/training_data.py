@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
 import pyarrow as pa
 
 from buteo_ray.stages.dedup import exact_dedup, minhash_lsh_pairs
@@ -36,15 +35,14 @@ def training_data_pipeline(
 ):
     """Run the chain over a page Dataset; returns the final Dataset (or
     lineage rows when ``write_to`` is set)."""
-    import ray
+    import pyarrow.compute as pc
 
     ds = add_lang_pred(pages_ds, concurrency=lang_concurrency)
     if keep_langs:
-        langs = set(keep_langs)
+        lang_set = pa.array(sorted(keep_langs), type=pa.string())
 
         def _lang_filter(t: pa.Table) -> pa.Table:
-            keep = pa.array([l in langs for l in t["lang_pred"].to_pylist()])
-            return t.filter(keep)
+            return t.filter(pc.is_in(t["lang_pred"], value_set=lang_set))
 
         ds = ds.map_batches(_lang_filter, batch_format="pyarrow", batch_size=None)
 
@@ -63,19 +61,19 @@ def training_data_pipeline(
     ds = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
 
     # Near-dup removal: LSH candidate pairs → drop the larger id of each
-    # kept pair (broadcast drop-set; candidate volume ≪ corpus).
+    # kept pair via a hash-partitioned LEFT ANTI join on id_b. The pair
+    # set never touches the driver, so a duplicate-heavy corpus (the
+    # Common-Crawl case) cannot blow driver memory; duplicate id_b rows
+    # on the right are harmless under anti-join semantics.
+    from buteo_ray.state.skew import derive_num_partitions
+
     pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
-                              threshold=near_dup_threshold).to_pandas()
-    drop = set(pairs["id_b"].tolist()) if len(pairs) else set()
-    if drop:
-        drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
-
-        def _drop(t: pa.Table) -> pa.Table:
-            d = ray.get(drop_ref)
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(~np.isin(ids, d)))
-
-        ds = ds.map_batches(_drop, batch_format="pyarrow", batch_size=None)
+                              threshold=near_dup_threshold)
+    drops = pairs.select_columns(["id_b"]).materialize()
+    if drops.count() > 0:
+        ds = ds.join(drops, join_type="left_anti",
+                     num_partitions=derive_num_partitions(ds, drops),
+                     on=(id_col,), right_on=("id_b",))
 
     ds = add_split_column(ds, id_col=id_col, val_frac=val_frac)
 

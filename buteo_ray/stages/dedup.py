@@ -111,7 +111,8 @@ def oph_minhash(texts: List[str]) -> np.ndarray:
     """One-Permutation-Hashing MinHash signatures, shape (len(texts), 64).
 
     Bin = top-6 hash bits; signature[bin] = min hash in that bin; empty
-    bins densified with the row-wise max (deterministic)."""
+    bins densified with the doc's minimum present signature value
+    (deterministic)."""
     h, offsets = _shingle_hashes(texts)
     n = len(texts)
     sig = np.full((n, _BINS), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
@@ -158,19 +159,32 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+_PAIR_CHUNK = 512  # blockwise pairing: bounds the eq tensor at ~16 MB
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: Optional[int] = None,
 ):
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     signature → ``bands`` band-hash rows per doc (shuffle key =
     (band, band_hash)) → per-bucket pairing → estimated Jaccard
     (matching signature fraction) ≥ threshold. Returns
-    Dataset[(id_a, id_b, est_jaccard)] with id_a < id_b, deduped."""
+    Dataset[(id_a, id_b, est_jaccard)] with id_a < id_b, deduped.
+
+    Driver-free plan: multi-member buckets are found with a distributed
+    count aggregate and the band rows are restricted to them via a
+    hash-partitioned ``left_semi`` join — no bucket keys ever reach the
+    driver. Per-bucket pairing is blockwise (``_PAIR_CHUNK``² pair tiles)
+    so one degenerate boilerplate bucket cannot blow a worker's heap;
+    ``max_bucket`` (optional) truncates pathological buckets to their
+    ``max_bucket`` smallest ids (deterministic; documented recall trade —
+    production CC dedup drops such buckets outright)."""
     if not (1 <= bands <= _BINS) or _BINS % bands != 0:
         # bands > _BINS makes every band hash collide (O(n²) pairing);
         # non-divisors silently drop trailing signature bins.
@@ -202,29 +216,51 @@ def minhash_lsh_pairs(
                             type=pa.binary()),
         })
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        band = int(g["band"].iloc[0])
-        g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-        ids = g[id_col].to_numpy()
-        sig = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
-        ia, ib = np.triu_indices(len(ids), k=1)
-        eq = sig[ia] == sig[ib]
-        est = eq.mean(axis=1)
+    def _pair_tile(sig_a, sig_b, ids_a, ids_b, band, diag):
+        """Pairs for one (chunk_a × chunk_b) tile; ``diag``=True means the
+        tile is on the diagonal (same chunk) → upper triangle only."""
+        eq = sig_a[:, None, :] == sig_b[None, :, :]  # (ca, cb, 64)
+        est = eq.mean(axis=2)
         keep = est >= threshold
+        if diag:
+            keep &= np.triu(np.ones(keep.shape, dtype=bool), k=1)
         # Ownership rule instead of a global dedup shuffle: a pair is
         # emitted only by the FIRST band whose signature chunk matches —
         # computable locally since both signatures are in the bucket.
-        chunk_eq = eq.reshape(eq.shape[0], bands, rows).all(axis=2)
-        first_band = chunk_eq.argmax(axis=1)
+        chunk_eq = eq.reshape(eq.shape[0], eq.shape[1], bands, rows).all(axis=3)
+        first_band = chunk_eq.argmax(axis=2)
         # chunk_eq.any guards the argmax-of-all-False → 0 artifact (a pair
         # present only via a ~2^-64 band-hash collision is dropped).
-        keep &= chunk_eq.any(axis=1) & (first_band == band)
+        keep &= chunk_eq.any(axis=2) & (first_band == band)
+        ia, ib = np.nonzero(keep)
+        return ids_a[ia], ids_b[ib], est[ia, ib]
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "est_jaccard": pd.Series([], dtype="float64")})
+        band = int(g["band"].iloc[0])
+        g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
+        if max_bucket is not None and len(g) > max_bucket:
+            g = g.head(max_bucket)
+        ids = g[id_col].to_numpy()
+        sig = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
+        m = len(ids)
+        out_a, out_b, out_e = [], [], []
+        for i0 in range(0, m, _PAIR_CHUNK):
+            i1 = min(i0 + _PAIR_CHUNK, m)
+            for j0 in range(i0, m, _PAIR_CHUNK):
+                j1 = min(j0 + _PAIR_CHUNK, m)
+                a, b, e = _pair_tile(sig[i0:i1], sig[j0:j1],
+                                     ids[i0:i1], ids[j0:j1], band, i0 == j0)
+                out_a.append(a)
+                out_b.append(b)
+                out_e.append(e)
         return pd.DataFrame({
-            "id_a": ids[ia[keep]].astype(np.int64),
-            "id_b": ids[ib[keep]].astype(np.int64),
-            "est_jaccard": est[keep],
+            "id_a": np.concatenate(out_a).astype(np.int64),
+            "id_b": np.concatenate(out_b).astype(np.int64),
+            "est_jaccard": np.concatenate(out_e),
         })
 
     # Materialize: the band rows are consumed twice (count probe + pair
@@ -233,24 +269,20 @@ def minhash_lsh_pairs(
     band_rows = ds.map_batches(_bands, batch_format="pyarrow", batch_size=None).materialize()
 
     # Nearly every bucket is a singleton: find multi-member buckets with a
-    # vectorized aggregate (no per-group Python), broadcast the small hot
-    # set, and run the per-bucket pairing ONLY on those rows — turns
-    # O(#buckets) map_groups calls into O(#candidate buckets).
+    # vectorized count aggregate, then restrict the band rows to them with
+    # a hash-partitioned LEFT SEMI join — fully distributed, no bucket
+    # keys on the driver (the count table has ~n_docs·bands rows).
     from ray.data.aggregate import Count
 
-    # Filter to multi-member buckets DISTRIBUTED before collecting: the
-    # count table has ~n_docs·bands rows (mostly singletons) — only the
-    # small hot set may reach the driver.
+    from buteo_ray.state.skew import derive_num_partitions
+
     counts = band_rows.groupby(["band", "band_hash"]).aggregate(
         Count(alias_name="n"))
     multi = counts.map_batches(
         lambda t: t.filter(np.greater_equal(t["n"].to_numpy(), 2)),
         batch_format="pyarrow", batch_size=None,
-    ).to_pandas()
-    # An all-singleton corpus yields an empty frame with no column names.
-    hot_keys = (set(zip(multi["band"].tolist(), multi["band_hash"].tolist()))
-                if len(multi) else set())
-    if not hot_keys:
+    ).materialize()
+    if multi.count() == 0:
         import ray.data as rd
 
         return rd.from_pandas(pd.DataFrame(
@@ -258,20 +290,15 @@ def minhash_lsh_pairs(
              "id_b": pd.Series([], dtype="int64"),
              "est_jaccard": pd.Series([], dtype="float64")}))
 
-    def _only_hot(t: pa.Table) -> pa.Table:
-        b = t["band"].to_numpy()
-        h = t["band_hash"].to_numpy(zero_copy_only=False)
-        keep = np.fromiter(((bb, hh) in hot_keys for bb, hh in zip(b, h)),
-                           dtype=bool, count=len(b))
-        return t.filter(pa.array(keep))
-
+    hot = band_rows.join(
+        multi, join_type="left_semi",
+        num_partitions=derive_num_partitions(band_rows, multi),
+        on=("band", "band_hash"),
+    )
     # No pair-dedup shuffle needed: the first-matching-band ownership
     # rule inside _pairs makes each pair emit exactly once.
-    return (
-        band_rows.map_batches(_only_hot, batch_format="pyarrow", batch_size=None)
-        .groupby(["band", "band_hash"])
-        .map_groups(_pairs, batch_format="pandas")
-    )
+    return hot.groupby(["band", "band_hash"]).map_groups(
+        _pairs, batch_format="pandas")
 
 
 def simhash64(texts: List[str]) -> np.ndarray:

@@ -72,20 +72,29 @@ class TextScorer:
         self.text_col = text_col
         self.out_col = out_col
         self.langs = sorted(STOPWORDS)
-        self.lookup: Dict[str, int] = {}
+        lookup: Dict[str, int] = {}
         for li, lang in enumerate(self.langs):
             for w in STOPWORDS[lang]:
                 # A stopword shared across languages scores for each; keep
                 # one entry per (word) with a bitmask of languages.
-                self.lookup[w] = self.lookup.get(w, 0) | (1 << li)
+                lookup[w] = lookup.get(w, 0) | (1 << li)
+        # Parallel arrays for the vectorized pc.index_in probe (built once
+        # per actor; no per-token Python dict lookups in __call__).
+        words = sorted(lookup)
+        self.word_set = pa.array(words, type=pa.string())
+        self.word_masks = np.array([lookup[w] for w in words], dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pd.Series(batch[self.text_col].to_pylist())
-        toks = texts.str.lower().str.split(" ")
-        flat = toks.explode()
-        doc_of = flat.index.to_numpy().astype(np.int64)
-        masks = flat.map(self.lookup).fillna(0).to_numpy().astype(np.int64)
-        n = len(texts)
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(
+            pc.utf8_lower(pc.cast(batch[self.text_col], pa.string())), " ")
+        flat = pc.list_flatten(toks)
+        doc_of = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.fill_null(pc.index_in(flat, value_set=self.word_set), -1)
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        masks = np.where(idx_np >= 0, self.word_masks[np.clip(idx_np, 0, None)], 0)
+        n = batch.num_rows
         scores = np.zeros((n, len(self.langs)), dtype=np.int64)
         for li in range(len(self.langs)):
             np.add.at(scores[:, li], doc_of, (masks >> li) & 1)
@@ -110,10 +119,12 @@ def add_lang_pred(ds, concurrency: int | None = None):
 def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
     """64-bit deterministic document fingerprint (vectorized siphash)."""
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         from buteo_ray.stages.dedup import content_hash_column
 
-        batch[out_col] = content_hash_column(batch[text_col])
-        return batch
+        # Arrow-native stage: only the text column converts (the 64-bit
+        # siphash kernel lives in pandas); all other columns stay zero-copy.
+        h = content_hash_column(batch[text_col].to_pandas())
+        return batch.append_column(out_col, pa.array(h))
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

@@ -66,10 +66,13 @@ def filter_completed(ds, partition_col: str, out_dir: str):
     if not done:
         return ds
 
+    import pyarrow.compute as pc
+
+    done_arr = pa.array(sorted(done), type=pa.string())
+
     def _fn(batch: pa.Table) -> pa.Table:
-        vals = [str(v) for v in batch[partition_col].to_pylist()]
-        keep = pa.array([v not in done for v in vals])
-        return batch.filter(keep)
+        vals = pc.cast(batch[partition_col], pa.string())
+        return batch.filter(pc.invert(pc.is_in(vals, value_set=done_arr)))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
