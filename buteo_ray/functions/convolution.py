@@ -312,11 +312,15 @@ def kernel_get_offsets_and_weights(kernel: np.ndarray, remove_zero_weights: bool
 
 
 def kernel_shift(x_offset: float, y_offset: float):
-    """Fractional-pixel shift kernel: ((dx, dy) offsets, weights) whose
+    """Fractional-pixel shift kernel: ((dy, dx) offsets, weights) whose
     weighted sum translates a raster by sub-pixel amounts (reference
     ``kernels.py:120-...`` ``kernel_shift``; also the augmentation
     misalignment primitive). Supports the axis-aligned cases the
-    reference implements plus the general bilinear 4-tap case."""
+    reference implements plus the general bilinear 4-tap case.
+
+    Offset rows are (dy, dx) — the same convention
+    :func:`convolve_offsets` and :func:`kernel_get_offsets_and_weights`
+    use, so the output feeds ``convolve_offsets`` directly."""
     if x_offset == 0.0 and y_offset == 0.0:
         return np.array([[0, 0]], dtype=np.int64), np.array([1.0], dtype=np.float32)
 
@@ -329,7 +333,7 @@ def kernel_shift(x_offset: float, y_offset: float):
         for (dy, wy) in ((y0, 1 - fy), (y1, fy)) if y0 != y1 else ((y0, 1.0),):
             w = wx * wy
             if w != 0.0:
-                taps[(dx, dy)] = taps.get((dx, dy), 0.0) + w
+                taps[(dy, dx)] = taps.get((dy, dx), 0.0) + w
     offsets = np.array(list(taps.keys()), dtype=np.int64)
     weights = np.array(list(taps.values()), dtype=np.float32)
     return offsets, weights
@@ -340,24 +344,21 @@ def convolve_offsets(arr: np.ndarray, offsets: np.ndarray, weights: np.ndarray,
     """Weighted sum over explicit (first-axis, second-axis) offset taps —
     the reference's offsets+weights convolution form (``convolution/
     base.py`` convolve_array with offsets). 2-D input; offsets rows are
-    (dy, dx) for kernel-derived taps or (dx, dy) pairs from
-    :func:`kernel_shift` are handled by the caller's convention."""
+    (dy, dx) — the convention shared by
+    :func:`kernel_get_offsets_and_weights` and :func:`kernel_shift`."""
     arr = np.asarray(arr, dtype=np.float64)
     out = np.zeros_like(arr)
     wsum = np.zeros_like(arr)
     invalid_center = np.isnan(arr) | ((arr == nodata) if nodata is not None else False)
+    n, m = arr.shape
+    ri = np.arange(n)
+    ci = np.arange(m)
     for (dy, dx), w in zip(offsets, weights):
-        shifted = np.roll(np.roll(arr, -int(dy), axis=0), -int(dx), axis=1)
-        # Edge handling: out-of-range taps replicate the edge (mask the
-        # wrapped region back to the nearest valid row/col).
-        if dy > 0:
-            shifted[-int(dy):, :] = shifted[-int(dy) - 1, :] if int(dy) < arr.shape[0] else shifted[-1, :]
-        elif dy < 0:
-            shifted[:-int(dy), :] = shifted[-int(dy), :]
-        if dx > 0:
-            shifted[:, -int(dx):] = shifted[:, [-int(dx) - 1]] if int(dx) < arr.shape[1] else shifted[:, [-1]]
-        elif dx < 0:
-            shifted[:, :-int(dx)] = shifted[:, [-int(dx)]]
+        # Edge-replicating tap: gather with clamped source indices — safe
+        # for any |offset|, including offsets larger than the array.
+        rows = np.clip(ri + int(dy), 0, n - 1)
+        cols = np.clip(ci + int(dx), 0, m - 1)
+        shifted = arr[np.ix_(rows, cols)]
         valid = ~(np.isnan(shifted) | ((shifted == nodata) if nodata is not None else False))
         out += np.where(valid, shifted, 0.0) * w * valid
         wsum += w * valid

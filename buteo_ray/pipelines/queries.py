@@ -840,7 +840,10 @@ def q_asof_join(sf_dir: str):
 def sql_asof_join() -> str:
     return (
         "WITH a AS (SELECT * FROM events WHERE event_type = 'click'), "
-        "b AS (SELECT * FROM events WHERE event_type = 'purchase') "
+        # Same tie-break as the engine: one right row per (user, ts),
+        # keeping the max value among equal timestamps.
+        "b AS (SELECT user_id, ts, MAX(value) AS value FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) "
         "SELECT a.event_id, a.user_id, b.value AS right_value "
         "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts"
     )

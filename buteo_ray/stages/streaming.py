@@ -137,6 +137,14 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
         right = g[g["__side"] == 1].drop(columns="__side").sort_values(ts_col, kind="stable")
         right2 = right[[key_col, ts_col] + rcols].rename(
             columns={c: f"right_{c}" for c in rcols})
+        # Deterministic tie-break for duplicate right timestamps per key:
+        # keep the row with the max value tuple. pandas merge_asof and
+        # DuckDB ASOF JOIN each pick an arbitrary row among equal-ts
+        # matches; deduping BOTH sides (oracle does the same via
+        # GROUP BY + MAX) makes the comparison stable.
+        right2 = right2.sort_values(
+            [key_col, ts_col] + [f"right_{c}" for c in rcols], kind="stable",
+        ).drop_duplicates(subset=[key_col, ts_col], keep="last")
         right2["right_ts"] = right2[ts_col]
         merged = pd.merge_asof(left, right2, on=ts_col, by=key_col,
                                direction="backward")

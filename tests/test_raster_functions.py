@@ -404,3 +404,17 @@ def test_kernel_offsets_and_shift():
         convolve_offsets(arr, np.array([[0, 0]]), np.array([1.0])), arr)
     # Constant array is invariant under any normalized tap set.
     np.testing.assert_allclose(convolve_offsets(np.ones((4, 4)), off, w), 6.0)
+
+    # kernel_shift returns (dy, dx) rows: a pure-x half-pixel shift must
+    # move COLUMNS when fed straight into convolve_offsets.
+    shifted_x = convolve_offsets(arr, *kernel_shift(1.0, 0.0))
+    np.testing.assert_allclose(shifted_x[:, :-1], arr[:, 1:])
+    shifted_y = convolve_offsets(arr, *kernel_shift(0.0, 1.0))
+    np.testing.assert_allclose(shifted_y[:-1, :], arr[1:, :])
+
+    # Offsets at or beyond the array extent clamp to edge replication
+    # instead of crashing / wrapping.
+    big = convolve_offsets(arr, np.array([[-3, 0]]), np.array([1.0]))
+    np.testing.assert_allclose(big, np.tile(arr[0], (3, 1)))
+    huge = convolve_offsets(arr, np.array([[10, -10]]), np.array([1.0]))
+    np.testing.assert_allclose(huge, np.full((3, 4), arr[-1, 0]))
