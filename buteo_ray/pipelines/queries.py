@@ -919,6 +919,63 @@ def q_knn_cells(sf_dir: str):
     return knn_cells(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
 
 
+def q_line_bbox_join(sf_dir: str):
+    """Polyline-layer bbox join: a deterministic linestring layer (one
+    3-vertex polyline per doc_id % 20 == 0, vertices hash-geocoded from
+    ids id/id+7/id+13) is WKB-encoded, bbox'd through the line codec
+    (``geom/wkb.py`` linestring support), and broadcast-joined against
+    the geocoded documents; per-line match counts returned."""
+    from ray.data.aggregate import Count
+
+    from buteo_ray.geom.wkb import geom_bbox, wkb_linestring
+    from buteo_ray.stages.geocode import hash_coords_from_ids
+
+    docs = geocode(_docs(sf_dir, columns=["doc_id"]))
+    line_ids = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: t.filter(np.equal(t["doc_id"].to_numpy() % 20, 0)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()["doc_id"].to_numpy()
+    # Round-trip every line through the WKB codec; its bbox drives the join.
+    wkbs = []
+    for i in line_ids:
+        lat, lon = hash_coords_from_ids(np.array([i, i + 7, i + 13], dtype=np.int64))
+        wkbs.append(wkb_linestring(np.column_stack([lon, lat])))
+    boxes = np.array([geom_bbox(w) for w in wkbs])
+    rects = pa.table({
+        "aoi_id": pa.array(line_ids, type=pa.int64()),
+        "bbox_xmin": boxes[:, 0], "bbox_xmax": boxes[:, 1],
+        "bbox_ymin": boxes[:, 2], "bbox_ymax": boxes[:, 3],
+    })
+    out = (
+        broadcast_bbox_join(docs, rects, how="inner")
+        .groupby("aoi_id")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .rename(columns={"aoi_id": "line_id"})
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def sql_line_bbox_join() -> str:
+    lat0, lon0 = geocode_sql_exprs("l.doc_id")
+    lat7, lon7 = geocode_sql_exprs("(l.doc_id + 7)")
+    lat13, lon13 = geocode_sql_exprs("(l.doc_id + 13)")
+    return (
+        "WITH lines AS (SELECT l.doc_id AS line_id, "
+        f"LEAST({lon0}, {lon7}, {lon13}) AS xmin, "
+        f"GREATEST({lon0}, {lon7}, {lon13}) AS xmax, "
+        f"LEAST({lat0}, {lat7}, {lat13}) AS ymin, "
+        f"GREATEST({lat0}, {lat7}, {lat13}) AS ymax "
+        "FROM documents l WHERE l.doc_id % 20 = 0), "
+        f"pts AS (SELECT doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM documents) "
+        "SELECT li.line_id, COUNT(*) AS n_docs FROM lines li JOIN pts p ON "
+        "p.lon >= li.xmin AND p.lon <= li.xmax AND "
+        "p.lat >= li.ymin AND p.lat <= li.ymax "
+        "GROUP BY li.line_id"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -953,6 +1010,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "median_by_group": q_median_by_group,
     "histogram": q_histogram,
     "asof_join": q_asof_join,
+    "line_bbox_join": q_line_bbox_join,
     # rows-only (no SQL oracle; pytest-verified instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "simhash": q_simhash,
@@ -994,4 +1052,5 @@ ORACLE_SQL: Dict[str, str] = {
     "median_by_group": sql_median_by_group(),
     "histogram": sql_histogram(),
     "asof_join": sql_asof_join(),
+    "line_bbox_join": sql_line_bbox_join(),
 }

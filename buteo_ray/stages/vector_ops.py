@@ -17,7 +17,16 @@ import pandas as pd
 import pyarrow as pa
 
 from buteo_ray.geom.predicates import clip_polygon_convex, polygon_area, polygon_centroid
-from buteo_ray.geom.wkb import geom_bbox, parse_wkb, wkb_multipolygon, wkb_polygon
+from buteo_ray.geom.wkb import (
+    encode_geom,
+    geom_bbox,
+    geom_vertices,
+    map_coords,
+    parse_wkb,
+    parse_wkb_dims,
+    wkb_multipolygon,
+    wkb_polygon,
+)
 from buteo_ray.grid.projection import reproject_points
 
 
@@ -122,10 +131,13 @@ def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull")
         pts = []
         for w in g["geom_wkb"]:
             kind, payload = parse_wkb(w)
-            polys = [payload] if kind == "polygon" else payload
-            # Exterior ring of EVERY member (holes can't extend the hull).
-            for rings in polys:
-                pts.append(rings[0][:-1])
+            if kind in ("polygon", "multipolygon"):
+                polys = [payload] if kind == "polygon" else payload
+                # Exterior ring of EVERY member (holes can't extend the hull).
+                for rings in polys:
+                    pts.append(rings[0][:-1, :2])
+            else:
+                pts.append(geom_vertices(kind, payload)[:, :2])
         allpts = np.vstack(pts)
         if geometry == "bbox":
             x0, y0 = allpts[:, 0].min(), allpts[:, 1].min()
@@ -153,19 +165,37 @@ def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull")
     return ds.groupby(by).map_groups(_dissolve, batch_format="pandas")
 
 
+def _explode_members(kind, payload, dims):
+    """Members of a geometry as (kind, payload) singleparts (≙ reference
+    multipart.py split rules: multi → its members, single → itself,
+    collection → recursively exploded members)."""
+    if kind == "multipolygon":
+        return [("polygon", rings) for rings in payload]
+    if kind == "multilinestring":
+        return [("linestring", l) for l in payload]
+    if kind == "multipoint":
+        return [("point", tuple(p)) for p in payload]
+    if kind == "geometrycollection":
+        out = []
+        for k, p in payload:
+            out.extend(_explode_members(k, p, dims))
+        return out
+    return [(kind, payload)]
+
+
 def multipart_to_singlepart(ds):
-    """Explode multipolygons into one row per member polygon (≙
+    """Explode multi-geometries (multipolygon / multilinestring /
+    multipoint / geometrycollection) into one row per member (≙
     reference core_vector/conversion/multipart.py:58-190; 1→N with a
     ``part_idx`` ordinal)."""
 
     def _fn(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, r in batch.iterrows():
-            kind, payload = parse_wkb(r["geom_wkb"])
-            polys = [payload] if kind == "polygon" else payload
-            for i, rings in enumerate(polys):
+            kind, payload, dims = parse_wkb_dims(r["geom_wkb"])
+            for i, (k, p) in enumerate(_explode_members(kind, payload, dims)):
                 rr = dict(r)
-                rr["geom_wkb"] = wkb_polygon(rings)
+                rr["geom_wkb"] = encode_geom(k, p, dims)
                 rr["part_idx"] = i
                 rows.append(rr)
         out = pd.DataFrame(rows) if rows else batch.assign(part_idx=0).iloc[:0]
@@ -174,18 +204,44 @@ def multipart_to_singlepart(ds):
     return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
 
 
+_MULTI_OF = {"point": "multipoint", "linestring": "multilinestring",
+             "polygon": "multipolygon"}
+
+
+def _collect_geoms(parts, dims):
+    """Singleparts → one multi-geometry: homogeneous kinds promote to the
+    matching multi type, mixed kinds to a geometrycollection."""
+    kinds = {k for k, _ in parts}
+    if kinds == {"polygon"}:
+        return wkb_multipolygon([p for _, p in parts], dims=dims)
+    if kinds == {"linestring"}:
+        from buteo_ray.geom.wkb import wkb_multilinestring
+
+        return wkb_multilinestring([p for _, p in parts], dims=dims)
+    if kinds == {"point"}:
+        from buteo_ray.geom.wkb import wkb_multipoint
+
+        return wkb_multipoint(np.array([p for _, p in parts]), dims=dims)
+    from buteo_ray.geom.wkb import wkb_geometrycollection
+
+    return wkb_geometrycollection([encode_geom(k, p, dims) for k, p in parts],
+                                  dims=dims)
+
+
 def singlepart_to_multipart(ds, by: str):
-    """Collect polygons per key into one multipolygon row (N→1, ≙
-    multipart.py:191-297)."""
+    """Collect geometries per key into one multi-geometry row (N→1, ≙
+    multipart.py:191-297). Homogeneous groups promote to multipoint /
+    multilinestring / multipolygon; mixed groups to a collection."""
 
     def _collect(g: pd.DataFrame) -> pd.DataFrame:
-        polys = []
+        parts = []
+        dims = "xy"
         for w in sorted(g["geom_wkb"], key=lambda b: b):  # deterministic order
-            kind, payload = parse_wkb(w)
-            polys.extend([payload] if kind == "polygon" else payload)
+            kind, payload, dims = parse_wkb_dims(w)
+            parts.extend(_explode_members(kind, payload, dims))
         out = pd.DataFrame({by: [g[by].iloc[0]],
-                            "geom_wkb": [wkb_multipolygon(polys)],
-                            "n_parts": [len(polys)]})
+                            "geom_wkb": [_collect_geoms(parts, dims)],
+                            "n_parts": [len(parts)]})
         return _rebuild_bbox_cols(out)
 
     return ds.groupby(by).map_groups(_collect, batch_format="pandas")
@@ -214,6 +270,25 @@ def vector_fix_geometry(ds):
         fixed, keep = [], []
         for w in batch["geom_wkb"]:
             kind, payload = parse_wkb(w)
+            if kind not in ("polygon", "multipolygon"):
+                # Points pass through; lines drop degenerate (<2-vertex)
+                # members but need no ring repair.
+                if kind == "linestring" and np.asarray(payload).shape[0] < 2:
+                    keep.append(False)
+                    continue
+                if kind == "multilinestring":
+                    members = [l for l in payload if np.asarray(l).shape[0] >= 2]
+                    if not members:
+                        keep.append(False)
+                        continue
+                    from buteo_ray.geom.wkb import wkb_multilinestring
+
+                    fixed.append(wkb_multilinestring(members))
+                    keep.append(True)
+                    continue
+                fixed.append(w)
+                keep.append(True)
+                continue
             # Fix each multipolygon member SEPARATELY — flattening would
             # turn later members' exteriors into holes of the first.
             polys = [payload] if kind == "polygon" else payload
@@ -236,26 +311,16 @@ def vector_reproject(ds, src: str, dst: str):
     vector/reproject.py:24-151) using the from-scratch projection math
     (``grid/projection.py``)."""
 
+    def _tx(pts: np.ndarray) -> np.ndarray:
+        x, y = reproject_points(pts[:, 0], pts[:, 1], src, dst)
+        # Extra Z/M columns ride through unchanged.
+        return np.column_stack([x, y] + [pts[:, j] for j in range(2, pts.shape[1])])
+
     def _fn(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for w in batch["geom_wkb"]:
-            kind, payload = parse_wkb(w)
-            if kind == "point":
-                x, y = reproject_points(payload[0], payload[1], src, dst)
-                from buteo_ray.geom.wkb import wkb_point
-
-                out.append(wkb_point(float(x), float(y)))
-                continue
-            polys = [payload] if kind == "polygon" else payload
-            new_polys = []
-            for rings in polys:
-                new_rings = []
-                for ring in rings:
-                    x, y = reproject_points(ring[:, 0], ring[:, 1], src, dst)
-                    new_rings.append(np.column_stack([x, y]))
-                new_polys.append(new_rings)
-            out.append(wkb_polygon(new_polys[0]) if kind == "polygon"
-                       else wkb_multipolygon(new_polys))
+            kind, payload, dims = parse_wkb_dims(w)
+            out.append(encode_geom(kind, map_coords(kind, payload, _tx), dims))
         batch = batch.copy()
         batch["geom_wkb"] = out
         return _rebuild_bbox_cols(batch)
@@ -274,6 +339,13 @@ def vector_add_centroids(ds):
             if kind == "point":
                 cx.append(payload[0])
                 cy.append(payload[1])
+                areas.append(0.0)
+                continue
+            if kind not in ("polygon", "multipolygon"):
+                # Zero-area kinds (lines, multipoints): vertex mean.
+                v = geom_vertices(kind, payload)
+                cx.append(float(v[:, 0].mean()))
+                cy.append(float(v[:, 1].mean()))
                 areas.append(0.0)
                 continue
             polys = [payload] if kind == "polygon" else payload
@@ -334,17 +406,60 @@ def vector_change_multitype(ds, target: str):
     def _fn(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for w in batch["geom_wkb"]:
-            kind, payload = parse_wkb(w)
+            kind, payload, dims = parse_wkb_dims(w)
             if target == "multi":
-                polys = [payload] if kind == "polygon" else payload
-                out.append(wkb_multipolygon(polys))
-            else:
-                if kind == "polygon":
+                if kind in _MULTI_OF.values() or kind == "geometrycollection":
                     out.append(w)
-                elif len(payload) == 1:
-                    out.append(wkb_polygon(payload[0]))
+                else:
+                    out.append(_collect_geoms([(kind, payload)], dims))
+            else:
+                members = _explode_members(kind, payload, dims)
+                if len(members) == 1:
+                    k, p = members[0]
+                    out.append(encode_geom(k, p, dims))
                 else:
                     raise ValueError("cannot demote a multi-part geometry to single")
+        batch = batch.copy()
+        batch["geom_wkb"] = out
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def vector_change_dimensionality(ds, target: str, z_value: float = 0.0,
+                                 m_value: float = 0.0):
+    """Add/drop Z and M coordinates (≙ ``vector_change_dimensionality``,
+    reference core_vector/conversion/dimensionality.py:222-393).
+    ``target`` ∈ {'xy', 'xyz', 'xym', 'xyzm'}; added coordinates are
+    filled with ``z_value`` / ``m_value``."""
+    from buteo_ray.geom.wkb import _NDIM
+
+    if target not in _NDIM:
+        raise ValueError(f"target must be one of {sorted(_NDIM)}")
+
+    def _reshape(pts: np.ndarray, dims: str) -> np.ndarray:
+        # Decompose the source into named coords, then assemble the target.
+        x, y = pts[:, 0], pts[:, 1]
+        z = pts[:, 2] if dims in ("xyz", "xyzm") else np.full(len(pts), z_value)
+        if dims == "xym":
+            m = pts[:, 2]
+        elif dims == "xyzm":
+            m = pts[:, 3]
+        else:
+            m = np.full(len(pts), m_value)
+        cols = {"xy": [x, y], "xyz": [x, y, z], "xym": [x, y, m],
+                "xyzm": [x, y, z, m]}[target]
+        return np.column_stack(cols)
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for w in batch["geom_wkb"]:
+            kind, payload, dims = parse_wkb_dims(w)
+            if dims == target:
+                out.append(w)
+                continue
+            new_payload = map_coords(kind, payload, lambda p: _reshape(p, dims))
+            out.append(encode_geom(kind, new_payload, target))
         batch = batch.copy()
         batch["geom_wkb"] = out
         return batch
