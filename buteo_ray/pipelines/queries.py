@@ -919,6 +919,50 @@ def q_knn_cells(sf_dir: str):
     return knn_cells(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
 
 
+def q_dissolve_union(sf_dir: str):
+    """Exact-union dissolve (≙ reference vector/dissolve.py true
+    ST_Union): 0.5°-buffered squares around every 20th document's hash
+    coords, grouped by (doc_id // 20) % 3, dissolved with the boolean-overlay
+    engine (geom/boolean.py). Union area is not SQL-expressible in this
+    environment — rows-only; the engine itself is verified against a
+    rasterized even-odd oracle in tests/test_boolean_union.py."""
+    from buteo_ray.geom.wkb import geom_bbox, wkb_polygon
+    from buteo_ray.stages.geocode import hash_coords_from_ids
+    from buteo_ray.stages.vector_ops import vector_dissolve
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: t.filter(np.equal(t["doc_id"].to_numpy() % 20, 0)),
+        batch_format="pyarrow", batch_size=None)
+
+    def _buffered(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = hash_coords_from_ids(ids)
+        half = 0.25
+        wkbs, boxes = [], []
+        for i in range(len(ids)):
+            x0, x1 = lon[i] - half, lon[i] + half
+            y0, y1 = lat[i] - half, lat[i] + half
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+            w = wkb_polygon([ring])
+            wkbs.append(w)
+            boxes.append(geom_bbox(w))
+        boxes = np.array(boxes) if boxes else np.zeros((0, 4))
+        return pa.table({
+            # ids are all ≡0 mod 20, so mod-5 of the id would collapse to
+            # one group — group on the id's rank instead.
+            "grp": pa.array((ids // 20) % 3, type=pa.int64()),
+            "geom_wkb": pa.array(wkbs, type=pa.binary()),
+            "bbox_xmin": boxes[:, 0], "bbox_xmax": boxes[:, 1],
+            "bbox_ymin": boxes[:, 2], "bbox_ymax": boxes[:, 3],
+        })
+
+    geoms = ds.map_batches(_buffered, batch_format="pyarrow", batch_size=None)
+    out = vector_dissolve(geoms, by="grp", geometry="union").to_pandas()
+    out = out[["grp", "n_features", "area"]].sort_values("grp").reset_index(drop=True)
+    out["area"] = out["area"].round(6)
+    return out
+
+
 def q_line_bbox_join(sf_dir: str):
     """Polyline-layer bbox join: a deterministic linestring layer (one
     3-vertex polyline per doc_id % 20 == 0, vertices hash-geocoded from
@@ -1018,6 +1062,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "knn_cells": q_knn_cells,
     "pip_join_poly": q_pip_join_poly,
     "embed_centroids": q_embed_centroids,
+    "dissolve_union": q_dissolve_union,
 }
 
 ORACLE_SQL: Dict[str, str] = {

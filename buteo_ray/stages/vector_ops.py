@@ -4,8 +4,9 @@ reference's ``core_vector``/``vector`` modules re-expressed as
 
 Geometry Datasets carry ``geom_wkb:binary`` + ``bbox_*`` columns
 (SURVEY.md §1.3). All geometry math is this package's pure-numpy layer
-(no GDAL/shapely). Union of arbitrary polygons is out of v1 scope —
-dissolve offers bbox-hull and convex-hull geometries (documented).
+(no GDAL/shapely); exact polygon union / intersection / difference come
+from ``geom/boolean.py``, so dissolve offers true ``ST_Union`` geometry
+and clip accepts arbitrary (concave, holed, multi-part) clip layers.
 """
 
 from __future__ import annotations
@@ -120,49 +121,133 @@ def _convex_hull(points: np.ndarray) -> np.ndarray:
     return np.vstack([hull, hull[:1]])
 
 
-def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull"):
-    """Grouped dissolve (≙ ``vector_dissolve``, reference
-    vector/dissolve.py:26-264). Output geometry per group: 'convex_hull'
-    of all vertices or 'bbox' hull (exact polygon union is out of v1
-    scope — documented). ``by=None`` dissolves everything into one row
-    (reference's global union / vector_merge_features)."""
+def _member_polys(w: bytes) -> list:
+    """Polygon members of a WKB geometry (each a list of rings)."""
+    kind, payload = parse_wkb(w)
+    if kind == "polygon":
+        return [payload]
+    if kind == "multipolygon":
+        return payload
+    raise ValueError(f"dissolve geometry='union' needs polygonal input, got {kind}")
 
-    def _dissolve(g: pd.DataFrame) -> pd.DataFrame:
-        pts = []
-        for w in g["geom_wkb"]:
-            kind, payload = parse_wkb(w)
-            if kind in ("polygon", "multipolygon"):
-                polys = [payload] if kind == "polygon" else payload
-                # Exterior ring of EVERY member (holes can't extend the hull).
-                for rings in polys:
-                    pts.append(rings[0][:-1, :2])
-            else:
-                pts.append(geom_vertices(kind, payload)[:, :2])
-        allpts = np.vstack(pts)
-        if geometry == "bbox":
-            x0, y0 = allpts[:, 0].min(), allpts[:, 1].min()
-            x1, y1 = allpts[:, 0].max(), allpts[:, 1].max()
-            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+
+def _dissolve_reduce(wkbs, geometry: str):
+    """Combine member geometries → (rings_list, area). Associative for
+    every mode (hull of hulls == hull; bbox of bboxes == bbox; union of
+    unions == union), which is what makes the two-level plan exact."""
+    if geometry == "union":
+        from buteo_ray.geom.boolean import polygon_union, union_area
+
+        polys = []
+        for w in wkbs:
+            polys.extend(_member_polys(w))
+        u = polygon_union(polys)
+        return u, union_area(u)
+    pts = []
+    for w in wkbs:
+        kind, payload = parse_wkb(w)
+        if kind in ("polygon", "multipolygon"):
+            polys = [payload] if kind == "polygon" else payload
+            # Exterior ring of EVERY member (holes can't extend the hull).
+            for rings in polys:
+                pts.append(rings[0][:-1, :2])
         else:
-            ring = _convex_hull(allpts)
+            pts.append(geom_vertices(kind, payload)[:, :2])
+    allpts = np.vstack(pts)
+    if geometry == "bbox":
+        x0, y0 = allpts[:, 0].min(), allpts[:, 1].min()
+        x1, y1 = allpts[:, 0].max(), allpts[:, 1].max()
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    else:
+        ring = _convex_hull(allpts)
+    return [[ring]], polygon_area([ring])
+
+
+def _encode_polyset(polys) -> bytes:
+    return (wkb_polygon(polys[0]) if len(polys) == 1 else wkb_multipolygon(polys))
+
+
+def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull",
+                    two_level: bool = True):
+    """Grouped dissolve (≙ ``vector_dissolve``, reference
+    vector/dissolve.py:26-264). Output geometry per group: 'union'
+    (exact polygon union via ``geom/boolean.py``), 'convex_hull' of all
+    vertices, or 'bbox' hull. ``by=None`` dissolves everything into one
+    row (reference's global union / vector_merge_features).
+
+    Two-level plan (default): a ``map_batches`` partial stage combines
+    each block's rows per key FIRST, so the final per-key group receives
+    one partial row per block instead of every feature — the global
+    (``by=None``) dissolve no longer ships the whole dataset to a single
+    ``map_groups`` task. All three combine rules are associative, so the
+    result is identical to the single-pass plan (pytest-pinned)."""
+    if geometry not in ("union", "convex_hull", "bbox"):
+        raise ValueError("geometry must be 'union', 'convex_hull' or 'bbox'")
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        polys, area = _dissolve_reduce(list(g["geom_wkb"]), geometry)
+        n = int(g["__n"].sum()) if "__n" in g.columns else len(g)
         out = pd.DataFrame({
-            "geom_wkb": [wkb_polygon([ring])],
-            "n_features": [len(g)],
-            "area": [polygon_area([ring])],
+            "geom_wkb": [_encode_polyset(polys)],
+            "n_features": [n],
+            "area": [area],
         })
         if by is not None:
             out.insert(0, by, [g[by].iloc[0]])
         return _rebuild_bbox_cols(out)
 
+    key = by
     if by is None:
-        import ray.data as rd
-
-        tagged = ds.map_batches(
+        ds = ds.map_batches(
             lambda t: t.append_column("__all", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
             batch_format="pyarrow", batch_size=None)
-        out = tagged.groupby("__all").map_groups(_dissolve, batch_format="pandas")
-        return out
-    return ds.groupby(by).map_groups(_dissolve, batch_format="pandas")
+        key = "__all"
+
+    if two_level:
+        def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for kval, g in batch.groupby(key, sort=False):
+                polys, _ = _dissolve_reduce(list(g["geom_wkb"]), geometry)
+                rows.append({key: kval, "geom_wkb": _encode_polyset(polys),
+                             "__n": len(g)})
+            return pd.DataFrame(rows, columns=[key, "geom_wkb", "__n"])
+
+        ds = ds.map_batches(_partial, batch_format="pandas", batch_size=None)
+
+    return ds.groupby(key).map_groups(_final, batch_format="pandas")
+
+
+def vector_clip(ds, clip_polys):
+    """Geometric intersection-and-crop against an ARBITRARY (concave,
+    multi-part, holed) clip geometry (≙ ``vector_clip``, reference
+    vector/clip.py:24-151 ``-clipsrc``): bbox prefilter + exact boolean
+    intersection per feature; empty results dropped. ``clip_polys`` is a
+    list of polygons (ring lists) or a single ring array."""
+    from buteo_ray.geom.boolean import polygon_boolean
+
+    if isinstance(clip_polys, np.ndarray):
+        clip_polys = [[clip_polys]]
+    all_clip_pts = np.vstack([r for rings in clip_polys for r in rings])
+    cxmin, cymin = all_clip_pts[:, 0].min(), all_clip_pts[:, 1].min()
+    cxmax, cymax = all_clip_pts[:, 0].max(), all_clip_pts[:, 1].max()
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = ~((batch["bbox_xmax"] < cxmin) | (batch["bbox_xmin"] > cxmax)
+                 | (batch["bbox_ymax"] < cymin) | (batch["bbox_ymin"] > cymax))
+        batch = batch[keep].copy()
+        out_wkb, kept = [], []
+        for w in batch["geom_wkb"]:
+            clipped = polygon_boolean(_member_polys(w), clip_polys, "intersection")
+            if clipped:
+                out_wkb.append(_encode_polyset(clipped))
+                kept.append(True)
+            else:
+                kept.append(False)
+        batch = batch[np.array(kept, dtype=bool)] if len(batch) else batch
+        batch["geom_wkb"] = out_wkb
+        return _rebuild_bbox_cols(batch)
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
 
 
 def _explode_members(kind, payload, dims):
