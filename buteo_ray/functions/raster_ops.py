@@ -68,6 +68,160 @@ def resample_bilinear(arr: np.ndarray, scale: float) -> np.ndarray:
             + cc * wy * (1 - wx) + d * wy * wx)
 
 
+def _kernel_cubic(t: np.ndarray) -> np.ndarray:
+    """Keys bicubic, a=-0.5 (GDAL 'cubic'); support 2."""
+    a = -0.5
+    t = np.abs(t)
+    w = np.where(t <= 1, (a + 2) * t**3 - (a + 3) * t**2 + 1,
+                 np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0))
+    return w
+
+
+def _kernel_cubicspline(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (GDAL 'cubicspline'); support 2. Smoothing —
+    does NOT interpolate the samples (by design)."""
+    t = np.abs(t)
+    return np.where(t < 1, 2.0 / 3.0 - t**2 + 0.5 * t**3,
+                    np.where(t < 2, ((2 - t) ** 3) / 6.0, 0.0))
+
+
+def _kernel_lanczos(t: np.ndarray) -> np.ndarray:
+    """Lanczos a=3 (GDAL 'lanczos'); support 3."""
+    t = np.abs(t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.sinc(t) * np.sinc(t / 3.0)
+    return np.where(t < 3, w, 0.0)
+
+
+_SEPARABLE = {"cubic": (_kernel_cubic, 2), "cubicspline": (_kernel_cubicspline, 2),
+              "lanczos": (_kernel_lanczos, 3)}
+
+
+def resample_separable(arr: np.ndarray, scale: float, alg: str = "cubic") -> np.ndarray:
+    """Separable convolution resample (cubic / cubicspline / lanczos ≙
+    reference resample_alg table, utils/utils_translate.py:293-346 +
+    raster/resample.py:29-332). Edge-replicating; per-axis weights
+    normalized to 1 (GDAL semantics). Channel-last (H, W, C)."""
+    kernel, support = _SEPARABLE[alg]
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w, c = arr.shape
+
+    def _axis(n_in: int, n_out: int, sc: float):
+        f = (np.arange(n_out) + 0.5) / sc - 0.5
+        base = np.floor(f).astype(np.int64)
+        taps = np.arange(-support + 1, support + 1)
+        idx = base[:, None] + taps[None, :]
+        wgt = kernel(f[:, None] - idx)
+        wgt /= wgt.sum(axis=1, keepdims=True)
+        return np.clip(idx, 0, n_in - 1), wgt
+
+    oh = max(int(round(h * scale)), 1)
+    ow = max(int(round(w * scale)), 1)
+    yi, yw = _axis(h, oh, scale)
+    xi, xw = _axis(w, ow, scale)
+    # y pass: (oh, w, c)
+    tmp = np.einsum("otwc,ot->owc", arr[yi, :, :], yw)
+    # x pass: (oh, ow, c)
+    return np.einsum("hotc,ot->hoc", tmp[:, xi, :], xw)
+
+
+def _block_mode(v: np.ndarray, axis: int) -> np.ndarray:
+    """Vectorized mode along ``axis`` (ties → smallest value; NaNs never
+    win unless a block is all-NaN). O(k²) pair counts, k = block size."""
+    s = np.sort(np.moveaxis(v, axis, -1), axis=-1)
+    k = s.shape[-1]
+    counts = np.zeros(s.shape, dtype=np.int32)
+    for j in range(k):
+        cj = np.zeros(s.shape[:-1], dtype=np.int32)
+        for m in range(k):
+            cj += (s[..., m] == s[..., j]).astype(np.int32)
+        counts[..., j] = cj
+    counts = np.where(np.isnan(s), 0, counts)
+    best = counts.argmax(axis=-1)
+    return np.take_along_axis(s, best[..., None], axis=-1)[..., 0]
+
+
+def _rms(v: np.ndarray, axis) -> np.ndarray:
+    return np.sqrt(np.nanmean(np.square(v), axis=axis))
+
+
+_REDUCERS = {
+    "average": np.nanmean,
+    "sum": np.nansum,
+    "min": np.nanmin,
+    "max": np.nanmax,
+    "median": np.nanmedian,
+    "rms": _rms,
+    "q1": lambda v, axis: np.nanquantile(v, 0.25, axis=axis),
+    "q3": lambda v, axis: np.nanquantile(v, 0.75, axis=axis),
+    "mode": _block_mode,
+}
+
+
+def resample_reduce(arr: np.ndarray, factor: int, stat: str = "average",
+                    nodata: Optional[float] = None) -> np.ndarray:
+    """Integer-factor downscale by block statistic: average / sum / min /
+    max / median / rms / q1 / q3 / mode (≙ the reference's statistical
+    resample algs, raster/resample.py + utils_translate.py:293-346).
+    ``nodata`` cells are excluded; all-nodata blocks emit ``nodata``."""
+    if stat not in _REDUCERS:
+        raise ValueError(f"stat must be one of {sorted(_REDUCERS)}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    h2, w2 = (h // factor) * factor, (w // factor) * factor
+    v = arr[:h2, :w2, :].astype(np.float64)
+    if nodata is not None:
+        v = np.where(v == nodata, np.nan, v)
+    v = (v.reshape(h2 // factor, factor, w2 // factor, factor, c)
+         .transpose(0, 2, 4, 1, 3)
+         .reshape(h2 // factor, w2 // factor, c, factor * factor))
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out = _REDUCERS[stat](v, axis=-1)
+    if nodata is not None:
+        out = np.where(np.isnan(out), nodata, out)
+    return out
+
+
+def resample(arr: np.ndarray, scale: float, alg: str = "nearest",
+             nodata: Optional[float] = None) -> np.ndarray:
+    """Algorithm dispatcher with the reference's full 14-alg surface
+    (utils/utils_translate.py:293-346): nearest / bilinear / cubic /
+    cubicspline / lanczos at any scale; average / sum / min / max /
+    median / rms / q1 / q3 / mode as integer-factor downscales."""
+    if alg == "nearest":
+        return resample_nearest(arr, scale)
+    if alg == "bilinear":
+        return resample_bilinear(arr, scale)
+    if alg in _SEPARABLE:
+        return resample_separable(arr, scale, alg)
+    if alg in _REDUCERS:
+        inv = 1.0 / scale
+        factor = int(round(inv))
+        if abs(inv - factor) > 1e-9 or factor < 1:
+            raise ValueError(f"alg '{alg}' needs an integer downscale factor, got scale={scale}")
+        return resample_reduce(arr, factor, alg, nodata=nodata)
+    raise ValueError(f"unknown resample alg '{alg}'")
+
+
+def resample_tile(tile: np.ndarray, halo: int, scale: float,
+                  alg: str = "cubic", nodata: Optional[float] = None) -> np.ndarray:
+    """Halo-correct per-tile resample for ``map_tiles`` pipelines: resample
+    the haloed buffer, then crop ``scale·halo`` so per-tile output ==
+    the whole-array resample (requires halo ≥ kernel support — 2 for
+    cubic, 3 for lanczos; reducers need halo ≡ 0 mod factor)."""
+    out = resample(tile, scale, alg, nodata=nodata)
+    crop = int(round(halo * scale))
+    if crop > 0:
+        out = out[crop:-crop, crop:-crop, :]
+    return out
+
+
 # ---------------------------------------------------------------- DEM
 
 
