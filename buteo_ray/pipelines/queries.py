@@ -377,6 +377,66 @@ def sql_zonal_stats() -> str:
     )
 
 
+_ZONAL_FULL_STATS = ("n", "median", "q02", "q1", "q3", "q98", "iqr",
+                     "mad", "mode", "skew", "kurtosis", "cv")
+
+
+def q_zonal_stats_full(sf_dir: str):
+    """Full-suite zonal statistics (≙ the reference's 21-stat inventory,
+    vector/zonal_statistics.py:35-63): quantile family (median/q02/q1/
+    q3/q98/iqr/mad), mode (ties → smallest), deviation moments (skew,
+    non-excess kurtosis) and cv of n_chars per res-5 cell."""
+    from buteo_ray.stages.zonal import zonal_statistics_table
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    ds = geocode(ds)
+    ds = assign_cell_xy(ds, res=5)
+    out = zonal_statistics_table(ds, ["cell_x", "cell_y"], "n_chars",
+                                 stats=_ZONAL_FULL_STATS).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    for c in _ZONAL_FULL_STATS:
+        if c not in ("n", "mode"):
+            out[c] = np.floor(out[c] * 10000.0 + 0.5) / 10000.0
+    return out
+
+
+def sql_zonal_stats_full() -> str:
+    x_sql, y_sql = cell_xy_sql_exprs(5, _LAT_SQL, _LON_SQL)
+    r = "FLOOR({} * 10000.0 + 0.5) / 10000.0"
+    return (
+        f"WITH base AS (SELECT {x_sql} AS cell_x, {y_sql} AS cell_y, "
+        "CAST(n_chars AS DOUBLE) AS v FROM documents), "
+        "m AS (SELECT cell_x, cell_y, COUNT(*) AS n, AVG(v) AS mean, "
+        "MEDIAN(v) AS med, STDDEV_POP(v) AS std, VAR_POP(v) AS var "
+        "FROM base GROUP BY 1, 2), "
+        "mo AS (SELECT cell_x, cell_y, v AS mode FROM ("
+        "SELECT cell_x, cell_y, v, ROW_NUMBER() OVER ("
+        "PARTITION BY cell_x, cell_y ORDER BY COUNT(*) DESC, v ASC) AS rn "
+        "FROM base GROUP BY cell_x, cell_y, v) t WHERE rn = 1), "
+        "dev AS (SELECT b.cell_x, b.cell_y, "
+        "SUM(POWER(b.v - m.mean, 3)) AS d3, SUM(POWER(b.v - m.mean, 4)) AS d4, "
+        "MEDIAN(ABS(b.v - m.med)) AS mad, "
+        "QUANTILE_CONT(b.v, 0.02) AS q02, QUANTILE_CONT(b.v, 0.25) AS q1, "
+        "QUANTILE_CONT(b.v, 0.75) AS q3, QUANTILE_CONT(b.v, 0.98) AS q98 "
+        "FROM base b JOIN m ON b.cell_x = m.cell_x AND b.cell_y = m.cell_y "
+        "GROUP BY 1, 2) "
+        "SELECT m.cell_x, m.cell_y, m.n AS n, "
+        + r.format("m.med") + " AS median, "
+        + r.format("dev.q02") + " AS q02, "
+        + r.format("dev.q1") + " AS q1, "
+        + r.format("dev.q3") + " AS q3, "
+        + r.format("dev.q98") + " AS q98, "
+        + r.format("(dev.q3 - dev.q1)") + " AS iqr, "
+        + r.format("dev.mad") + " AS mad, "
+        "mo.mode AS mode, "
+        + r.format("(CASE WHEN m.std > 0 THEN dev.d3 / m.n / POWER(m.std, 3) ELSE 0.0 END)") + " AS skew, "
+        + r.format("(CASE WHEN m.std > 0 THEN dev.d4 / m.n / POWER(m.std, 4) ELSE 0.0 END)") + " AS kurtosis, "
+        + r.format("(CASE WHEN m.mean <> 0 THEN m.std / m.mean ELSE 0.0 END)") + " AS cv "
+        "FROM m JOIN mo ON m.cell_x = mo.cell_x AND m.cell_y = mo.cell_y "
+        "JOIN dev ON m.cell_x = dev.cell_x AND m.cell_y = dev.cell_y"
+    )
+
+
 def q_dissolve_bbox(sf_dir: str):
     """Grouped dissolve → bbox hull per group (≙ vector_dissolve,
     reference vector/dissolve.py:26-264, with hull-of-points geometry;
@@ -1036,6 +1096,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "union_all": q_union_all,
     "knn": q_knn,
     "zonal_stats": q_zonal_stats,
+    "zonal_stats_full": q_zonal_stats_full,
     "dissolve_bbox": q_dissolve_bbox,
     "explode_tokens": q_explode_tokens,
     "text_stats": q_text_stats,
@@ -1079,6 +1140,7 @@ ORACLE_SQL: Dict[str, str] = {
     "union_all": sql_union_all(),
     "knn": sql_knn(),
     "zonal_stats": sql_zonal_stats(),
+    "zonal_stats_full": sql_zonal_stats_full(),
     "dissolve_bbox": sql_dissolve_bbox(),
     "explode_tokens": sql_explode_tokens(),
     "text_stats": sql_text_stats(),

@@ -23,11 +23,80 @@ import pyarrow as pa
 from buteo_ray.sources.raster import tile_to_ndarray
 
 
+#: The reference's full 21-stat inventory (vector/zonal_statistics.py:35-63).
+STAT_NAMES = ("n", "range", "min", "max", "sum", "mean", "var", "std",
+              "skew", "kurtosis", "median", "iqr", "q02", "q98", "q1", "q3",
+              "mad", "mode", "snr", "eff", "cv")
+
+
+def zone_stats_21(v: np.ndarray) -> dict:
+    """All 21 reference statistics of one zone's values
+    (vector/zonal_statistics.py:70-152 formulas: population var/std,
+    non-excess kurtosis, snr/eff/cv zero-guarded; mode ties → smallest
+    value). Divergence, by design: the reference's iqr computes
+    q25+q75 (an upstream bug in commented-out numba code); this engine
+    returns the standard q3 − q1."""
+    v = np.asarray(v, dtype=np.float64)
+    n = v.size
+    mean = float(v.mean())
+    var = float(v.var())
+    std = float(np.sqrt(var))
+    dev = v - mean
+    q02, q1, med, q3, q98 = (float(x) for x in
+                             np.quantile(v, [0.02, 0.25, 0.5, 0.75, 0.98]))
+    uniq, counts = np.unique(v, return_counts=True)
+    return {
+        "n": n,
+        "range": float(v.max() - v.min()),
+        "min": float(v.min()),
+        "max": float(v.max()),
+        "sum": float(v.sum()),
+        "mean": mean,
+        "var": var,
+        "std": std,
+        "skew": float(np.sum(dev**3) / n / std**3) if std > 0 else 0.0,
+        "kurtosis": float(np.sum(dev**4) / n / std**4) if std > 0 else 0.0,
+        "median": med,
+        "iqr": q3 - q1,
+        "q02": q02,
+        "q98": q98,
+        "q1": q1,
+        "q3": q3,
+        "mad": float(np.median(np.abs(v - med))),
+        "mode": float(uniq[counts.argmax()]),  # first max → smallest value
+        "snr": mean / std if std > 0 else 0.0,
+        "eff": var / mean**2 if mean != 0 else 0.0,
+        "cv": std / mean if mean != 0 else 0.0,
+    }
+
+
+def zonal_statistics_table(ds, by, value_col: str, stats=STAT_NAMES):
+    """Tabular 21-stat zonal statistics: per-``by``-group stats of
+    ``value_col`` (the vector/attribute form of the reference's
+    vector_zonal_statistics). Quantile-family stats need the group's
+    values in one place, so this gathers per group (bounded by zone
+    size — same trade as ``exact_median`` in the raster form)."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+
+    def _grp(g: pd.DataFrame) -> pd.DataFrame:
+        s = zone_stats_21(g[value_col].to_numpy())
+        out = {c: [g[c].iloc[0]] for c in by_cols}
+        for k in stats:
+            out[k] = [s[k]]
+        return pd.DataFrame(out)
+
+    return ds.groupby(by_cols[0] if len(by_cols) == 1 else by_cols).map_groups(
+        _grp, batch_format="pandas")
+
+
 def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
-                     exact_median: bool = False):
+                     exact_median: bool = False, full_stats: bool = False):
     """Per-zone stats of band 0 of ``value_ds`` grouped by the integer
     zone ids in band 0 of ``zone_ds`` (same tiling grid). Returns
-    Dataset[(zone, n, sum, mean, min, max, std, var[, median])]."""
+    Dataset[(zone, n, sum, mean, min, max, std, var[, median])], or the
+    full 21-stat suite (``STAT_NAMES``) when ``full_stats=True`` (the
+    quantile family requires the per-zone gather, like exact_median)."""
+    gather = exact_median or full_stats
 
     def _tag(side):
         def _fn(t: pa.Table) -> pa.Table:
@@ -67,7 +136,7 @@ def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
                 "min": pd.Series([], dtype="float64"),
                 "max": pd.Series([], dtype="float64"),
             }
-            if exact_median:
+            if gather:
                 empty["values"] = pd.Series([], dtype="object")
             return pd.DataFrame(empty)
         zones, inv = np.unique(z, return_inverse=True)
@@ -83,13 +152,18 @@ def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
             "min": zmin,
             "max": zmax,
         })
-        if exact_median:
+        if gather:
             out["values"] = [v[inv == i].tobytes() for i in range(zones.shape[0])]
         return out
 
     partials = both.groupby(["tile_x", "tile_y"]).map_groups(_partial, batch_format="pandas")
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
+        if full_stats:
+            vals = np.concatenate([np.frombuffer(b) for b in g["values"]])
+            s = zone_stats_21(vals)
+            return pd.DataFrame({"zone": [int(g["zone"].iloc[0])],
+                                 **{k: [s[k]] for k in STAT_NAMES}})
         n = int(g["n"].sum())
         s = float(g["sum"].sum())
         ss = float(g["sumsq"].sum())

@@ -320,6 +320,44 @@ def test_zonal_statistics_raster(ray_session, rng):
         np.testing.assert_allclose(out.loc[z, "median"], np.median(sel), rtol=1e-12)
 
 
+def test_zonal_statistics_full_suite(ray_session, rng):
+    """21-stat parity (VERDICT r01 item 10): distributed full_stats ==
+    reference formulas computed locally per zone."""
+    from buteo_ray.sources.raster import raster_from_array
+    from buteo_ray.stages.zonal import STAT_NAMES, zonal_statistics
+
+    vals = rng.normal(size=(64, 64)).astype(np.float64) * 10 + 100
+    zones = (rng.integers(0, 3, size=(64, 64))).astype(np.float64)
+    out = zonal_statistics(
+        raster_from_array(vals, tile_size=32),
+        raster_from_array(zones, tile_size=32),
+        full_stats=True,
+    ).to_pandas().set_index("zone")
+    assert set(STAT_NAMES).issubset(out.columns)
+
+    for z in range(3):
+        sel = vals[zones == z]
+        q02, q1, med, q3, q98 = np.quantile(sel, [0.02, 0.25, 0.5, 0.75, 0.98])
+        mean, std = sel.mean(), sel.std()
+        expect = {
+            "n": sel.size, "range": np.ptp(sel), "sum": sel.sum(),
+            "var": sel.var(), "skew": np.sum((sel - mean) ** 3) / sel.size / std**3,
+            "kurtosis": np.sum((sel - mean) ** 4) / sel.size / std**4,
+            "median": med, "iqr": q3 - q1, "q02": q02, "q98": q98,
+            "q1": q1, "q3": q3, "mad": np.median(np.abs(sel - med)),
+            "snr": mean / std, "eff": sel.var() / mean**2, "cv": std / mean,
+        }
+        for k, v in expect.items():
+            np.testing.assert_allclose(out.loc[z, k], v, rtol=1e-9, err_msg=k)
+
+    # mode: ties break to the smallest value
+    from buteo_ray.stages.zonal import zone_stats_21
+
+    assert zone_stats_21(np.array([5.0, 5.0, 2.0, 2.0, 9.0]))["mode"] == 2.0
+    degenerate = zone_stats_21(np.array([4.0, 4.0]))
+    assert degenerate["skew"] == 0.0 and degenerate["snr"] == 0.0
+
+
 def test_raster_clip_and_cast(ray_session):
     from buteo_ray.sources.raster import raster_from_array, raster_to_array
     from buteo_ray.stages.raster_clip import raster_clip, raster_set_datatype, safe_cast
