@@ -979,6 +979,26 @@ def q_knn_cells(sf_dir: str):
     return knn_cells(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
 
 
+def q_ann_lsh_topk(sf_dir: str):
+    """Bucketed ANN search (the LSH scale path end-to-end: shared
+    hyperplane buckets + multi-probe candidate generation + per-bucket
+    cosine top-k + tiny merge). Rows-only; recall vs the exact path is
+    measured in tests/test_knn_dedup_text.py."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import ann_lsh_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb.map_batches(
+        lambda t: t.filter(np.equal(t["vec_id"].to_numpy() % 97, 0)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qvecs = np.stack(qdf["embedding"].to_numpy())
+    out = ann_lsh_topk(emb, qids, qvecs, k=5, nbits=8, n_tables=4, probe_bits=2)
+    return out.select_columns(["query_id", "neighbor_id", "cos_sim"])
+
+
 def q_dissolve_union(sf_dir: str):
     """Exact-union dissolve (≙ reference vector/dissolve.py true
     ST_Union): 0.5°-buffered squares around every 20th document's hash
@@ -1124,6 +1144,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pip_join_poly": q_pip_join_poly,
     "embed_centroids": q_embed_centroids,
     "dissolve_union": q_dissolve_union,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 ORACLE_SQL: Dict[str, str] = {

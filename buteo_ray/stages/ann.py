@@ -103,14 +103,23 @@ def ann_cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, nbits: int) -> np.ndarray:
+def _hyperplanes(dim: int, nbits: int, table: int = 0) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from splitmix64 streams
-    (uniform in [-1, 1), fixed for a given (dim, nbits))."""
+    (uniform in [-1, 1), fixed for a given (dim, nbits, table))."""
     from buteo_ray.stages.dedup import _splitmix64
 
-    idx = np.arange(dim * nbits, dtype=np.uint64)
+    idx = np.arange(dim * nbits, dtype=np.uint64) + np.uint64(table * dim * nbits)
     u = _splitmix64(idx).astype(np.float64) / 2.0**64
     return (u * 2.0 - 1.0).reshape(nbits, dim)
+
+
+def _bucket_ids(e: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(N, D) × (nbits, D) hyperplanes → uint64 sign-bit bucket ids."""
+    signs = (e @ planes.T) > 0
+    bucket = np.zeros(e.shape[0], dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        bucket |= signs[:, b].astype(np.uint64) << np.uint64(b)
+    return bucket
 
 
 def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
@@ -136,6 +145,118 @@ def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
         return batch.append_column(out_col, pa.array(bucket.view(np.int64)))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def _probe_buckets(bucket: int, nbits: int, probe_bits: int) -> list:
+    """Multi-probe expansion: all buckets within Hamming distance
+    ``probe_bits`` of ``bucket`` (0 → just the bucket; 1 → +nbits
+    single-bit flips)."""
+    out = [bucket]
+    if probe_bits >= 1:
+        out.extend(bucket ^ (1 << b) for b in range(nbits))
+    if probe_bits >= 2:
+        for b1 in range(nbits):
+            for b2 in range(b1 + 1, nbits):
+                out.append(bucket ^ (1 << b1) ^ (1 << b2))
+    return out
+
+
+def ann_lsh_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    nbits: int = 8,
+    n_tables: int = 4,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    quantized: bool = True,
+):
+    """End-to-end bucketed ANN search (the scale path composing
+    :func:`lsh_bucket_assign`'s hyperplane buckets into a per-bucket
+    top-k): queries are bucketed once on the driver — ``n_tables``
+    independent hyperplane tables, multi-probe expansion per table — and
+    broadcast; each corpus batch buckets its rows with the SAME tables
+    and scores only rows whose bucket matches some query's probe set in
+    ANY table (standard multi-table LSH candidate union); a tiny
+    ``groupby(query_id)`` merges partial top-ks.
+
+    No shuffle at all — the candidate generation is a broadcast bucket
+    join inside ``map_batches``, so corpus flow is identical to the
+    exact path but each batch matmuls only its candidate rows. Recall
+    is measured in tests (vs :func:`ann_cosine_topk`), not promised.
+    For huge query sets (too big to broadcast), reshape into a
+    ``union`` + ``groupby(lsh_bucket)`` co-partitioned plan instead.
+    Returns Dataset[(query_id, neighbor_id, cos_sim)]."""
+    import ray
+
+    qid = np.asarray(query_ids, dtype=np.int64)
+    q = quantize(np.asarray(query_vecs)) if quantized else np.asarray(query_vecs, np.float64)
+    qnorm = np.sqrt((q * q).sum(axis=1))
+    tables = [_hyperplanes(q.shape[1], nbits, t) for t in range(n_tables)]
+    bucket_to_q: dict = {}
+    for t, planes in enumerate(tables):
+        qbucket = _bucket_ids(q, planes)
+        for qi in range(q.shape[0]):
+            for bk in _probe_buckets(int(qbucket[qi]), nbits, probe_bits):
+                bucket_to_q.setdefault((t, bk), set()).add(qi)
+    state_ref = ray.put((qid, q, qnorm, tables, bucket_to_q))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": np.empty(0, np.int64),
+                          "neighbor_id": np.empty(0, np.int64),
+                          "cos_sim": np.empty(0, np.float64)})
+        if batch.num_rows == 0:
+            return empty
+        qid_, q_, qnorm_, tables_, b2q = ray.get(state_ref)
+        e = _emb_matrix(batch, emb_col)
+        e = quantize(e) if quantized else e.astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # Candidate union across tables: query qi × row r iff buckets
+        # match in any table. Accumulated as per-query row-index sets.
+        cand: dict = {}
+        for t, planes in enumerate(tables_):
+            bucket = _bucket_ids(e, planes)
+            for bk in np.unique(bucket):
+                qis = b2q.get((t, int(bk)))
+                if not qis:
+                    continue
+                rows = np.nonzero(bucket == bk)[0]
+                for qi in qis:
+                    cand.setdefault(qi, set()).update(rows.tolist())
+        if not cand:
+            return empty
+        enorm = np.sqrt((e * e).sum(axis=1))
+        out_q, out_n, out_s = [], [], []
+        for qi, rowset in cand.items():
+            rows = np.fromiter(rowset, dtype=np.int64, count=len(rowset))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (e[rows] @ q_[qi]) / (enorm[rows] * qnorm_[qi])
+            cos = np.where(ids[rows] == qid_[qi], -np.inf, cos)
+            kk = min(k, rows.shape[0])
+            order = np.lexsort((ids[rows], -cos))[:kk]
+            sim = cos[order]
+            fin = np.isfinite(sim)
+            out_q.append(np.full(int(fin.sum()), qid_[qi]))
+            out_n.append(ids[rows][order[fin]])
+            out_s.append(sim[fin])
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "cos_sim": np.concatenate(out_s),
+        })
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        return g.reset_index(drop=True)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+    )
 
 
 def centroids_per_label(ds, emb_col: str = "embedding", label_col: str = "label"):
