@@ -96,6 +96,37 @@ class ModelScorer:
         })
 
 
+class PatchScorer:
+    """Actor-pool stage for the tile-row input path: patches arrive as
+    bytes IN the batch (no full-array object-store broadcast); the model
+    is built once per actor."""
+
+    def __init__(self, model_builder: Callable, tile_size: int):
+        self.model = model_builder()
+        self.ts = tile_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = self.ts
+        stack = np.stack([
+            np.frombuffer(batch["patch"][i].as_py(),
+                          dtype=batch["dtype"][i].as_py()).reshape(
+                ts, ts, batch["in_bands"][i].as_py())
+            for i in range(batch.num_rows)
+        ])
+        pred = self.model(stack)
+        if pred.ndim == 3:
+            pred = pred[..., None]
+        out_c = pred.shape[-1]
+        return pa.table({
+            "grid_id": batch["grid_id"],
+            "y0": batch["y0"],
+            "x0": batch["x0"],
+            "bands": np.full(batch.num_rows, out_c, dtype=np.int64),
+            "pred": pa.array([np.ascontiguousarray(p.astype(np.float32)).tobytes()
+                              for p in pred], type=pa.binary()),
+        })
+
+
 def predict_dataset(
     arr: np.ndarray,
     model_builder: Callable[[], Callable],
@@ -109,7 +140,12 @@ def predict_dataset(
 ):
     """Distributed predict_array. Returns a Dataset of merged output
     tiles (tile_y, tile_x, height, width, bands, data) on the
-    tile_size-aligned output grid."""
+    tile_size-aligned output grid.
+
+    NOTE: this driver-ndarray form broadcasts the whole input via
+    ``ray.put`` — reference-parity convenience, O(image) per actor. At
+    raster scale use :func:`predict_tiles`, which streams a tile-row
+    Dataset and never materializes the full array anywhere."""
     import ray
     import ray.data as rd
 
@@ -133,13 +169,94 @@ def predict_dataset(
     arr_ref = ray.put(np.ascontiguousarray(arr))
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
     ctor = dict(arr_ref=arr_ref, model_builder=model_builder, tile_size=ts)
-    if concurrency is not None:
-        scored = patches_ds.map_batches(ModelScorer, fn_constructor_kwargs=ctor,
-                                        concurrency=concurrency, **kwargs)
-    else:
-        scored = patches_ds.map_batches(ModelScorer, fn_constructor_kwargs=ctor,
-                                        concurrency=2, **kwargs)
+    scored = patches_ds.map_batches(
+        ModelScorer, fn_constructor_kwargs=ctor,
+        concurrency=concurrency if concurrency is not None else 2, **kwargs)
+    return _assemble_and_merge(scored, ts, h, w, n_grids, merge_method, edge_distance)
 
+
+def predict_tiles(
+    tile_ds,
+    model_builder: Callable[[], Callable],
+    shape=None,
+    tile_size: int = 64,
+    n_offsets: int = 1,
+    border_check: bool = True,
+    merge_method: str = "median",
+    edge_distance: int = 5,
+    batch_size: int = 32,
+    concurrency: Optional[int] = None,
+):
+    """Tile-row input path (VERDICT r01 item 9): score a raster given as
+    the engine's tile-row Dataset (``sources/raster.py``) — NO full-array
+    ``ray.put`` anywhere. Each tile extracts the prediction patches whose
+    top-left falls in its core (tile cores partition the image under the
+    default border strategy, so ownership is unique); patches needing
+    neighbour pixels read them from the tile's halo, which must be
+    ≥ ``tile_size − 1``. Patch bytes stream to a :class:`PatchScorer`
+    actor pool, then through the same piece/merge plan as
+    :func:`predict_dataset`. ``shape`` (h, w) is derived from the tile
+    metadata columns when not given."""
+    from buteo_ray.sources.raster import tile_to_ndarray
+
+    ts = tile_size
+    if shape is None:
+        import pyarrow.compute as pc
+
+        meta = tile_ds.map_batches(
+            lambda t: pa.table({
+                "h": [pc.max(pc.add(t["y_off"], t["height"])).as_py()],
+                "w": [pc.max(pc.add(t["x_off"], t["width"])).as_py()],
+            }),
+            batch_format="pyarrow", batch_size=None).to_pandas()
+        h, w = int(meta["h"].max()), int(meta["w"].max())
+    else:
+        h, w = int(shape[0]), int(shape[1])
+    offsets = _prediction_offsets((h, w), ts, n_offsets, border_check)
+    n_grids = len(offsets)
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("grid_id", "y0", "x0", "in_bands", "dtype", "patch")}
+        for i in range(batch.num_rows):
+            row = {c: batch[c][i].as_py() for c in batch.column_names}
+            halo = row["halo"]
+            if halo < ts - 1:
+                raise ValueError(
+                    f"predict_tiles needs halo >= tile_size-1 ({ts - 1}), got {halo}")
+            buf = tile_to_ndarray(row)
+            ty0, tx0 = row["y_off"], row["x_off"]
+            core_h, core_w = row["height"], row["width"]
+            for gid, off in enumerate(offsets):
+                # grid positions owned by this tile's core
+                ys = [y for y in range(off[0], h - ts + 1, ts) if ty0 <= y < ty0 + core_h]
+                xs = [x for x in range(off[1], w - ts + 1, ts) if tx0 <= x < tx0 + core_w]
+                for y0 in ys:
+                    for x0 in xs:
+                        py = y0 - (ty0 - halo)
+                        px = x0 - (tx0 - halo)
+                        patch = buf[py:py + ts, px:px + ts, :]
+                        out["grid_id"].append(gid)
+                        out["y0"].append(y0)
+                        out["x0"].append(x0)
+                        out["in_bands"].append(row["bands"])
+                        out["dtype"].append(row["dtype"])
+                        out["patch"].append(np.ascontiguousarray(patch).tobytes())
+        return pa.table({**{k: out[k] for k in out if k != "patch"},
+                         "patch": pa.array(out["patch"], type=pa.binary())})
+
+    patches = tile_ds.map_batches(_extract, batch_format="pyarrow", batch_size=None)
+    scored = patches.map_batches(
+        PatchScorer,
+        fn_constructor_kwargs=dict(model_builder=model_builder, tile_size=ts),
+        concurrency=concurrency if concurrency is not None else 2,
+        batch_format="pyarrow", batch_size=batch_size)
+    return _assemble_and_merge(scored, ts, h, w, n_grids, merge_method, edge_distance)
+
+
+def _assemble_and_merge(scored, ts: int, h: int, w: int, n_grids: int,
+                        merge_method: str, edge_distance: int):
+    """Shared back half of both predict paths: split scored patches into
+    their ≤4 overlapping output tiles, then per-tile weighted merge."""
     weight_kernel = get_kernel_weights(ts, edge_distance)
 
     def _to_tiles(batch: pa.Table) -> pa.Table:
@@ -188,12 +305,11 @@ def predict_dataset(
         tw = min(ts, w - txx * ts)
         stack = np.full((n_grids, th, tw, bands), np.nan, dtype=np.float32)
         wstack = np.zeros((n_grids, th, tw, 1), dtype=np.float32)
-        for _, row in g.iterrows():
-            piece = np.frombuffer(row["piece"], dtype=np.float32).reshape(row["h"], row["w"], bands)
-            gid = row["grid_id"]
-            stack[gid, row["py"]:row["py"] + row["h"], row["px"]:row["px"] + row["w"], :] = piece
-            wpiece = weight_kernel[row["sy"]:row["sy"] + row["h"], row["sx"]:row["sx"] + row["w"]]
-            wstack[gid, row["py"]:row["py"] + row["h"], row["px"]:row["px"] + row["w"], 0] = wpiece
+        for row in g.itertuples(index=False):
+            piece = np.frombuffer(row.piece, dtype=np.float32).reshape(row.h, row.w, bands)
+            stack[row.grid_id, row.py:row.py + row.h, row.px:row.px + row.w, :] = piece
+            wpiece = weight_kernel[row.sy:row.sy + row.h, row.sx:row.sx + row.w]
+            wstack[row.grid_id, row.py:row.py + row.h, row.px:row.px + row.w, 0] = wpiece
         merged = merge_fn(stack, wstack)
         return pd.DataFrame({
             "tile_y": [tyy], "tile_x": [txx], "height": [th], "width": [tw],
