@@ -144,11 +144,13 @@ def convolve2d(
     method: str = "sum",
     nodata: Optional[float] = None,
     quantile: float = 0.5,
+    value: Optional[float] = None,
 ) -> np.ndarray:
     """Neighborhood reduce of a 2-D array with a 2-D kernel.
 
     methods: sum, mean, median, quantile, max, min, contrast, mode, std,
-    var, mad, center_difference — semantics per the reference ``_hood_*``
+    var, mad, center_difference, sigma_lee, count_occurances[_normalise]
+    (``value`` = the counted number) — semantics per the reference ``_hood_*``
     reducers (weighted max = value at argmax(v·w); weighted min = value
     at argmin(where(w==0, max, v)/(w+1e-7)); std/var centered on the
     weighted SUM as in ``funcs.py:172-192``). ``nodata``/NaN entries get
@@ -239,6 +241,36 @@ def convolve2d(
             summed = (v * w).sum(axis=-1)
             variance = ((v - summed[..., None]) ** 2 * w).sum(axis=-1)
             return np.sqrt(variance) if method == "std" else variance
+        if method == "sigma_lee":
+            # Sigma-Lee SAR despeckle (funcs.py:199-233): select hood
+            # values with |v| ≥ weighted-std, take their renormalized
+            # weighted mean; the reference's 5-attempt escalating loop
+            # re-counts prior selections, so success reduces to
+            # Σ_{m=1..5} count(|v| ≥ m·std) ≥ k_size and the selected
+            # set is always the loosest (m=1) mask; fallback: full
+            # weighted sum. Empty selected-weight sum → 0.
+            k_total = v.shape[-1]
+            ks = int(np.rint(-0.0000837834 * k_total**2 + 0.045469 * k_total + 0.805733))
+            summed = (v * w).sum(axis=-1)
+            std = np.sqrt(((v - summed[..., None]) ** 2 * w).sum(axis=-1))
+            passed = np.zeros(std.shape, dtype=np.int64)
+            for m in range(1, 6):
+                passed += (np.abs(v) >= (std * m)[..., None]).sum(axis=-1)
+            mask1 = np.abs(v) >= std[..., None]
+            sw = np.where(mask1, w, 0.0).sum(axis=-1)
+            sel = np.where(mask1, v * w, 0.0).sum(axis=-1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sel_mean = np.where(sw != 0, sel / sw, 0.0)
+            return np.where(passed >= ks, sel_mean, summed)
+        if method in ("count_occurances", "count_occurances_normalise"):
+            # Weighted occurrence count of ``value`` (funcs.py:77-98;
+            # reference spelling kept for parity). None → all zeros.
+            if value is None:
+                return np.zeros(v.shape[:-1])
+            hits = (np.where(w > 0.0, w, 0.0) * (v == value)).sum(axis=-1)
+            if method.endswith("normalise"):
+                hits = hits / v.shape[-1]
+            return hits
         if method in ("roughness", "tpi", "tri", "zscore", "zscore_mad"):
             center = arr[..., None]  # (H, W, 1) vs windows (H, W, K)
             if method == "roughness":

@@ -456,3 +456,58 @@ def test_kernel_offsets_and_shift():
     np.testing.assert_allclose(big, np.tile(arr[0], (3, 1)))
     huge = convolve_offsets(arr, np.array([[10, -10]]), np.array([1.0]))
     np.testing.assert_allclose(huge, np.full((3, 4), arr[-1, 0]))
+
+
+def test_sigma_lee_and_count_occurances():
+    from buteo_ray.functions.convolution import convolve2d
+
+    # count_occurances: normalized box kernel, count 5s in each 3x3 hood
+    arr = np.array([[5.0, 1.0, 5.0],
+                    [2.0, 5.0, 3.0],
+                    [5.0, 4.0, 5.0]])
+    k = np.ones((3, 3))
+    cnt = convolve2d(arr, k, "count_occurances", value=5.0)
+    # center hood contains five 5s (edge-replicated windows at borders)
+    assert cnt[1, 1] == 5.0
+    norm = convolve2d(arr, k, "count_occurances_normalise", value=5.0)
+    np.testing.assert_allclose(norm, cnt / 9.0)
+    # value=None → zeros (reference behaviour)
+    np.testing.assert_array_equal(convolve2d(arr, k, "count_occurances"), 0.0)
+
+    # sigma_lee: faithful per-window oracle of the reference loop
+    def sigma_lee_ref(values, weights):
+        summed = float((values * weights).sum())
+        std = float(np.sqrt((((values - summed) ** 2) * weights).sum()))
+        ks = int(np.rint(-0.0000837834 * values.size**2
+                         + 0.045469 * values.size + 0.805733))
+        sel_v = np.zeros_like(values)
+        sel_w = np.zeros_like(weights)
+        passed, mult, attempts = 0, 1, 0
+        while passed < ks and attempts < 5:
+            for i, val in enumerate(values):
+                if val >= std * mult or val <= -std * mult:
+                    sel_v[i] = val
+                    sel_w[i] = weights[i]
+                    passed += 1
+            mult += 1
+            attempts += 1
+        if passed < ks:
+            return summed
+        sw = sel_w.sum()
+        if sw == 0:
+            return 0.0
+        return float((sel_v * (sel_w / sw)).sum())
+
+    rng = np.random.default_rng(4)
+    speckled = rng.gamma(2.0, 1.0, size=(7, 7))
+    kn = np.ones((3, 3)) / 9.0
+    out = convolve2d(speckled, kn, "sigma_lee")
+    # every pixel against the reference loop applied to its 3x3 hood
+    # (edge-padded exactly like convolve2d)
+    pad = np.pad(speckled, 1, mode="edge")
+    for y in range(7):
+        for x in range(7):
+            win = pad[y:y + 3, x:x + 3].ravel()
+            expect = sigma_lee_ref(win, kn.ravel().copy())
+            np.testing.assert_allclose(out[y, x], expect, rtol=1e-12,
+                                       err_msg=f"({y},{x})")
