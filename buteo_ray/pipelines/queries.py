@@ -979,6 +979,45 @@ def q_knn_cells(sf_dir: str):
     return knn_cells(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
 
 
+def q_coregister(sf_dir: str):
+    """Per-tile EFolki coregistration (≙ reference coregister_images_*,
+    coregister.py:19-228, gefolki.py): a deterministic textured scene +
+    a 2px-shifted copy ride as bands 0/1 of one tile-row raster Dataset;
+    each haloed tile estimates the local flow and reports its mean
+    (u, v) — all tiles must recover the global shift. Rows-only (flow
+    estimation is iterative, not SQL-expressible); kernel parity is
+    pytest-verified in tests/test_coregister.py."""
+    from buteo_ray.functions.convolution import convolve2d
+    from buteo_ray.functions.coregister import efolki_flow, warp_bilinear
+    from buteo_ray.sources.raster import map_tiles, raster_from_array
+    from buteo_ray.stages.dedup import _splitmix64
+
+    # deterministic smooth texture from splitmix noise (no RNG state)
+    n = 192
+    noise = (_splitmix64(np.arange(n * n, dtype=np.uint64)).astype(np.float64)
+             / 2.0**64).reshape(n, n)
+    k = np.ones((7, 7)) / 49.0
+    fixed = convolve2d(convolve2d(noise, k, "sum"), k, "sum")
+    moving = warp_bilinear(fixed, np.full_like(fixed, -2.0), np.full_like(fixed, 1.0))
+    stack = np.stack([fixed, moving], axis=-1)
+    tiles = raster_from_array(stack, tile_size=64, halo=32)
+
+    def _flow(arr: np.ndarray, row) -> np.ndarray:
+        u, v = efolki_flow(arr[:, :, 0], arr[:, :, 1], rank=None, levels=2,
+                           radii=(8, 4))
+        return np.stack([u, v], axis=-1)
+
+    out = map_tiles(tiles, _flow).to_pandas()
+    rows = []
+    for r in out.itertuples(index=False):
+        uv = np.frombuffer(r.data, dtype=r.dtype).reshape(r.height, r.width, 2)
+        c = 8  # ignore the tile rim (flow is halo-supported but edges taper)
+        rows.append({"tile_x": r.tile_x, "tile_y": r.tile_y,
+                     "mean_u": round(float(uv[c:-c, c:-c, 0].mean()), 2),
+                     "mean_v": round(float(uv[c:-c, c:-c, 1].mean()), 2)})
+    return pd.DataFrame(rows).sort_values(["tile_y", "tile_x"]).reset_index(drop=True)
+
+
 def q_ann_lsh_topk(sf_dir: str):
     """Bucketed ANN search (the LSH scale path end-to-end: shared
     hyperplane buckets + multi-probe candidate generation + per-bucket
@@ -1145,6 +1184,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embed_centroids": q_embed_centroids,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "coregister": q_coregister,
 }
 
 ORACLE_SQL: Dict[str, str] = {
