@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from buteo_ray.geom.predicates import points_in_polygon
@@ -42,14 +41,19 @@ def raster_set_datatype(ds, target_dtype: str):
     reference core_raster/core_raster_datatypes.py:69-265)."""
 
     def _fn(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
         out = []
-        for _, row in pdf.iterrows():
+        for i in range(batch.num_rows):
+            row = {c: batch[c][i].as_py() for c in
+                   ("data", "dtype", "height", "width", "bands", "halo")}
             arr = tile_to_ndarray(row)
             out.append(np.ascontiguousarray(safe_cast(arr, target_dtype)).tobytes())
-        pdf["data"] = out
-        pdf["dtype"] = target_dtype
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        # Arrow-native column swap: only data/dtype are rebuilt; every
+        # other column stays zero-copy.
+        batch = batch.set_column(batch.schema.get_field_index("data"), "data",
+                                 pa.array(out, type=pa.binary()))
+        return batch.set_column(
+            batch.schema.get_field_index("dtype"), "dtype",
+            pa.array([target_dtype] * batch.num_rows, type=pa.string()))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
@@ -64,9 +68,11 @@ def raster_clip(ds, clip_rings: Sequence[np.ndarray], grid: GridSpec,
     cymin, cymax = allpts[:, 1].min(), allpts[:, 1].max()
 
     def _fn(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
         keep_rows, out_data, out_nodata = [], [], []
-        for _, row in pdf.iterrows():
+        for i in range(batch.num_rows):
+            row = {c: batch[c][i].as_py() for c in
+                   ("data", "dtype", "height", "width", "bands", "halo",
+                    "x_off", "y_off", "nodata")}
             # Tile extent in map coordinates (y_off grows downward).
             x0 = grid.origin_x + row["x_off"] * grid.pixel_width
             x1 = grid.origin_x + (row["x_off"] + row["width"]) * grid.pixel_width
@@ -91,10 +97,13 @@ def raster_clip(ds, clip_rings: Sequence[np.ndarray], grid: GridSpec,
             keep_rows.append(True)
             out_data.append(np.ascontiguousarray(arr).tobytes())
             out_nodata.append(float(nodata))
-        pdf["data"] = out_data
-        pdf["nodata"] = out_nodata
-        pdf["dtype"] = "float64"
-        pdf = pdf[np.array(keep_rows, dtype=bool)]
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        batch = batch.set_column(batch.schema.get_field_index("data"), "data",
+                                 pa.array(out_data, type=pa.binary()))
+        batch = batch.set_column(batch.schema.get_field_index("nodata"), "nodata",
+                                 pa.array(out_nodata, type=pa.float64()))
+        batch = batch.set_column(
+            batch.schema.get_field_index("dtype"), "dtype",
+            pa.array(["float64"] * batch.num_rows, type=pa.string()))
+        return batch.filter(pa.array(keep_rows, type=pa.bool_()))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
