@@ -3,12 +3,14 @@
 
 ``label_regions`` is a pure-numpy 4-connected labeling (iterative
 min-label propagation — no scipy). ``vectorize_array`` emits one region
-row per connected component: value, pixel count, bbox and the bbox ring
-as WKB (exact boundary tracing deferred; the reference emits exact cell
-outlines — documented v1 divergence). The Dataset form runs per tile
-with a ``groupby(value)`` tile-edge dissolve pass merging regions that
-touch across tile borders into per-value multipolygons (SURVEY.md §2.6
-"per-tile with tile-edge dissolve").
+row per connected component: value, pixel count, bbox and the EXACT
+cell-outline geometry (``mask_outlines``: boundary-edge stitching with
+hole nesting — reference-parity gdal.Polygonize geometry; ``exact=False``
+falls back to the cheap bbox ring). The Dataset form runs per tile with
+a ``groupby(value)`` tile-edge dissolve pass merging regions that touch
+across tile borders (SURVEY.md §2.6 "per-tile with tile-edge dissolve");
+``exact_geometry=True`` unions the per-tile outlines into one exact
+multipolygon per value via the boolean-overlay engine.
 """
 
 from __future__ import annotations
@@ -67,10 +69,60 @@ def label_regions(arr: np.ndarray, nodata: Optional[float] = None) -> np.ndarray
     return out
 
 
+def mask_outlines(mask: np.ndarray, x_off: float = 0.0, y_off: float = 0.0):
+    """EXACT cell outlines of a boolean pixel mask (``gdal.Polygonize``
+    geometry; reference raster/vectorize.py:25-161): boundary pixel
+    edges oriented interior-left, stitched into closed rings with the
+    boolean-overlay walker, holes nested. Returns a list of polygons
+    (each ``[exterior, hole, ...]``; exteriors CCW in y-down pixel
+    space). Coordinates are pixel corners offset by (x_off, y_off)."""
+    from buteo_ray.geom.boolean import _nest_rings, _stitch_rings
+
+    mask = np.asarray(mask, dtype=bool)
+    h, w = mask.shape
+    if not mask.any():
+        return []
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    segs_a, segs_b = [], []
+    ii, jj = np.nonzero(mask & ~pad[:-2, 1:-1])   # open above → top edge
+    segs_a.append(np.column_stack([jj, ii]))
+    segs_b.append(np.column_stack([jj + 1, ii]))
+    ii, jj = np.nonzero(mask & ~pad[1:-1, 2:])    # open right
+    segs_a.append(np.column_stack([jj + 1, ii]))
+    segs_b.append(np.column_stack([jj + 1, ii + 1]))
+    ii, jj = np.nonzero(mask & ~pad[2:, 1:-1])    # open below
+    segs_a.append(np.column_stack([jj + 1, ii + 1]))
+    segs_b.append(np.column_stack([jj, ii + 1]))
+    ii, jj = np.nonzero(mask & ~pad[1:-1, :-2])   # open left
+    segs_a.append(np.column_stack([jj, ii + 1]))
+    segs_b.append(np.column_stack([jj, ii]))
+    P0 = np.vstack(segs_a).astype(np.float64)
+    P1 = np.vstack(segs_b).astype(np.float64)
+    P0[:, 0] += x_off
+    P1[:, 0] += x_off
+    P0[:, 1] += y_off
+    P1[:, 1] += y_off
+    rings = _stitch_rings(P0, P1, 0.25)
+
+    def _merge_collinear(ring: np.ndarray) -> np.ndarray:
+        pts = ring[:-1]
+        inc = pts - np.roll(pts, 1, axis=0)
+        out = np.roll(pts, -1, axis=0) - pts
+        corner = (inc[:, 0] * out[:, 1] - inc[:, 1] * out[:, 0]) != 0
+        kept = pts[corner]
+        return np.vstack([kept, kept[:1]])
+
+    return _nest_rings([_merge_collinear(r) for r in rings])
+
+
 def vectorize_array(arr: np.ndarray, nodata: Optional[float] = None,
-                    x_off: int = 0, y_off: int = 0) -> pd.DataFrame:
+                    x_off: int = 0, y_off: int = 0,
+                    exact: bool = True) -> pd.DataFrame:
     """One row per connected region: value, n_pixels, bbox (pixel
-    coords, offset by (x_off, y_off)), geom_wkb = bbox ring."""
+    coords, offset by (x_off, y_off)), geom_wkb = exact cell outline
+    (polygon/multipolygon with holes) when ``exact``, else the bbox
+    ring (the cheap v1 geometry)."""
     labels = label_regions(arr, nodata)
     flat_l = labels.ravel()
     keep = flat_l >= 0 if flat_l.size else np.zeros(0, dtype=bool)
@@ -88,25 +140,46 @@ def vectorize_array(arr: np.ndarray, nodata: Optional[float] = None,
     rows = []
     for i in range(len(starts) - 1):
         s, e = starts[i], starts[i + 1]
-        x0, x1 = xx[s:e].min() + x_off, xx[s:e].max() + x_off + 1
-        y0, y1 = yy[s:e].min() + y_off, yy[s:e].max() + y_off + 1
-        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64)
+        lx0, lx1 = int(xx[s:e].min()), int(xx[s:e].max()) + 1
+        ly0, ly1 = int(yy[s:e].min()), int(yy[s:e].max()) + 1
+        x0, x1 = lx0 + x_off, lx1 + x_off
+        y0, y1 = ly0 + y_off, ly1 + y_off
+        if exact:
+            # Outline only this region's pixels, cropped to its bbox.
+            sub = np.zeros((ly1 - ly0, lx1 - lx0), dtype=bool)
+            sub[yy[s:e] - ly0, xx[s:e] - lx0] = True
+            polys = mask_outlines(sub, x_off=x0, y_off=y0)
+            from buteo_ray.geom.wkb import wkb_multipolygon
+
+            geom = (wkb_polygon(polys[0]) if len(polys) == 1
+                    else wkb_multipolygon(polys))
+        else:
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                            dtype=np.float64)
+            geom = wkb_polygon([ring])
         rows.append({
             "region_id": int(ll[s]), "value": float(vv[s]), "n_pixels": int(e - s),
             "bbox_xmin": float(x0), "bbox_xmax": float(x1),
             "bbox_ymin": float(y0), "bbox_ymax": float(y1),
-            "geom_wkb": wkb_polygon([ring]),
+            "geom_wkb": geom,
         })
     return pd.DataFrame(rows)
 
 
-def raster_vectorize(tile_ds, nodata: Optional[float] = None):
+def raster_vectorize(tile_ds, nodata: Optional[float] = None,
+                     exact_geometry: bool = False):
     """Tile-row Dataset → region Dataset: per-tile vectorize, then a
     per-value dissolve merging touching cross-tile regions into one row
-    (value, n_pixels, bbox hull, n_parts)."""
+    (value, n_pixels, bbox hull, n_parts). With ``exact_geometry`` the
+    per-tile exact outlines are unioned into one exact multipolygon per
+    value (tile pieces share edges, so the boolean union welds them)."""
     import pyarrow as pa
 
     from buteo_ray.sources.raster import tile_to_ndarray
+
+    cols = ["value", "n_pixels", "bbox_xmin", "bbox_xmax", "bbox_ymin", "bbox_ymax"]
+    if exact_geometry:
+        cols = cols + ["geom_wkb"]
 
     def _per_tile(batch: pa.Table) -> pa.Table:
         pdf = batch.to_pandas()
@@ -116,14 +189,14 @@ def raster_vectorize(tile_ds, nodata: Optional[float] = None):
             halo = row["halo"]
             if halo:
                 arr = arr[halo:-halo or None, halo:-halo or None]
-            regions = vectorize_array(arr, nodata, x_off=row["x_off"], y_off=row["y_off"])
+            regions = vectorize_array(arr, nodata, x_off=row["x_off"],
+                                      y_off=row["y_off"], exact=exact_geometry)
             out.append(regions)
         res = pd.concat(out, ignore_index=True) if out else vectorize_array(np.zeros((0, 0)))
-        return pa.Table.from_pandas(res[["value", "n_pixels", "bbox_xmin", "bbox_xmax",
-                                         "bbox_ymin", "bbox_ymax"]], preserve_index=False)
+        return pa.Table.from_pandas(res[cols], preserve_index=False)
 
     def _dissolve(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        out = {
             "value": [g["value"].iloc[0]],
             "n_pixels": [int(g["n_pixels"].sum())],
             "bbox_xmin": [g["bbox_xmin"].min()],
@@ -131,7 +204,19 @@ def raster_vectorize(tile_ds, nodata: Optional[float] = None):
             "bbox_ymin": [g["bbox_ymin"].min()],
             "bbox_ymax": [g["bbox_ymax"].max()],
             "n_parts": [len(g)],
-        })
+        }
+        if exact_geometry:
+            from buteo_ray.geom.boolean import polygon_union
+            from buteo_ray.geom.wkb import parse_wkb, wkb_multipolygon
+
+            polys = []
+            for w in g["geom_wkb"]:
+                kind, payload = parse_wkb(w)
+                polys.extend([payload] if kind == "polygon" else payload)
+            u = polygon_union(polys)
+            out["geom_wkb"] = [wkb_polygon(u[0]) if len(u) == 1
+                               else wkb_multipolygon(u)]
+        return pd.DataFrame(out)
 
     per_tile = tile_ds.map_batches(_per_tile, batch_format="pyarrow", batch_size=None)
     return per_tile.groupby("value").map_groups(_dissolve, batch_format="pandas")

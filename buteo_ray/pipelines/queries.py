@@ -677,15 +677,15 @@ def q_join_multiway(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
 
-    from buteo_ray.state.skew import derive_num_partitions
+    from buteo_ray.stages.join_partitioned import hash_join_auto
 
     li = li.map_batches(_derive, batch_format="pyarrow", batch_size=None)
-    oc = orders.join(cust, join_type="inner",
-                     num_partitions=derive_num_partitions(orders, cust),
-                     on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(oc, join_type="inner",
-                num_partitions=derive_num_partitions(li, orders),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    # Auto plan: at bench scale both dim sides broadcast (zero shuffles);
+    # at 100 TB orders exceeds the threshold and the same call becomes a
+    # hash-partitioned shuffle join with byte-derived partitions.
+    oc = hash_join_auto(orders, cust, "o_custkey", "c_custkey")
+    j = hash_join_auto(li, oc, "l_orderkey", "o_orderkey",
+                       right_bytes_hint=orders.size_bytes())
     from ray.data.aggregate import Count, Sum
 
     out = j.groupby("c_mktsegment").aggregate(

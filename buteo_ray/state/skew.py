@@ -25,23 +25,19 @@ from buteo_ray.stages.dedup import _splitmix64
 
 
 def derive_num_partitions(*datasets, target_bytes: int = 64 << 20,
-                          lo: Optional[int] = None, hi: int = 512) -> int:
+                          lo: int = 8, hi: int = 4096) -> int:
     """Shuffle-partition count sized to the data, not hardcoded.
 
-    ``ceil(sum(size_bytes) / target_bytes)`` clamped to
-    [cluster CPU count, hi]. ``size_bytes()`` on a lazy parquet read is
-    metadata-only (verified: 2 ms on an unexecuted Dataset), so this
-    never triggers execution. A fixed ``num_partitions=8`` starves a
-    32-core node and throttles a cluster; a byte-derived count keeps
-    per-partition size near ``target_bytes`` at any scale.
-    """
-    import ray
-
-    if lo is None:
-        try:
-            lo = max(8, int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            lo = 8
+    ``ceil(sum(size_bytes) / target_bytes)`` clamped to [lo, hi].
+    ``size_bytes()`` on a lazy parquet read is metadata-only (verified:
+    2 ms on an unexecuted Dataset), so this never triggers execution.
+    Byte-derived counts keep per-partition size near ``target_bytes`` at
+    any scale: a 100 TB input gets thousands of partitions regardless of
+    one node's core count, while a megabyte-scale input stays at ``lo``
+    (measured: raising lo to the 32-core CPU count made Ray's
+    hash-shuffle aggregator overhead DOMINATE small joins — 2.7× slower
+    at sf0.1 — so the floor is deliberately low; large inputs reach full
+    core fan-out through the bytes term alone)."""
     total = 0
     for ds in datasets:
         try:
