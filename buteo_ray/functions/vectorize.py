@@ -213,7 +213,12 @@ def raster_vectorize(tile_ds, nodata: Optional[float] = None,
             for w in g["geom_wkb"]:
                 kind, payload = parse_wkb(w)
                 polys.extend([payload] if kind == "polygon" else payload)
-            u = polygon_union(polys)
+            # Incremental chunked union (union is associative): bounds
+            # each overlay call's edge count instead of feeding every
+            # tile's outline edges to one O(E²) split.
+            u = []
+            for i in range(0, len(polys), 64):
+                u = polygon_union(u + polys[i:i + 64])
             out["geom_wkb"] = [wkb_polygon(u[0]) if len(u) == 1
                                else wkb_multipolygon(u)]
         return pd.DataFrame(out)

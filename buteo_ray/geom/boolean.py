@@ -50,21 +50,45 @@ def _cross(o, d):  # z of 2-D cross product, broadcasting
     return o[..., 0] * d[..., 1] - o[..., 1] * d[..., 0]
 
 
+_PAIR_BLOCK = 1024  # caps pair-enumeration memory at ~B²·float pairs per tile
+
+
+def _candidate_pairs(P0: np.ndarray, P1: np.ndarray, tol: float):
+    """bbox-overlapping segment pairs (i < j), enumerated in
+    ``_PAIR_BLOCK``² tiles so memory stays bounded for any edge count
+    (a single np.triu_indices over E segments is O(E²) ints — 80 GB at
+    E=100k)."""
+    n = P0.shape[0]
+    lo = np.minimum(P0, P1) - tol
+    hi = np.maximum(P0, P1) + tol
+    out_i, out_j = [], []
+    for i0 in range(0, n, _PAIR_BLOCK):
+        i1 = min(i0 + _PAIR_BLOCK, n)
+        for j0 in range(i0, n, _PAIR_BLOCK):
+            j1 = min(j0 + _PAIR_BLOCK, n)
+            ok = ((lo[i0:i1, None, :] <= hi[None, j0:j1, :])
+                  & (lo[None, j0:j1, :] <= hi[i0:i1, None, :])).all(axis=2)
+            ii, jj = np.nonzero(ok)
+            ii = ii + i0
+            jj = jj + j0
+            keep = ii < jj
+            out_i.append(ii[keep])
+            out_j.append(jj[keep])
+    if not out_i:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
 def _split_params(P0: np.ndarray, P1: np.ndarray, tol: float) -> List[np.ndarray]:
     """Per segment, the sorted parameter values t ∈ (0,1) where any other
     segment crosses/touches it (including collinear-overlap endpoints).
-    Vectorized over all candidate pairs after a bbox prefilter."""
+    Vectorized over bbox-prefiltered candidate pairs."""
     n = P0.shape[0]
     ts: List[List[float]] = [[] for _ in range(n)]
     if n < 2:
         return [np.array(t) for t in ts]
     D = P1 - P0
-    # bbox prefilter on pairs
-    lo = np.minimum(P0, P1) - tol
-    hi = np.maximum(P0, P1) + tol
-    i_idx, j_idx = np.triu_indices(n, k=1)
-    ok = ((lo[i_idx] <= hi[j_idx]) & (lo[j_idx] <= hi[i_idx])).all(axis=1)
-    i_idx, j_idx = i_idx[ok], j_idx[ok]
+    i_idx, j_idx = _candidate_pairs(P0, P1, tol)
     if i_idx.size == 0:
         return [np.array(t) for t in ts]
 
@@ -72,7 +96,12 @@ def _split_params(P0: np.ndarray, P1: np.ndarray, tol: float) -> List[np.ndarray
     q, s = P0[j_idx], D[j_idx]
     rxs = _cross(r, s)
     qp = q - p
-    para = np.abs(rxs) < tol * tol
+    len_r = np.hypot(r[:, 0], r[:, 1])
+    len_s = np.hypot(s[:, 0], s[:, 1])
+    # Parallelism test scaled by the segment lengths (|r×s| = |r||s|sinθ):
+    # a raw tol² threshold misses numerically-collinear float segments,
+    # whose overlap points would then silently never split.
+    para = np.abs(rxs) <= tol * np.maximum(len_r * len_s, 1e-300)
     with np.errstate(divide="ignore", invalid="ignore"):
         t = _cross(qp, s) / rxs
         u = _cross(qp, r) / rxs
@@ -84,9 +113,8 @@ def _split_params(P0: np.ndarray, P1: np.ndarray, tol: float) -> List[np.ndarray
         if tol < uv < 1 - tol:
             ts[j_idx[k]].append(uv)
 
-    # Collinear overlaps: project the other segment's endpoints.
-    col = para & (np.abs(_cross(qp, r)) < tol * np.maximum(
-        1.0, np.abs(r).max(axis=1) + np.abs(qp).max(axis=1)))
+    # Collinear overlaps: |qp×r|/|r| = distance from q to the i-line.
+    col = para & (np.abs(_cross(qp, r)) <= tol * np.maximum(len_r, 1e-300))
     for k in np.nonzero(col)[0]:
         i, j = i_idx[k], j_idx[k]
         for (src, dst, seg0, segd) in ((j, i, P0[i], D[i]), (i, j, P0[j], D[j])):
@@ -158,15 +186,19 @@ def _stitch_rings(P0: np.ndarray, P1: np.ndarray, tol: float) -> List[np.ndarray
     out_edges: dict = {}
     for (a, b), i in segs:
         out_edges.setdefault(a, []).append((b, i))
-    used = set()
+    used = set()   # edges committed to an emitted ring
+    dead = set()   # start edges whose walk dangled (don't retry them)
     rings = []
     for (a0, b0), i0 in segs:
-        if (a0, b0) in used:
+        if (a0, b0) in used or (a0, b0) in dead:
             continue
         ring_pts = [P0[i0]]
         cur = (a0, b0)
         cur_i = i0
-        used.add(cur)
+        # Walk tentatively: edges join `used` only if the ring CLOSES —
+        # an abandoned walk must not steal edges a later walk could
+        # close into a valid ring.
+        local_used = {cur}
         guard = 0
         closed = False
         while guard <= len(segs):
@@ -180,7 +212,7 @@ def _stitch_rings(P0: np.ndarray, P1: np.ndarray, tol: float) -> List[np.ndarray
             ang_in = np.arctan2(d_in[1], d_in[0])
             best, best_ang = None, None
             for (nxt, j) in out_edges.get(head, []):
-                if (head, nxt) in used:
+                if (head, nxt) in used or (head, nxt) in local_used:
                     continue
                 d_out = P1[j] - P0[j]
                 # CCW rotation from incoming heading, in (-pi, pi];
@@ -195,11 +227,14 @@ def _stitch_rings(P0: np.ndarray, P1: np.ndarray, tol: float) -> List[np.ndarray
                 break  # dangling — abandon this walk
             cur = (best[0], best[1])
             cur_i = best[2]
-            used.add(cur)
+            local_used.add(cur)
         if closed and len(ring_pts) >= 4:
+            used.update(local_used)
             ring = np.vstack(ring_pts)
             ring[-1] = ring[0]  # exact closure after welding
             rings.append(ring)
+        else:
+            dead.add((a0, b0))
     return rings
 
 
@@ -209,17 +244,40 @@ def _ring_signed_area(ring: np.ndarray) -> float:
     return 0.5 * float(np.sum(x * y1 - x1 * y))
 
 
+def _interior_point(ring: np.ndarray) -> np.ndarray:
+    """A point strictly inside a simple ring: cast a horizontal scanline
+    between two distinct vertex y's and take the midpoint of the first
+    crossing interval (robust for concave rings, where the vertex mean
+    can land outside)."""
+    ys = np.unique(ring[:-1, 1])
+    if ys.shape[0] < 2:
+        return ring[:-1].mean(axis=0)
+    mid = ys.shape[0] // 2
+    y = 0.5 * (ys[mid - 1] + ys[mid])
+    a, b = ring[:-1], ring[1:]
+    crosses = (np.minimum(a[:, 1], b[:, 1]) <= y) & (np.maximum(a[:, 1], b[:, 1]) > y)
+    if not crosses.any():
+        return ring[:-1].mean(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = a[crosses, 0] + (y - a[crosses, 1]) / (b[crosses, 1] - a[crosses, 1]) \
+            * (b[crosses, 0] - a[crosses, 0])
+    xs = np.sort(xs)
+    if xs.shape[0] >= 2:
+        return np.array([0.5 * (xs[0] + xs[1]), y])
+    return np.array([xs[0], y])
+
+
 def _nest_rings(rings: List[np.ndarray]) -> List[Polygon]:
     """CCW rings are exteriors, CW rings are holes of the smallest
-    containing exterior."""
+    containing exterior (containment tested on a guaranteed-interior
+    point of the hole, not the vertex mean — a concave hole's mean can
+    fall in a different exterior)."""
     exts = [(abs(_ring_signed_area(r)), r) for r in rings if _ring_signed_area(r) > 0]
     holes = [r for r in rings if _ring_signed_area(r) < 0]
     exts.sort(key=lambda t: t[0])
     polys: List[Polygon] = [[r] for _, r in exts]
     for h in holes:
-        # representative interior point of the hole: midpoint of first edge
-        # nudged is fragile — use the hole's vertex mean fallback chain.
-        cand = h[:-1].mean(axis=0)
+        cand = _interior_point(h)
         placed = False
         for idx, (_, ext) in enumerate(exts):
             if points_in_polygon(np.array([cand[0]]), np.array([cand[1]]), [ext])[0]:

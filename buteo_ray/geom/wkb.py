@@ -16,7 +16,8 @@ Parsed payload shapes (coordinates always float64, ``ndim`` columns):
 - multilinestring→ list of (N, ndim) arrays
 - polygon        → list of rings, each (N, ndim), closed
 - multipolygon   → list of polygons
-- geometrycollection → list of (kind, payload) tuples
+- geometrycollection → list of (kind, payload, dims) triples — members
+  keep their OWN dimensionality (ISO allows mixing inside a collection)
 """
 
 from __future__ import annotations
@@ -138,12 +139,15 @@ _ENCODERS = {
 
 
 def encode_geom(kind: str, payload, dims: str = "xy") -> bytes:
-    """Re-encode a parsed ``(kind, payload)`` back to WKB."""
+    """Re-encode a parsed ``(kind, payload)`` back to WKB. Collection
+    members carry their own dims (3-tuples from the parser; legacy
+    2-tuples inherit the collection's dims)."""
     if kind == "point":
         return wkb_point(*payload, dims=dims)
     if kind == "geometrycollection":
         return wkb_geometrycollection(
-            [encode_geom(k, p, dims) for k, p in payload], dims)
+            [encode_geom(m[0], m[1], m[2] if len(m) > 2 else dims)
+             for m in payload], dims)
     return _ENCODERS[kind](payload, dims=dims)
 
 
@@ -192,23 +196,34 @@ def _parse_geom(buf: memoryview, off: int):
     off += 4
     members = []
     for _ in range(nmembers):
-        (mkind, mpayload, _mdims), off = _parse_geom(buf, off)
-        members.append((mkind, mpayload))
+        (mkind, mpayload, mdims), off = _parse_geom(buf, off)
+        members.append((mkind, mpayload, mdims))
+    if kind in ("multipoint", "multilinestring", "multipolygon"):
+        # Homogeneous multis store coordinate arrays of one width — a
+        # member whose dims differ from the parent tag would be silently
+        # mis-shaped, so reject it loudly.
+        bad = [d for _, _, d in members if d != dims]
+        if bad:
+            raise ValueError(
+                f"{kind} member dims {bad[0]} != collection dims {dims}")
     if kind == "multipoint":
-        if any(k != "point" for k, _ in members):
+        if any(k != "point" for k, _, _ in members):
             raise ValueError("multipoint member is not a point")
-        pts = (np.array([p for _, p in members], dtype=np.float64)
+        pts = (np.array([p for _, p, _ in members], dtype=np.float64)
                if members else np.zeros((0, ndim)))
         return (kind, pts, dims), off
     if kind == "multilinestring":
-        if any(k != "linestring" for k, _ in members):
+        if any(k != "linestring" for k, _, _ in members):
             raise ValueError("multilinestring member is not a linestring")
-        return (kind, [p for _, p in members], dims), off
+        return (kind, [p for _, p, _ in members], dims), off
     if kind == "multipolygon":
-        if any(k != "polygon" for k, _ in members):
+        if any(k != "polygon" for k, _, _ in members):
             raise ValueError("multipolygon member is not a polygon")
-        return (kind, [p for _, p in members], dims), off
-    return (kind, members, dims), off  # geometrycollection
+        return (kind, [p for _, p, _ in members], dims), off
+    # geometrycollection: members keep their OWN dims — ISO allows a
+    # collection to mix dimensionality, so payload entries are
+    # (kind, payload, dims) triples.
+    return (kind, members, dims), off
 
 
 def parse_wkb(wkb: bytes):
@@ -239,7 +254,7 @@ def geom_vertices(kind: str, payload) -> np.ndarray:
         return np.vstack([r for rings in payload for r in rings])
     if kind == "geometrycollection":
         # Members may mix dimensionality — vertices are reported XY-only.
-        parts = [geom_vertices(k, p)[:, :2] for k, p in payload]
+        parts = [geom_vertices(m[0], m[1])[:, :2] for m in payload]
         return np.vstack(parts) if parts else np.zeros((0, 2))
     raise ValueError(f"unknown kind {kind}")
 
@@ -259,8 +274,36 @@ def map_coords(kind: str, payload, fn):
         return [[fn(np.asarray(r, dtype=np.float64)) for r in rings]
                 for rings in payload]
     if kind == "geometrycollection":
-        return [(k, map_coords(k, p, fn)) for k, p in payload]
+        return [(m[0], map_coords(m[0], m[1], fn)) + tuple(m[2:])
+                for m in payload]
     raise ValueError(f"unknown kind {kind}")
+
+
+def combine_dims(dims_list) -> str:
+    """Widest dims covering every input ('xy'+'xyz' → 'xyz',
+    'xym'+'xyz' → 'xyzm', …)."""
+    has_z = any(d in ("xyz", "xyzm") for d in dims_list)
+    has_m = any(d in ("xym", "xyzm") for d in dims_list)
+    return {(False, False): "xy", (True, False): "xyz",
+            (False, True): "xym", (True, True): "xyzm"}[(has_z, has_m)]
+
+
+def reshape_coords(pts: np.ndarray, src: str, target: str,
+                   z_value: float = 0.0, m_value: float = 0.0) -> np.ndarray:
+    """Convert an (N, ndim(src)) coordinate array to ``target`` dims,
+    filling added Z/M with the given defaults."""
+    pts = np.asarray(pts, dtype=np.float64)
+    x, y = pts[:, 0], pts[:, 1]
+    z = pts[:, 2] if src in ("xyz", "xyzm") else np.full(len(pts), z_value)
+    if src == "xym":
+        m = pts[:, 2]
+    elif src == "xyzm":
+        m = pts[:, 3]
+    else:
+        m = np.full(len(pts), m_value)
+    cols = {"xy": [x, y], "xyz": [x, y, z], "xym": [x, y, m],
+            "xyzm": [x, y, z, m]}[target]
+    return np.column_stack(cols)
 
 
 def geom_bbox(wkb: bytes) -> List[float]:

@@ -42,7 +42,7 @@ def compute_patch_positions(
             elif border_strategy == 2:
                 pos = length - patch_size
             elif border_strategy == 3:
-                pass  # last patch may be smaller than patch_size
+                pass  # strategy 3 keeps the position; the caller shrinks the final patch
         if pos not in positions:
             positions.append(pos)
         if pos + patch_size >= length:

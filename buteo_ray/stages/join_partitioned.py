@@ -176,6 +176,7 @@ def hash_join_auto(
     broadcast_threshold: int = 64 << 20,
     num_partitions: Optional[int] = None,
     right_bytes_hint: Optional[int] = None,
+    right_suffix: Optional[str] = None,
 ):
     """Inner equi-join with automatic plan selection (the engine's
     broadcast-join optimization): when the RIGHT side's estimated bytes
@@ -220,12 +221,25 @@ def hash_join_auto(
                 idx2 = pc.filter(idx, mask)
                 cols = {c: t2[c] for c in t2.column_names}
                 for c in rt.column_names:
-                    if c != right_on and c not in cols:
-                        cols[c] = pc.take(rt[c], idx2)
+                    if c == right_on:
+                        continue
+                    name = c
+                    if name in cols:
+                        # Never silently drop a colliding right column —
+                        # the shuffle plan would have kept/suffixed it, and
+                        # schema must not depend on which plan the size
+                        # estimate picked.
+                        if right_suffix is None:
+                            raise ValueError(
+                                f"hash_join_auto: right column '{c}' collides "
+                                "with a left column; pass right_suffix=")
+                        name = c + right_suffix
+                    cols[name] = pc.take(rt[c], idx2)
                 return pa.table(cols)
 
             return left_ds.map_batches(_probe, batch_format="pyarrow",
                                        batch_size=None)
     n = num_partitions or derive_num_partitions(left_ds, right_ds)
     return left_ds.join(right_ds, join_type="inner", num_partitions=n,
-                        on=(left_on,), right_on=(right_on,))
+                        on=(left_on,), right_on=(right_on,),
+                        right_suffix=right_suffix)

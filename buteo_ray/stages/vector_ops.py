@@ -206,7 +206,9 @@ def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull",
     if two_level:
         def _partial(batch: pd.DataFrame) -> pd.DataFrame:
             rows = []
-            for kval, g in batch.groupby(key, sort=False):
+            # dropna=False: null group keys must reach the final groupby
+            # exactly as they do in the single-level plan.
+            for kval, g in batch.groupby(key, sort=False, dropna=False):
                 polys, _ = _dissolve_reduce(list(g["geom_wkb"]), geometry)
                 rows.append({key: kval, "geom_wkb": _encode_polyset(polys),
                              "__n": len(g)})
@@ -251,21 +253,22 @@ def vector_clip(ds, clip_polys):
 
 
 def _explode_members(kind, payload, dims):
-    """Members of a geometry as (kind, payload) singleparts (≙ reference
-    multipart.py split rules: multi → its members, single → itself,
-    collection → recursively exploded members)."""
+    """Members of a geometry as (kind, payload, dims) singleparts (≙
+    reference multipart.py split rules: multi → its members, single →
+    itself, collection → recursively exploded members, each keeping its
+    OWN dims — collections may mix dimensionality)."""
     if kind == "multipolygon":
-        return [("polygon", rings) for rings in payload]
+        return [("polygon", rings, dims) for rings in payload]
     if kind == "multilinestring":
-        return [("linestring", l) for l in payload]
+        return [("linestring", l, dims) for l in payload]
     if kind == "multipoint":
-        return [("point", tuple(p)) for p in payload]
+        return [("point", tuple(p), dims) for p in payload]
     if kind == "geometrycollection":
         out = []
-        for k, p in payload:
-            out.extend(_explode_members(k, p, dims))
+        for k, p, d in payload:
+            out.extend(_explode_members(k, p, d))
         return out
-    return [(kind, payload)]
+    return [(kind, payload, dims)]
 
 
 def multipart_to_singlepart(ds):
@@ -278,9 +281,9 @@ def multipart_to_singlepart(ds):
         rows = []
         for _, r in batch.iterrows():
             kind, payload, dims = parse_wkb_dims(r["geom_wkb"])
-            for i, (k, p) in enumerate(_explode_members(kind, payload, dims)):
+            for i, (k, p, d) in enumerate(_explode_members(kind, payload, dims)):
                 rr = dict(r)
-                rr["geom_wkb"] = encode_geom(k, p, dims)
+                rr["geom_wkb"] = encode_geom(k, p, d)
                 rr["part_idx"] = i
                 rows.append(rr)
         out = pd.DataFrame(rows) if rows else batch.assign(part_idx=0).iloc[:0]
@@ -293,24 +296,32 @@ _MULTI_OF = {"point": "multipoint", "linestring": "multilinestring",
              "polygon": "multipolygon"}
 
 
-def _collect_geoms(parts, dims):
-    """Singleparts → one multi-geometry: homogeneous kinds promote to the
-    matching multi type, mixed kinds to a geometrycollection."""
-    kinds = {k for k, _ in parts}
-    if kinds == {"polygon"}:
-        return wkb_multipolygon([p for _, p in parts], dims=dims)
-    if kinds == {"linestring"}:
-        from buteo_ray.geom.wkb import wkb_multilinestring
+def _collect_geoms(parts):
+    """(kind, payload, dims) singleparts → one multi-geometry:
+    homogeneous kinds promote to the matching multi type (mixed-dims
+    groups are normalized to the widest dims first — a homogeneous multi
+    stores one coordinate width), mixed kinds to a geometrycollection
+    whose members keep their own dims."""
+    from buteo_ray.geom.wkb import combine_dims, reshape_coords
 
-        return wkb_multilinestring([p for _, p in parts], dims=dims)
-    if kinds == {"point"}:
+    kinds = {k for k, _, _ in parts}
+    if kinds <= {"point", "linestring", "polygon"} and len(kinds) == 1:
+        target = combine_dims([d for _, _, d in parts])
+        norm = [map_coords(k, p, lambda pts, _d=d: reshape_coords(pts, _d, target))
+                if d != target else p
+                for k, p, d in parts]
+        if kinds == {"polygon"}:
+            return wkb_multipolygon(norm, dims=target)
+        if kinds == {"linestring"}:
+            from buteo_ray.geom.wkb import wkb_multilinestring
+
+            return wkb_multilinestring(norm, dims=target)
         from buteo_ray.geom.wkb import wkb_multipoint
 
-        return wkb_multipoint(np.array([p for _, p in parts]), dims=dims)
+        return wkb_multipoint(np.array(norm), dims=target)
     from buteo_ray.geom.wkb import wkb_geometrycollection
 
-    return wkb_geometrycollection([encode_geom(k, p, dims) for k, p in parts],
-                                  dims=dims)
+    return wkb_geometrycollection([encode_geom(k, p, d) for k, p, d in parts])
 
 
 def singlepart_to_multipart(ds, by: str):
@@ -325,7 +336,7 @@ def singlepart_to_multipart(ds, by: str):
             kind, payload, dims = parse_wkb_dims(w)
             parts.extend(_explode_members(kind, payload, dims))
         out = pd.DataFrame({by: [g[by].iloc[0]],
-                            "geom_wkb": [_collect_geoms(parts, dims)],
+                            "geom_wkb": [_collect_geoms(parts)],
                             "n_parts": [len(parts)]})
         return _rebuild_bbox_cols(out)
 
@@ -496,12 +507,12 @@ def vector_change_multitype(ds, target: str):
                 if kind in _MULTI_OF.values() or kind == "geometrycollection":
                     out.append(w)
                 else:
-                    out.append(_collect_geoms([(kind, payload)], dims))
+                    out.append(_collect_geoms([(kind, payload, dims)]))
             else:
                 members = _explode_members(kind, payload, dims)
                 if len(members) == 1:
-                    k, p = members[0]
-                    out.append(encode_geom(k, p, dims))
+                    k, p, d = members[0]
+                    out.append(encode_geom(k, p, d))
                 else:
                     raise ValueError("cannot demote a multi-part geometry to single")
         batch = batch.copy()
@@ -522,24 +533,25 @@ def vector_change_dimensionality(ds, target: str, z_value: float = 0.0,
     if target not in _NDIM:
         raise ValueError(f"target must be one of {sorted(_NDIM)}")
 
+    from buteo_ray.geom.wkb import reshape_coords
+
     def _reshape(pts: np.ndarray, dims: str) -> np.ndarray:
-        # Decompose the source into named coords, then assemble the target.
-        x, y = pts[:, 0], pts[:, 1]
-        z = pts[:, 2] if dims in ("xyz", "xyzm") else np.full(len(pts), z_value)
-        if dims == "xym":
-            m = pts[:, 2]
-        elif dims == "xyzm":
-            m = pts[:, 3]
-        else:
-            m = np.full(len(pts), m_value)
-        cols = {"xy": [x, y], "xyz": [x, y, z], "xym": [x, y, m],
-                "xyzm": [x, y, z, m]}[target]
-        return np.column_stack(cols)
+        return reshape_coords(pts, dims, target, z_value=z_value, m_value=m_value)
 
     def _fn(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for w in batch["geom_wkb"]:
             kind, payload, dims = parse_wkb_dims(w)
+            if kind == "geometrycollection":
+                # members reshape with their OWN source dims (a collection
+                # may mix dimensionality), all landing on the target.
+                new_members = [
+                    (k, map_coords(k, p, lambda pts, _d=d: _reshape(pts, _d)),
+                     target)
+                    for k, p, d in payload
+                ]
+                out.append(encode_geom(kind, new_members, target))
+                continue
             if dims == target:
                 out.append(w)
                 continue

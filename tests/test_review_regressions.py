@@ -101,3 +101,152 @@ def test_multitype_conversion(ray_session):
     assert parse_wkb(multi.to_pandas()["geom_wkb"].iloc[0])[0] == "multipolygon"
     single = vector_change_multitype(multi, "single")
     assert parse_wkb(single.to_pandas()["geom_wkb"].iloc[0])[0] == "polygon"
+
+
+# ----------------------------- round-2 review regressions -----------------
+
+
+def _rect(x0, y0, x1, y1):
+    return np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                      dtype=np.float64)
+
+
+def test_union_float_shared_edge():
+    """Numerically-collinear shared edges (rotated floats) must still be
+    split and welded — the old tol² parallel test skipped them."""
+    from buteo_ray.geom.boolean import polygon_union, union_area
+
+    theta = 0.3
+    R = np.array([[np.cos(theta), -np.sin(theta)],
+                  [np.sin(theta), np.cos(theta)]])
+    a = _rect(0, 0, 2, 2) @ R.T
+    b = _rect(2, 0, 4, 2) @ R.T  # shares the rotated edge x=2 exactly-ish
+    u = polygon_union([[a], [b]])
+    assert len(u) == 1
+    assert union_area(u) == pytest.approx(8.0, rel=1e-9)
+
+
+def test_hole_nesting_concave():
+    """A C-shaped hole whose vertex mean falls inside an island exterior
+    must still nest under its true containing exterior."""
+    from buteo_ray.geom.boolean import polygon_boolean, union_area
+
+    outer = _rect(0, 0, 10, 10)
+    # C-shaped cut: open square annulus around the island at (4..6)
+    c_cut = [
+        [_rect(2, 2, 8, 3)],   # bottom bar
+        [_rect(2, 3, 3, 8)],   # left bar
+        [_rect(2, 7, 8, 8)],   # top bar
+        [_rect(7, 3, 8, 7)],   # right bar (closes the ring → true hole)
+    ]
+    from buteo_ray.geom.boolean import polygon_union
+
+    cut = polygon_union(c_cut)
+    d = polygon_boolean([[outer]], cut, "difference")
+    # island (4..6 core) survives inside the hole as its own exterior
+    areas = sorted(round(union_area([p]), 6) for p in d)
+    # outer minus ring + island: outer=100, ring area=20, island=(3..7)^2 minus bars → 16
+    assert sum(areas) == pytest.approx(100 - 20)
+    assert len(d) == 2  # big poly with hole + island
+
+
+def test_mixed_dims_collect(ray_session):
+    """xy + xyz geometries collected per key normalize to the widest
+    dims instead of crashing (round-2 review finding)."""
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import (
+        geom_bbox,
+        parse_wkb_dims,
+        wkb_linestring,
+    )
+    from buteo_ray.stages.vector_ops import singlepart_to_multipart
+
+    l_xy = wkb_linestring(np.array([[0.0, 0.0], [1.0, 1.0]]))
+    l_xyz = wkb_linestring(np.array([[2.0, 2.0, 9.0], [3.0, 3.0, 9.0]]), dims="xyz")
+    rows = []
+    for w in (l_xy, l_xyz):
+        b = geom_bbox(w)
+        rows.append({"key": "k", "geom_wkb": w, "bbox_xmin": b[0],
+                     "bbox_xmax": b[1], "bbox_ymin": b[2], "bbox_ymax": b[3]})
+    out = singlepart_to_multipart(rd.from_pandas(pd.DataFrame(rows)), by="key").to_pandas()
+    kind, payload, dims = parse_wkb_dims(out["geom_wkb"].iloc[0])
+    assert (kind, dims) == ("multilinestring", "xyz")
+    # the xy member gained z=0.0
+    zs = sorted(float(l[0, 2]) for l in payload)
+    assert zs == [0.0, 9.0]
+
+
+def test_collection_mixed_member_dims_roundtrip():
+    """A collection tagged xy holding a Z point (valid in the wild) must
+    parse, re-encode byte-identically, and explode with member dims."""
+    from buteo_ray.geom.wkb import (
+        encode_geom,
+        parse_wkb_dims,
+        wkb_geometrycollection,
+        wkb_linestring,
+        wkb_point,
+    )
+
+    w = wkb_geometrycollection([
+        wkb_point(1.0, 2.0, 3.0, dims="xyz"),
+        wkb_linestring(np.array([[0.0, 0.0], [1.0, 0.0]])),
+    ])
+    kind, members, dims = parse_wkb_dims(w)
+    assert kind == "geometrycollection" and dims == "xy"
+    assert [(m[0], m[2]) for m in members] == [("point", "xyz"),
+                                              ("linestring", "xy")]
+    assert encode_geom(kind, members, dims) == w
+
+    from buteo_ray.stages.vector_ops import _explode_members
+
+    parts = _explode_members(kind, members, dims)
+    assert [(k, d) for k, _, d in parts] == [("point", "xyz"),
+                                            ("linestring", "xy")]
+
+
+def test_multipoint_member_dims_mismatch_rejected():
+    import struct
+
+    from buteo_ray.geom.wkb import parse_wkb, wkb_point
+
+    # hand-build a MULTIPOINT (xy tag) containing a Z point
+    bad = struct.pack("<BII", 1, 4, 1) + wkb_point(1.0, 2.0, 3.0, dims="xyz")
+    with pytest.raises(ValueError, match="dims"):
+        parse_wkb(bad)
+
+
+def test_dissolve_two_level_null_keys(ray_session):
+    """Null group keys survive the two-level partial stage (pandas
+    dropna default would silently drop them)."""
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import geom_bbox, wkb_polygon
+    from buteo_ray.stages.vector_ops import vector_dissolve
+
+    rows = []
+    for i, key in enumerate(["a", None, None]):
+        w = wkb_polygon([_rect(3 * i, 0, 3 * i + 2, 2)])
+        b = geom_bbox(w)
+        rows.append({"grp": key, "geom_wkb": w, "bbox_xmin": b[0],
+                     "bbox_xmax": b[1], "bbox_ymin": b[2], "bbox_ymax": b[3]})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    two = vector_dissolve(ds, by="grp", geometry="bbox", two_level=True).to_pandas()
+    one = vector_dissolve(ds, by="grp", geometry="bbox", two_level=False).to_pandas()
+    assert int(two["n_features"].sum()) == int(one["n_features"].sum()) == 3
+    assert len(two) == len(one) == 2
+
+
+def test_hash_join_auto_collision_and_suffix(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    left = rd.from_items([{"k": i, "v": i * 2} for i in range(5)])
+    right = rd.from_items([{"rk": i, "v": i * 10} for i in range(5)])
+    with pytest.raises(Exception, match="collides"):
+        hash_join_auto(left, right, "k", "rk").to_pandas()
+    out = hash_join_auto(left, right, "k", "rk", right_suffix="_r").to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_r"]
+    assert len(out) == 5 and (out.sort_values("k")["v_r"].to_numpy()
+                              == np.arange(5) * 10).all()

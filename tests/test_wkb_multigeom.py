@@ -63,7 +63,9 @@ def test_geometrycollection_roundtrip():
     ])
     kind, members = parse_wkb(w)
     assert kind == "geometrycollection"
-    assert [k for k, _ in members] == ["point", "linestring", "polygon"]
+    # collection members are (kind, payload, dims) triples
+    assert [m[0] for m in members] == ["point", "linestring", "polygon"]
+    assert [m[2] for m in members] == ["xy", "xy", "xy"]
     assert geom_bbox(w) == [0.0, 5.0, -2.0, 2.0]
     # re-encode is byte-identical
     assert encode_geom(kind, members) == w
