@@ -930,18 +930,43 @@ def q_simhash(sf_dir: str):
 
 
 def q_lang_pred(sf_dir: str):
-    """Heuristic stopword language-ID (rows-only check)."""
+    """Heuristic stopword language-ID (argmax of per-language stopword
+    hit counts; ties and zero hits → 'und')."""
     from buteo_ray.stages.text import add_lang_pred
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return add_lang_pred(ds).select_columns(["doc_id", "lang_pred"])
 
 
+def sql_lang_pred() -> str:
+    """DuckDB twin of the TextScorer heuristic: tokenize on single
+    spaces, count stopword hits per language (a word shared across
+    languages scores for each), argmax with tie/zero → 'und'."""
+    from buteo_ray.stages.text import STOPWORDS
+
+    vals = ", ".join(f"('{w}', '{lang}')"
+                     for lang in sorted(STOPWORDS) for w in STOPWORDS[lang])
+    return (
+        f"WITH sw(word, lang) AS (VALUES {vals}), "
+        "toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents), "
+        "hits AS (SELECT t.doc_id, s.lang, COUNT(*) AS n FROM toks t "
+        "JOIN sw s ON t.w = s.word GROUP BY 1, 2), "
+        "ranked AS (SELECT doc_id, lang, n, MAX(n) OVER (PARTITION BY doc_id) AS top "
+        "FROM hits), "
+        "best AS (SELECT doc_id, MAX(CASE WHEN n = top THEN lang END) AS best_lang, "
+        "COUNT(*) FILTER (WHERE n = top) AS n_top FROM ranked GROUP BY doc_id) "
+        "SELECT d.doc_id, CASE WHEN b.doc_id IS NULL OR b.n_top > 1 "
+        "THEN 'und' ELSE b.best_lang END AS lang_pred "
+        "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id"
+    )
+
+
 def q_pip_join_poly(sf_dir: str):
     """Exact point-in-POLYGON broadcast join (star polygons, even-odd +
-    boundary rule). Verified against a from-first-principles brute force
-    in tests/test_invariants.py; no SQL oracle (ray-casting isn't
-    SQL-expressible without a spatial extension)."""
+    boundary rule). Also verified against a from-first-principles brute
+    force in tests/test_invariants.py; the DuckDB oracle replays the
+    ray-casting arithmetic itself over per-edge literal rows."""
     from buteo_ray.sources.aoi import synth_aoi_polygons
     from buteo_ray.stages.join import broadcast_pip_join
 
@@ -949,6 +974,55 @@ def q_pip_join_poly(sf_dir: str):
     ds = geocode(ds)
     out = broadcast_pip_join(ds, synth_aoi_polygons(1000), how="inner", exact=True)
     return out.select_columns(["doc_id", "aoi_id"])
+
+
+def sql_pip_join_poly() -> str:
+    """Ray-casting in plain SQL, bit-identical to the engine's
+    ``PolygonSet.contains_pairs``: the polygon edges are embedded as
+    literal rows (repr round-trips doubles exactly), the crossing test
+    uses the same expression tree ``x0 + (py−y0)/dy·dx`` with the same
+    strict/half-open comparisons, and the boundary rule is the same
+    exact collinearity + edge-bbox test. Division only evaluates under
+    the straddle condition (dy ≠ 0 there), mirroring numpy's masked
+    evaluation."""
+    from buteo_ray.geom.wkb import parse_wkb
+    from buteo_ray.sources.aoi import synth_aoi_polygons
+
+    aoi = synth_aoi_polygons(1000)
+    ids = aoi["aoi_id"].to_numpy()
+    bx0 = aoi["bbox_xmin"].to_numpy()
+    bx1 = aoi["bbox_xmax"].to_numpy()
+    by0 = aoi["bbox_ymin"].to_numpy()
+    by1 = aoi["bbox_ymax"].to_numpy()
+    rows = []
+    for i in range(len(ids)):
+        kind, payload = parse_wkb(aoi["geom_wkb"][i].as_py())
+        rings = payload if kind == "polygon" else [r for p in payload for r in p]
+        for ring in rings:
+            a, b = ring[:-1], ring[1:]
+            for j in range(len(a)):
+                # Python-float repr round-trips doubles exactly (numpy
+                # scalar repr would emit np.float64(...) noise).
+                rows.append(
+                    f"({int(ids[i])},{float(a[j, 0])!r},{float(a[j, 1])!r},"
+                    f"{float(b[j, 0])!r},{float(b[j, 1])!r},"
+                    f"{float(bx0[i])!r},{float(bx1[i])!r},"
+                    f"{float(by0[i])!r},{float(by1[i])!r})")
+    vals = ",".join(rows)
+    return (
+        f"WITH e(aoi_id, x0, y0, x1, y1, bxmin, bxmax, bymin, bymax) AS (VALUES {vals}), "
+        f"pts AS (SELECT doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM documents), "
+        "cand AS (SELECT p.doc_id, p.lat, p.lon, e.* FROM pts p JOIN e ON "
+        "p.lon >= e.bxmin AND p.lon <= e.bxmax AND p.lat >= e.bymin AND p.lat <= e.bymax), "
+        "per AS (SELECT doc_id, aoi_id, "
+        "SUM(CASE WHEN ((y0 > lat) != (y1 > lat)) "
+        "AND lon < x0 + (lat - y0) / (y1 - y0) * (x1 - x0) THEN 1 ELSE 0 END) AS crossings, "
+        "MAX(CASE WHEN (x1 - x0) * (lat - y0) - (y1 - y0) * (lon - x0) = 0.0 "
+        "AND lon >= LEAST(x0, x1) AND lon <= GREATEST(x0, x1) "
+        "AND lat >= LEAST(y0, y1) AND lat <= GREATEST(y0, y1) THEN 1 ELSE 0 END) AS on_b "
+        "FROM cand GROUP BY 1, 2) "
+        "SELECT doc_id, aoi_id FROM per WHERE crossings % 2 = 1 OR on_b = 1"
+    )
 
 
 def q_embed_centroids(sf_dir: str):
@@ -1221,4 +1295,6 @@ ORACLE_SQL: Dict[str, str] = {
     "histogram": sql_histogram(),
     "asof_join": sql_asof_join(),
     "line_bbox_join": sql_line_bbox_join(),
+    "lang_pred": sql_lang_pred(),
+    "pip_join_poly": sql_pip_join_poly(),
 }
