@@ -1036,6 +1036,37 @@ def q_embed_centroids(sf_dir: str):
     return centroids_per_label(emb)
 
 
+def q_embed_centroids_flat(sf_dir: str):
+    """Per-label mean embedding, unnested to (label, dim, centroid) rows
+    so the value-hash oracle applies (the list-valued sibling
+    ``embed_centroids`` stays rows-only). Partial in-batch sums → tiny
+    final groupby; 4-decimal floor rounding absorbs summation order."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import centroids_per_label
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents = centroids_per_label(emb).to_pandas()
+    rows = []
+    for r in cents.itertuples(index=False):
+        for d, v in enumerate(r.centroid):
+            rows.append({"label": int(r.label), "dim": d,
+                         "centroid": np.floor(v * 10000.0 + 0.5) / 10000.0})
+    return pd.DataFrame(rows).sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def sql_embed_centroids_flat() -> str:
+    # DuckDB 1.0 lacks WITH ORDINALITY — pair the list with its index via
+    # a generate_series lateral join (embedding dim = 64).
+    return (
+        "SELECT label, CAST(gs.d AS BIGINT) AS dim, "
+        "FLOOR(AVG(CAST(embedding[gs.d + 1] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 "
+        "AS centroid "
+        "FROM embeddings, generate_series(0, 63) AS gs(d) "
+        "GROUP BY label, gs.d ORDER BY label, dim"
+    )
+
+
 def q_knn_cells(sf_dir: str):
     """Cell-partitioned k-ring kNN, haversine metric (the scale path;
     exactness vs brute force verified in tests/test_knn.py)."""
@@ -1256,6 +1287,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "knn_cells": q_knn_cells,
     "pip_join_poly": q_pip_join_poly,
     "embed_centroids": q_embed_centroids,
+    "embed_centroids_flat": q_embed_centroids_flat,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
     "coregister": q_coregister,
@@ -1297,4 +1329,5 @@ ORACLE_SQL: Dict[str, str] = {
     "line_bbox_join": sql_line_bbox_join(),
     "lang_pred": sql_lang_pred(),
     "pip_join_poly": sql_pip_join_poly(),
+    "embed_centroids_flat": sql_embed_centroids_flat(),
 }
