@@ -213,12 +213,17 @@ def raster_vectorize(tile_ds, nodata: Optional[float] = None,
             for w in g["geom_wkb"]:
                 kind, payload = parse_wkb(w)
                 polys.extend([payload] if kind == "polygon" else payload)
-            # Incremental chunked union (union is associative): bounds
-            # each overlay call's edge count instead of feeding every
-            # tile's outline edges to one O(E²) split.
-            u = []
-            for i in range(0, len(polys), 64):
-                u = polygon_union(u + polys[i:i + 64])
+            # Balanced pairwise merge tree (union is associative): leaf
+            # calls see ≤64 polygons and merge levels halve the part
+            # count, so disjoint-heavy groups stay O(E² log K) instead of
+            # the O(K³) of re-feeding one growing accumulator.
+            parts = [polygon_union(polys[i:i + 64])
+                     for i in range(0, len(polys), 64)]
+            while len(parts) > 1:
+                parts = [polygon_union(parts[i] + parts[i + 1])
+                         if i + 1 < len(parts) else parts[i]
+                         for i in range(0, len(parts), 2)]
+            u = parts[0] if parts else []
             out["geom_wkb"] = [wkb_polygon(u[0]) if len(u) == 1
                                else wkb_multipolygon(u)]
         return pd.DataFrame(out)

@@ -100,8 +100,11 @@ def _split_params(P0: np.ndarray, P1: np.ndarray, tol: float) -> List[np.ndarray
     len_s = np.hypot(s[:, 0], s[:, 1])
     # Parallelism test scaled by the segment lengths (|r×s| = |r||s|sinθ):
     # a raw tol² threshold misses numerically-collinear float segments,
-    # whose overlap points would then silently never split.
-    para = np.abs(rxs) <= tol * np.maximum(len_r * len_s, 1e-300)
+    # whose overlap points would then silently never split. The epsilon
+    # must be DIMENSIONLESS (a sine bound, ~float rounding): using the
+    # span-scaled tol here would classify genuinely-crossing shallow
+    # pairs as parallel and drop their intersections.
+    para = np.abs(rxs) <= 1e-12 * np.maximum(len_r * len_s, 1e-300)
     with np.errstate(divide="ignore", invalid="ignore"):
         t = _cross(qp, s) / rxs
         u = _cross(qp, r) / rxs

@@ -1002,12 +1002,15 @@ def sql_pip_join_poly() -> str:
             a, b = ring[:-1], ring[1:]
             for j in range(len(a)):
                 # Python-float repr round-trips doubles exactly (numpy
-                # scalar repr would emit np.float64(...) noise).
-                rows.append(
-                    f"({int(ids[i])},{float(a[j, 0])!r},{float(a[j, 1])!r},"
-                    f"{float(b[j, 0])!r},{float(b[j, 1])!r},"
-                    f"{float(bx0[i])!r},{float(bx1[i])!r},"
-                    f"{float(by0[i])!r},{float(by1[i])!r})")
+                # scalar repr would emit np.float64(...) noise). ::DOUBLE
+                # matters: a bare decimal literal types as DECIMAL in
+                # DuckDB, whose exact decimal subtraction diverges from
+                # the engine's IEEE float64 by up to 1 ulp.
+                c = [float(a[j, 0]), float(a[j, 1]), float(b[j, 0]),
+                     float(b[j, 1]), float(bx0[i]), float(bx1[i]),
+                     float(by0[i]), float(by1[i])]
+                lits = ",".join(f"{v!r}::DOUBLE" for v in c)
+                rows.append(f"({int(ids[i])},{lits})")
     vals = ",".join(rows)
     return (
         f"WITH e(aoi_id, x0, y0, x1, y1, bxmin, bxmax, bymin, bymax) AS (VALUES {vals}), "

@@ -234,6 +234,12 @@ def hash_join_auto(
                                 f"hash_join_auto: right column '{c}' collides "
                                 "with a left column; pass right_suffix=")
                         name = c + right_suffix
+                        if name in cols:
+                            # the suffixed name ALSO exists on the left —
+                            # overwriting it would silently corrupt data.
+                            raise ValueError(
+                                f"hash_join_auto: suffixed column '{name}' "
+                                "still collides with a left column")
                     cols[name] = pc.take(rt[c], idx2)
                 return pa.table(cols)
 

@@ -538,25 +538,22 @@ def vector_change_dimensionality(ds, target: str, z_value: float = 0.0,
     def _reshape(pts: np.ndarray, dims: str) -> np.ndarray:
         return reshape_coords(pts, dims, target, z_value=z_value, m_value=m_value)
 
+    def _redim(kind, payload, src_dims):
+        """Reshape every coordinate array to the target dims, recursing
+        into collections so each nested member converts from its OWN
+        source dims and its dims slot is rewritten at every level."""
+        if kind == "geometrycollection":
+            return [(k, _redim(k, p, d), target) for k, p, d in payload]
+        return map_coords(kind, payload, lambda pts: _reshape(pts, src_dims))
+
     def _fn(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for w in batch["geom_wkb"]:
             kind, payload, dims = parse_wkb_dims(w)
-            if kind == "geometrycollection":
-                # members reshape with their OWN source dims (a collection
-                # may mix dimensionality), all landing on the target.
-                new_members = [
-                    (k, map_coords(k, p, lambda pts, _d=d: _reshape(pts, _d)),
-                     target)
-                    for k, p, d in payload
-                ]
-                out.append(encode_geom(kind, new_members, target))
-                continue
-            if dims == target:
+            if dims == target and kind != "geometrycollection":
                 out.append(w)
                 continue
-            new_payload = map_coords(kind, payload, lambda p: _reshape(p, dims))
-            out.append(encode_geom(kind, new_payload, target))
+            out.append(encode_geom(kind, _redim(kind, payload, dims), target))
         batch = batch.copy()
         batch["geom_wkb"] = out
         return batch

@@ -250,3 +250,79 @@ def test_hash_join_auto_collision_and_suffix(ray_session):
     assert sorted(out.columns) == ["k", "v", "v_r"]
     assert len(out) == 5 and (out.sort_values("k")["v_r"].to_numpy()
                               == np.arange(5) * 10).all()
+
+
+def test_shallow_angle_crossing_not_dropped():
+    """Second-review regression: a nearly-parallel GENUINE crossing must
+    still split (the parallel epsilon is a dimensionless sine bound, not
+    the span-scaled tol)."""
+    from buteo_ray.geom.boolean import polygon_boolean, union_area
+
+    big = _rect(0, 0, 1e5, 2)
+    theta = 5e-6
+    c = np.array([5e4, 1.0])
+    R = np.array([[np.cos(theta), -np.sin(theta)],
+                  [np.sin(theta), np.cos(theta)]])
+    rot = (big - c) @ R.T + c
+    inter = polygon_boolean([[big]], [[rot]], "intersection")
+    assert union_area(inter) > 0.9 * 2e5 * 0.9  # most of the strip overlaps
+
+
+def test_nested_collection_dimensionality(ray_session):
+    """Nested collections: members convert from their OWN dims at every
+    nesting level (no crash, no silent z loss)."""
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import (
+        geom_bbox,
+        geom_vertices,
+        parse_wkb_dims,
+        wkb_geometrycollection,
+        wkb_point,
+    )
+    from buteo_ray.stages.vector_ops import vector_change_dimensionality
+
+    inner = wkb_geometrycollection([wkb_point(1.0, 2.0, 9.0, dims="xyz"),
+                                    wkb_point(3.0, 4.0)])
+    outer = wkb_geometrycollection([inner, wkb_point(5.0, 6.0)])
+    b = geom_bbox(outer)
+    ds = rd.from_pandas(pd.DataFrame([{
+        "fid": 0, "geom_wkb": outer, "bbox_xmin": b[0], "bbox_xmax": b[1],
+        "bbox_ymin": b[2], "bbox_ymax": b[3]}]))
+    out = vector_change_dimensionality(ds, "xyz", z_value=-5.0).to_pandas()
+    kind, members, dims = parse_wkb_dims(out["geom_wkb"].iloc[0])
+    assert (kind, dims) == ("geometrycollection", "xyz")
+    ik, ip, idm = members[0]
+    assert idm == "xyz"
+    zs = sorted(float(geom_vertices(k, p)[0, 2]) for k, p, d in ip)
+    assert zs == [-5.0, 9.0]  # real z preserved, missing z filled
+
+
+def test_hash_join_auto_suffixed_collision_rejected(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    left = rd.from_items([{"k": i, "v": i, "v_r": i} for i in range(3)])
+    right = rd.from_items([{"rk": i, "v": i * 10} for i in range(3)])
+    with pytest.raises(Exception, match="still collides"):
+        hash_join_auto(left, right, "k", "rk", right_suffix="_r").to_pandas()
+
+
+def test_vectorize_union_merge_tree(ray_session):
+    """Disjoint-heavy exact vectorize still produces correct union via
+    the balanced merge tree (many parts, none weldable)."""
+    from buteo_ray.functions.vectorize import raster_vectorize
+    from buteo_ray.geom.boolean import union_area
+    from buteo_ray.geom.wkb import parse_wkb
+    from buteo_ray.sources.raster import raster_from_array
+
+    arr = np.zeros((16, 16))
+    arr[::2, ::2] = 3.0  # 64 isolated single-pixel regions of value 3
+    ds = raster_from_array(arr, tile_size=8)
+    out = raster_vectorize(ds, exact_geometry=True).to_pandas()
+    row = out[out["value"] == 3.0].iloc[0]
+    kind, payload = parse_wkb(row["geom_wkb"])
+    polys = [payload] if kind == "polygon" else payload
+    assert len(polys) == 64
+    assert union_area(polys) == pytest.approx(64.0)
