@@ -276,8 +276,10 @@ def minhash_lsh_pairs(
 
     from buteo_ray.state.skew import derive_num_partitions
 
-    counts = band_rows.groupby(["band", "band_hash"]).aggregate(
-        Count(alias_name="n"))
+    # Project the 512-B signatures off before the count shuffle — the
+    # aggregate only needs the keys.
+    counts = band_rows.select_columns(["band", "band_hash"]).groupby(
+        ["band", "band_hash"]).aggregate(Count(alias_name="n"))
     multi = counts.map_batches(
         lambda t: t.filter(np.greater_equal(t["n"].to_numpy(), 2)),
         batch_format="pyarrow", batch_size=None,

@@ -201,3 +201,49 @@ def test_vector_clip_concave(ray_session):
     k0, p0 = parse_wkb(out["geom_wkb"].iloc[0])
     a0 = union_area([p0] if k0 == "polygon" else p0)
     assert a0 == pytest.approx(3.0)
+
+
+# --------------------------- property-based fuzz (hypothesis) -------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _star(cx, cy, r, nv, seed):
+    rng = np.random.default_rng(seed)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    radii = r * rng.uniform(0.5, 1.0, nv)
+    pts = np.column_stack([cx + radii * np.cos(angles),
+                           cy + radii * np.sin(angles)])
+    return np.vstack([pts, pts[:1]])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10**6), st.integers(2, 5),
+       st.sampled_from(["union", "intersection", "difference"]))
+def test_boolean_fuzz_vs_grid_oracle(seed, n_shapes, op):
+    """Random mixes of rotated rects and star polygons (shared regions,
+    touching edges, slivers) must agree with the even-odd grid oracle
+    for every boolean op."""
+    rng = np.random.default_rng(seed)
+    shapes = []
+    for i in range(n_shapes):
+        kind = rng.integers(0, 2)
+        cx, cy = rng.uniform(0, 6, 2)
+        if kind == 0:
+            w, h = rng.uniform(0.5, 3, 2)
+            theta = rng.uniform(0, np.pi)
+            R = np.array([[np.cos(theta), -np.sin(theta)],
+                          [np.sin(theta), np.cos(theta)]])
+            base = _rect(-w / 2, -h / 2, w / 2, h / 2) @ R.T + [cx, cy]
+            shapes.append([base])
+        else:
+            shapes.append([_star(cx, cy, rng.uniform(0.5, 2.0),
+                                 int(rng.integers(5, 9)), seed + i)])
+    k = max(1, n_shapes // 2)
+    a, b = shapes[:k], shapes[k:]
+    if op == "union":
+        result = polygon_union(a + b)
+        _grid_oracle_check(a + b, [], "union", result, n=90)
+    else:
+        result = polygon_boolean(a, b, op)
+        _grid_oracle_check(a, b, op, result, n=90)
