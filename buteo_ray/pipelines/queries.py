@@ -1039,6 +1039,53 @@ def q_embed_centroids(sf_dir: str):
     return centroids_per_label(emb)
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Distributed exact n-gram Jaccard over a deterministic pair set
+    (id, id+20 for id % 40 == 0) — the verification stage downstream of
+    LSH candidate generation, as a first-class operator
+    (stages/dedup.py::exact_jaccard_for_pairs)."""
+    from buteo_ray.stages.dedup import exact_jaccard_for_pairs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _mk_pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids % 40 == 0]
+        return pa.table({"id_a": pa.array(ids, type=pa.int64()),
+                         "id_b": pa.array(ids + 20, type=pa.int64())})
+
+    pairs = docs.select_columns(["doc_id"]).map_batches(
+        _mk_pairs, batch_format="pyarrow", batch_size=None)
+    out = exact_jaccard_for_pairs(docs, pairs).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def sql_jaccard_pairs() -> str:
+    # Char 5-gram sets == the engine's byte shingles (corpus is ASCII).
+    return (
+        # lateral generate_series can't take column bounds in DuckDB 1.0;
+        # unnest of the list-returning generate_series can.
+        "WITH pos AS (SELECT doc_id, text, "
+        "unnest(generate_series(1, length(text) - 4)) AS i FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, "
+        "substring(text, CAST(i AS INTEGER), 5) AS g FROM pos), "
+        "pairs AS (SELECT d.doc_id AS id_a, d.doc_id + 20 AS id_b "
+        "FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 20 "
+        "WHERE d.doc_id % 40 = 0), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS ni FROM pairs p "
+        "JOIN sh a ON a.doc_id = p.id_a "
+        "JOIN sh b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2) "
+        "SELECT p.id_a, p.id_b, "
+        "CAST(COALESCE(i.ni, 0) AS DOUBLE) / "
+        "(sa.n + sb.n - COALESCE(i.ni, 0)) AS jaccard "
+        "FROM pairs p "
+        "JOIN sizes sa ON sa.doc_id = p.id_a "
+        "JOIN sizes sb ON sb.doc_id = p.id_b "
+        "LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b"
+    )
+
+
 def q_embed_centroids_flat(sf_dir: str):
     """Per-label mean embedding, unnested to (label, dim, centroid) rows
     so the value-hash oracle applies (the list-valued sibling
@@ -1291,6 +1338,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pip_join_poly": q_pip_join_poly,
     "embed_centroids": q_embed_centroids,
     "embed_centroids_flat": q_embed_centroids_flat,
+    "jaccard_pairs": q_jaccard_pairs,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
     "coregister": q_coregister,
@@ -1333,4 +1381,5 @@ ORACLE_SQL: Dict[str, str] = {
     "lang_pred": sql_lang_pred(),
     "pip_join_poly": sql_pip_join_poly(),
     "embed_centroids_flat": sql_embed_centroids_flat(),
+    "jaccard_pairs": sql_jaccard_pairs(),
 }

@@ -333,6 +333,51 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+def exact_jaccard_for_pairs(corpus_ds, pairs_ds, text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """Distributed exact n-gram Jaccard for candidate pairs — the
+    verification stage downstream of LSH candidate generation (the
+    engine's n-gram-Jaccard dedup mode as a first-class operator, not
+    just the test oracle).
+
+    Plan: the pair rows join to the corpus twice (id_a then id_b) via
+    :func:`hash_join_auto` — under the broadcast threshold the corpus
+    ships once per worker and the pair stream probes it; above it the
+    same calls become hash-partitioned shuffle joins (at 100 TB,
+    pre-restrict the corpus with a ``left_semi`` join on the involved
+    ids first). The Jaccard itself is computed per batch. Returns
+    Dataset[(id_a, id_b, jaccard)]."""
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    import pyarrow.compute as pc
+
+    corpus = corpus_ds.select_columns([id_col, text_col])
+    withA = hash_join_auto(pairs_ds, corpus, "id_a", id_col,
+                           right_suffix="_a")
+    withA = withA.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != text_col else "text_a" for c in t.column_names]),
+        batch_format="pyarrow", batch_size=None)
+    both = hash_join_auto(withA, corpus, "id_b", id_col, right_suffix="_b")
+    both = both.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != text_col else "text_b" for c in t.column_names]),
+        batch_format="pyarrow", batch_size=None)
+
+    def _jac(t: pa.Table) -> pa.Table:
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        jac = np.array([
+            (lambda a, b: len(a & b) / len(a | b) if (a or b) else 0.0)(
+                ngram_set(x), ngram_set(y))
+            for x, y in zip(ta, tb)
+        ])
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "jaccard": pa.array(jac)})
+
+    return both.map_batches(_jac, batch_format="pyarrow", batch_size=None)
+
+
 def ngram_set(text: str, n: int = _SHINGLE) -> set:
     b = text.encode("utf-8")
     return {b[i:i + n] for i in range(max(len(b) - n + 1, 0))}
