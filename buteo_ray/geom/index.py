@@ -23,6 +23,28 @@ import numpy as np
 from buteo_ray.grid.cells import cell_xy
 
 
+def csr_probe(unique_keys: np.ndarray, starts: np.ndarray,
+              keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Shared CSR lookup: for each ``keys[i]`` found in ``unique_keys``,
+    emit (probe_row, flat_position) pairs covering its slice
+    ``starts[p]..starts[p+1]``. Used by :class:`GridIndex` and the
+    kNN cell probe (one implementation, one set of edge cases)."""
+    pos = np.searchsorted(unique_keys, keys)
+    valid = pos < unique_keys.shape[0]
+    hit = np.zeros(keys.shape[0], dtype=bool)
+    hit[valid] = unique_keys[pos[valid]] == keys[valid]
+    if not hit.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rows = np.nonzero(hit)[0]
+    p = pos[hit]
+    counts = starts[p + 1] - starts[p]
+    row_rep = np.repeat(rows, counts)
+    block_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(block_starts, counts)
+    flat = np.repeat(starts[p], counts) + local
+    return row_rep, flat
+
+
 class GridIndex:
     """Spatial index over N geometries given by bbox columns.
 
@@ -60,6 +82,13 @@ class GridIndex:
                 # on hot-spot-skewed AOI layers.
                 med = max(float(np.median(xmax - xmin)), float(np.median(ymax - ymin)), 1e-9)
                 res = int(np.clip(np.floor(np.log2(360.0 / med)) + 2, 0, 24))
+                # Guard against one outlier-large bbox: at a median-driven
+                # res, a near-global bbox would bin into nx·ny ≈ 2^(2res)
+                # cells (terabytes of np.repeat). Coarsen so the LARGEST
+                # bbox spans ≤ ~81 cells.
+                big = max(float(np.max(xmax - xmin)), float(np.max(ymax - ymin)), 1e-9)
+                res_cap = int(np.clip(np.floor(np.log2(360.0 / big)) + 3, 0, 24))
+                res = min(res, res_cap)
         self.res = res
 
         self.bbox = (xmin, xmax, ymin, ymax)
@@ -105,22 +134,10 @@ class GridIndex:
         cx, cy = cell_xy(py, px, self.res)
         keys = (cy << np.int64(32)) | cx
 
-        pos = np.searchsorted(self._unique_keys, keys)
-        valid = (pos < self._unique_keys.shape[0])
-        hit = np.zeros(keys.shape[0], dtype=bool)
-        hit[valid] = self._unique_keys[pos[valid]] == keys[valid]
-        if not hit.any():
+        point_rep, flat = csr_probe(self._unique_keys, self._starts, keys)
+        if point_rep.size == 0:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-
-        pidx = np.nonzero(hit)[0]
-        p = pos[hit]
-        counts = self._starts[p + 1] - self._starts[p]
-        point_rep = np.repeat(pidx, counts)
-        block_starts = np.repeat(self._starts[p], counts)
-        local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
-        )
-        geom_idx = self._geom_sorted[block_starts + local]
+        geom_idx = self._geom_sorted[flat]
 
         xmin, xmax, ymin, ymax = self.bbox
         keep = (

@@ -201,12 +201,19 @@ def polygons_intersect(rings_a: Sequence[Ring], rings_b: Sequence[Ring]) -> bool
 
 
 def polygon_contains_polygon(rings_a: Sequence[Ring], rings_b: Sequence[Ring]) -> bool:
-    """A contains B: every B vertex inside (closed) A and no proper edge
-    crossing. Exact for simple polygons without holes touching B."""
+    """A contains B: every B vertex inside (closed) A, no proper edge
+    crossing, and no A hole swallowed by B (a hole strictly inside B
+    leaves no vertex outside and no crossing, yet its interior is not
+    part of A). Exact for simple polygons without holes touching B."""
     vb = np.vstack([r[:-1] for r in rings_b])
     if not points_in_polygon(vb[:, 0], vb[:, 1], rings_a).all():
         return False
-    return not _edges_properly_cross(rings_a, rings_b).any()
+    if _edges_properly_cross(rings_a, rings_b).any():
+        return False
+    for hole in rings_a[1:]:
+        if points_strictly_in_polygon(hole[:-1, 0], hole[:-1, 1], rings_b).any():
+            return False
+    return True
 
 
 def polygon_relate(rings_a: Sequence[Ring], rings_b: Sequence[Ring], predicate: str) -> bool:

@@ -268,15 +268,19 @@ def rasterize_points(points_ds, grid: GridSpec, value_col: Optional[str] = None,
     def _to_tile(g: pd.DataFrame) -> pd.DataFrame:
         tx = int(g["tile_x"].iloc[0])
         ty = int(g["tile_y"].iloc[0])
+        # Edge tiles clip to the grid extent (strategy-3 semantics) so the
+        # output stitches/stacks against rasters built on the same grid.
+        tw = min(ts, grid.width - tx * ts)
+        th = min(ts, grid.height - ty * ts)
         agg = g.groupby(["off_y", "off_x"])["value"].sum()
-        block = np.zeros((ts, ts, 1), dtype=np.float64)
+        block = np.zeros((th, tw, 1), dtype=np.float64)
         oy = agg.index.get_level_values(0).to_numpy()
         ox = agg.index.get_level_values(1).to_numpy()
         block[oy, ox, 0] = agg.to_numpy()
         return pd.DataFrame({
             "raster_id": ["points"], "tile_x": [tx], "tile_y": [ty],
             "x_off": [tx * ts], "y_off": [ty * ts],
-            "width": [ts], "height": [ts], "bands": [1], "halo": [0],
+            "width": [tw], "height": [th], "bands": [1], "halo": [0],
             "dtype": ["float64"], "nodata": [np.nan],
             "data": [block.tobytes()],
         })

@@ -69,20 +69,29 @@ def _pairs_from_batch(
         raise ValueError(f"unknown metric {metric}")
     d = np.where(cid[None, :] == qid[:, None], np.inf, d)
 
-    kk = min(k, d.shape[1])
-    # Per-query (dist, neighbor_id) lexsort: a plain argpartition would
-    # break distance ties arbitrarily at the k boundary and could drop
-    # the candidate the deterministic tie rule keeps.
-    rows_l, cols_l = [], []
-    for qi in range(d.shape[0]):
-        order = np.lexsort((cid, d[qi]))[:kk]
-        rows_l.append(np.full(order.shape[0], qi))
-        cols_l.append(order)
-    rows = np.concatenate(rows_l) if rows_l else np.empty(0, dtype=np.int64)
-    cols = np.concatenate(cols_l) if cols_l else np.empty(0, dtype=np.int64)
-    dist = d[rows, cols]
+    nq, nc = d.shape
+    rows = np.repeat(np.arange(nq, dtype=np.int64), nc)
+    cols = np.tile(np.arange(nc, dtype=np.int64), nq)
+    dist = d.ravel()
     finite = np.isfinite(dist)
-    return qid[rows[finite]], cid[cols[finite]], dist[finite]
+    q, n, dd = _partial_topk(rows[finite], cid[cols[finite]], dist[finite], k)
+    return qid[q], n, dd
+
+
+def _partial_topk(out_q: np.ndarray, out_n: np.ndarray, out_d: np.ndarray,
+                  k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Grouped per-query top-k in ONE lexsort (deterministic (dist, id)
+    tie order — argpartition would break k-boundary ties arbitrarily):
+    sort by (query, dist, id), rank within each query run, keep rank<k."""
+    if out_q.size == 0:
+        return out_q, out_n, out_d
+    order = np.lexsort((out_n, out_d, out_q))
+    oq = out_q[order]
+    first = np.concatenate([[True], oq[1:] != oq[:-1]])
+    run_start = np.maximum.accumulate(np.where(first, np.arange(oq.size), 0))
+    rank = np.arange(oq.size) - run_start
+    sel = order[rank < k]
+    return out_q[sel], out_n[sel], out_d[sel]
 
 
 def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -146,9 +155,17 @@ class _CellProbe:
         valid = (ey >= 0) & (ey < n)
         qrows = np.repeat(np.arange(qid.shape[0]), valid.sum(axis=1))
         keys = (ey[valid] << np.int64(32)) | ex[valid]
-        order = np.argsort(keys, kind="stable")
-        self._keys = keys[order]
-        self._qrows = qrows[order]
+        # Dedup (key, qrow): when 2·ring+1 > 2^res the x-wrap lists the
+        # same cell twice for one query, and the duplicate candidate
+        # pairs would each consume a top-k slot downstream.
+        order = np.lexsort((qrows, keys))
+        keys, qrows = keys[order], qrows[order]
+        if keys.size:
+            fresh = np.concatenate([[True], (keys[1:] != keys[:-1])
+                                    | (qrows[1:] != qrows[:-1])])
+            keys, qrows = keys[fresh], qrows[fresh]
+        self._keys = keys
+        self._qrows = qrows
         self._ukeys, starts = np.unique(self._keys, return_index=True)
         self._starts = np.concatenate([starts, [self._keys.shape[0]]])
 
@@ -158,19 +175,12 @@ class _CellProbe:
         clon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         cx, cy = cell_xy(clat, clon, self.res)
         keys = (cy << np.int64(32)) | cx
-        pos = np.searchsorted(self._ukeys, keys)
-        valid = pos < self._ukeys.shape[0]
-        hit = np.zeros(keys.shape[0], dtype=bool)
-        hit[valid] = self._ukeys[pos[valid]] == keys[valid]
+        from buteo_ray.geom.index import csr_probe
+
+        cand_rep, flat = csr_probe(self._ukeys, self._starts, keys)
         out_q, out_n, out_d = [], [], []
-        if hit.any():
-            cidx = np.nonzero(hit)[0]
-            p = pos[hit]
-            counts = self._starts[p + 1] - self._starts[p]
-            cand_rep = np.repeat(cidx, counts)
-            block_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(block_starts, counts)
-            qrow = self._qrows[np.repeat(self._starts[p], counts) + local]
+        if cand_rep.size:
+            qrow = self._qrows[flat]
             if self.metric == "planar2":
                 dlat = clat[cand_rep] - self.qlat[qrow]
                 dlon = clon[cand_rep] - self.qlon[qrow]
@@ -182,17 +192,10 @@ class _CellProbe:
         out_q = np.asarray(out_q, dtype=np.int64)
         out_n = np.asarray(out_n, dtype=np.int64)
         out_d = np.asarray(out_d, dtype=np.float64)
-        if out_q.size:
-            # Per-batch partial top-k (deterministic (dist, id) order):
-            # only k rows per query per batch can survive the final merge,
-            # so don't shuffle every ring pair from a dense cell.
-            order = np.lexsort((out_n, out_d, out_q))
-            oq = out_q[order]
-            first = np.concatenate([[True], oq[1:] != oq[:-1]])
-            run_start = np.maximum.accumulate(np.where(first, np.arange(oq.size), 0))
-            rank = np.arange(oq.size) - run_start
-            sel = order[rank < self.k]
-            out_q, out_n, out_d = out_q[sel], out_n[sel], out_d[sel]
+        # Per-batch partial top-k (deterministic (dist, id) order): only k
+        # rows per query per batch can survive the final merge, so don't
+        # shuffle every ring pair from a dense cell.
+        out_q, out_n, out_d = _partial_topk(out_q, out_n, out_d, self.k)
         return pa.table({
             "query_id": out_q,
             "neighbor_id": out_n,

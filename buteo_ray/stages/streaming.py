@@ -137,11 +137,12 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
         right = g[g["__side"] == 1].drop(columns="__side").sort_values(ts_col, kind="stable")
         right2 = right[[key_col, ts_col] + rcols].rename(
             columns={c: f"right_{c}" for c in rcols})
-        # Deterministic tie-break for duplicate right timestamps per key:
+        # Deterministic tie-break for duplicate RIGHT timestamps per key:
         # keep the row with the max value tuple. pandas merge_asof and
         # DuckDB ASOF JOIN each pick an arbitrary row among equal-ts
-        # matches; deduping BOTH sides (oracle does the same via
-        # GROUP BY + MAX) makes the comparison stable.
+        # matches; deduping the right side (the oracle does the same via
+        # GROUP BY + MAX) makes the comparison stable. Left rows are NOT
+        # deduplicated — every left event emits its own match.
         right2 = right2.sort_values(
             [key_col, ts_col] + [f"right_{c}" for c in rcols], kind="stable",
         ).drop_duplicates(subset=[key_col, ts_col], keep="last")

@@ -26,6 +26,7 @@ import uuid
 from datetime import datetime, timezone
 from typing import List, Optional, Set
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -66,13 +67,16 @@ def filter_completed(ds, partition_col: str, out_dir: str):
     if not done:
         return ds
 
-    import pyarrow.compute as pc
-
-    done_arr = pa.array(sorted(done), type=pa.string())
+    done_sorted = np.array(sorted(done), dtype=object)
 
     def _fn(batch: pa.Table) -> pa.Table:
-        vals = pc.cast(batch[partition_col], pa.string())
-        return batch.filter(pc.invert(pc.is_in(vals, value_set=done_arr)))
+        # Stringify through the SAME conversion _write_group uses for the
+        # manifest (python str of the pandas value): an Arrow cast renders
+        # floats/bools/timestamps differently ("1" vs "1.0", "true" vs
+        # "True") and would silently never match → resume becomes a no-op.
+        vals = batch[partition_col].to_pandas().astype(str).to_numpy()
+        keep = ~np.isin(vals, done_sorted)
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
@@ -154,4 +158,9 @@ def read_partitioned(out_dir: str, columns: Optional[list] = None):
             part_dir = os.path.join(out_dir, d)
             paths.extend(os.path.join(part_dir, f) for f in sorted(os.listdir(part_dir))
                          if f.endswith(".parquet"))
+    if not paths:
+        # read_parquet([]) raises; a fresh/empty layout reads as empty.
+        import ray.data
+
+        return ray.data.from_items([])
     return rd.read_parquet(paths, columns=columns)

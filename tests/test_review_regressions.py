@@ -326,3 +326,95 @@ def test_vectorize_union_merge_tree(ray_session):
     polys = [payload] if kind == "polygon" else payload
     assert len(polys) == 64
     assert union_area(polys) == pytest.approx(64.0)
+
+
+# ----------------------------- round-2 third-pass review ------------------
+
+
+def test_knn_cells_ring_wrap_no_duplicates(ray_session):
+    """Ring wrap (2*ring+1 > 2^res) must not emit duplicate candidate
+    pairs — duplicates would consume top-k slots."""
+    import ray.data as rd
+
+    from buteo_ray.stages.knn import knn_broadcast, knn_cells
+
+    rng = np.random.default_rng(0)
+    n = 60
+    ids = np.arange(n, dtype=np.int64)
+    lat = rng.uniform(-40, 40, n)
+    lon = rng.uniform(-170, 170, n)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "lat": lat, "lon": lon}))
+    qids = ids[:5]
+    # res=3 (8 cells/axis), ring=4 → 2*4+1 = 9 > 8: x wraps onto itself
+    out = knn_cells(ds, qids, lat[:5], lon[:5], k=4, res=3, ring=4,
+                    metric="planar2").to_pandas()
+    for q, g in out.groupby("query_id"):
+        assert g["neighbor_id"].is_unique, f"duplicate neighbors for {q}"
+    # ring=4 at res=3 covers the whole globe → must equal brute force
+    brute = knn_broadcast(ds, qids, lat[:5], lon[:5], k=4,
+                          metric="planar2").to_pandas()
+    a = out.sort_values(["query_id", "dist", "neighbor_id"]).reset_index(drop=True)
+    b = brute.sort_values(["query_id", "dist", "neighbor_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["query_id", "neighbor_id"]],
+                                  b[["query_id", "neighbor_id"]])
+
+
+def test_checkpoint_resume_nonstring_partitions(ray_session, tmp_path):
+    """Resume must skip completed partitions even for float/bool
+    partition columns (Arrow's cast-to-string disagrees with str())."""
+    import ray.data as rd
+
+    from buteo_ray.state.checkpoint import (
+        filter_completed,
+        read_partitioned,
+        write_partitioned_resumable,
+    )
+
+    out_dir = str(tmp_path / "ckpt")
+    df = pd.DataFrame({"part": [1.5, 1.5, 2.5], "v": [1, 2, 3]})
+    write_partitioned_resumable(rd.from_pandas(df), out_dir, "part")
+    remaining = filter_completed(rd.from_pandas(df), "part", out_dir).to_pandas()
+    assert len(remaining) == 0  # every partition already complete
+    back = read_partitioned(out_dir)
+    assert back.count() == 3
+
+
+def test_read_partitioned_empty_dir(ray_session, tmp_path):
+    from buteo_ray.state.checkpoint import read_partitioned
+
+    d = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    assert read_partitioned(d).count() == 0
+
+
+def test_contains_with_swallowed_hole():
+    """A polygon does NOT contain B when B covers one of A's holes."""
+    from buteo_ray.geom.predicates import polygon_contains_polygon, polygon_relate
+
+    A = [_rect(0, 0, 10, 10), _rect(4, 4, 6, 6)[::-1]]  # square with hole
+    B = [_rect(3, 3, 7, 7)]
+    assert not polygon_contains_polygon(A, B)
+    assert not polygon_relate(A, B, "contains")
+    # B inside A avoiding the hole IS contained
+    C = [_rect(1, 1, 3, 3)]
+    assert polygon_contains_polygon(A, C)
+
+
+def test_rasterize_edge_tiles_clip_to_grid(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.sources.raster import raster_to_array, rasterize_points
+    from buteo_ray.stages.tiling import GridSpec
+
+    grid = GridSpec(origin_x=0.0, origin_y=10.0, pixel_width=1.0,
+                    pixel_height=-1.0, width=12, height=10, tile_size=8)
+    pts = pd.DataFrame({"lon": [11.5, 1.5], "lat": [0.5, 9.5]})
+    out = rasterize_points(rd.from_pandas(pts), grid).to_pandas()
+    # edge tile (tx=1) is clipped to width 4, not padded to 8
+    edge = out[out["tile_x"] == 1].iloc[0]
+    assert edge["width"] == 4
+    arr = raster_to_array(rd.from_pandas(out))
+    assert arr.shape[:2] == (10, 12)
+    assert np.nansum(arr) == 2.0  # absent (point-free) tiles read as NaN
