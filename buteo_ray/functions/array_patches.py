@@ -145,6 +145,10 @@ def get_kernel_weights(
     Reference ``array/patches/util.py:11-66`` (vectorized, same values)."""
     if not 0 <= edge_distance < tile_size // 2:
         raise ValueError("edge_distance must be in [0, tile_size/2)")
+    if edge_distance == 0:
+        # No feathering: uniform weights (the 0/0 division below would
+        # silently produce an all-NaN kernel; the reference crashes here).
+        return np.ones((tile_size, tile_size), dtype=np.float32)
     idx = np.arange(tile_size, dtype=np.float64)
     max_dist = edge_distance * 2
     val_top = np.maximum(edge_distance - idx, 0.0)

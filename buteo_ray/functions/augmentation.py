@@ -59,16 +59,29 @@ def augmentation_label_smoothing(y: np.ndarray, smoothing: float = 0.1) -> np.nd
     return y * (1.0 - smoothing) + smoothing / k
 
 
+def _cast_like(out: np.ndarray, dtype) -> np.ndarray:
+    """Cast an augmented float result back to the input dtype: integer
+    imagery rounds and clips to the dtype range (casting the NOISE alone
+    would truncate sub-1 noise to zero and wrap negatives in unsigned
+    types — a silent no-op / +255-spike bug)."""
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(dtype)
+    return out.astype(dtype)
+
+
 def augmentation_noise_uniform(X: np.ndarray, rng: np.random.Generator,
                                amount: float = 0.1) -> np.ndarray:
     """Additive U(−amount, amount) noise (``noise.py:13-115``)."""
-    return X + rng.uniform(-amount, amount, size=X.shape).astype(X.dtype)
+    return _cast_like(X.astype(np.float64)
+                      + rng.uniform(-amount, amount, size=X.shape), X.dtype)
 
 
 def augmentation_noise_normal(X: np.ndarray, rng: np.random.Generator,
                               std: float = 0.1) -> np.ndarray:
     """Additive N(0, std) noise (``noise.py:116-216``)."""
-    return X + rng.normal(0.0, std, size=X.shape).astype(X.dtype)
+    return _cast_like(X.astype(np.float64)
+                      + rng.normal(0.0, std, size=X.shape), X.dtype)
 
 
 def augmentation_channel_scale(X: np.ndarray, rng: np.random.Generator,
@@ -114,8 +127,12 @@ def augmentation_cutmix(X_t, y_t, X_s, y_s, rng: np.random.Generator,
     """Rectangle from source pasted into target; labels mixed by area
     fraction (``mix.py:13-115``)."""
     h, w, _ = X_t.shape
-    ph = int(rng.integers(int(h * min_size), int(h * max_size)))
-    pw = int(rng.integers(int(w * min_size), int(w * max_size)))
+    # low<high guard (same rule as mask_rectangle): tiny samples or
+    # min_size==max_size would make rng.integers raise.
+    ph = int(rng.integers(int(h * min_size), max(int(h * max_size), int(h * min_size) + 1)))
+    pw = int(rng.integers(int(w * min_size), max(int(w * max_size), int(w * min_size) + 1)))
+    ph = max(min(ph, h), 1)
+    pw = max(min(pw, w), 1)
     y0 = int(rng.integers(0, h - ph + 1))
     x0 = int(rng.integers(0, w - pw + 1))
     X = X_t.copy()
@@ -205,10 +222,26 @@ def mask_lines(X: np.ndarray, rng: np.random.Generator, n_lines: int = 2,
     return X
 
 
-def spatial_label_smoothing(y: np.ndarray, radius: float = 1.0) -> np.ndarray:
-    """Blur hard labels spatially (reference
-    ``spatial_label_smoothing.py:14-107``)."""
-    return filter_blur(y.astype(np.float64), radius=radius)
+def spatial_label_smoothing(y: np.ndarray, radius: float = 1.0,
+                            preserve_class: bool = True) -> np.ndarray:
+    """Blur one-hot labels spatially (reference
+    ``spatial_label_smoothing.py:14-107``). With ``preserve_class`` (the
+    reference's 'kernel' method, lines 75-105) the center kernel weight
+    is boosted to ``kernel.sum()·size/(size−1)`` — at least the mass of
+    every neighbour combined — so the per-pixel argmax class can never
+    flip at boundaries; rows renormalize to sum 1."""
+    y = y.astype(np.float64)
+    if not preserve_class:
+        return filter_blur(y, radius=radius)
+    from buteo_ray.functions.convolution import convolve, kernel_base
+
+    k = kernel_base(radius, circular=True, distance_weighted=True,
+                    method=3, normalised=False)
+    strength = k.size / (k.size - 1.0)
+    k = k.copy()
+    k[k.shape[0] // 2, k.shape[1] // 2] = k.sum() * strength
+    out = convolve(y, k, "sum")
+    return out / np.maximum(out.sum(axis=2, keepdims=True), 1e-7)
 
 
 # ------------------------------------------------------- batch application

@@ -102,7 +102,10 @@ def column_stats(ds, col: str, quantiles: bool = False) -> dict:
     approximation, SURVEY.md §2.5 median note)."""
     from ray.data.aggregate import Max, Mean, Min, Std
 
-    res = ds.aggregate(Min(col), Max(col), Mean(col), Std(col))
+    # ddof=0: the array kernels (scaler_standardise et al.) use
+    # population std (np.nanstd default); Ray's Std defaults to the
+    # sample estimator and would diverge for small n.
+    res = ds.aggregate(Min(col), Max(col), Mean(col), Std(col, ddof=0))
     stats = {
         "min": res[f"min({col})"],
         "max": res[f"max({col})"],

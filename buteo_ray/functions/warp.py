@@ -72,7 +72,11 @@ def warp_array(
         y0 = np.floor(fy).astype(np.int64)
         tx = fx - x0
         ty = fy - y0
-        valid = (x0 >= -1) & (x0 < w) & (y0 >= -1) & (y0 < h)
+        # Same coverage rule as the nearest path (fx ∈ [-0.5, w-0.5)):
+        # accepting x0 >= -1 would fabricate edge-replicated values in a
+        # half-pixel ring outside the source footprint where GDAL (and
+        # our nearest) writes nodata.
+        valid = (fx >= -0.5) & (fx < w - 0.5) & (fy >= -0.5) & (fy < h - 0.5)
         x0c = np.clip(x0, 0, w - 1)
         y0c = np.clip(y0, 0, h - 1)
         x1c = np.clip(x0 + 1, 0, w - 1)

@@ -148,6 +148,10 @@ def reproject_points(x, y, src: str, dst: str) -> Tuple[np.ndarray, np.ndarray]:
             return mercator_to_lonlat(x, y)
         if crs.startswith("UTM:"):
             z = crs[4:]
+            # Undesignated zones use the NORTH convention in BOTH
+            # directions (negative northings south of the equator) — a
+            # per-point false northing on the forward leg would make the
+            # inverse ambiguous and break round trips across the equator.
             south = z.endswith("S")
             return utm_to_lonlat(x, y, int(z.rstrip("NS")), south)
         raise ValueError(f"unsupported CRS {crs}")
@@ -160,8 +164,9 @@ def reproject_points(x, y, src: str, dst: str) -> Tuple[np.ndarray, np.ndarray]:
         if crs.startswith("UTM:"):
             z = crs[4:]
             # Hemisphere comes from the CRS designator, not point latitude
-            # (an equator-straddling dataset must use ONE false northing).
-            south = True if z.endswith("S") else (False if z.endswith("N") else None)
+            # (an equator-straddling dataset must use ONE false northing);
+            # undesignated → north convention, matching _to_lonlat.
+            south = z.endswith("S")
             return lonlat_to_utm(lon, lat, int(z.rstrip("NS")), south=south)
         raise ValueError(f"unsupported CRS {crs}")
 

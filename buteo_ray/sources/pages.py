@@ -68,4 +68,4 @@ def pages_dataset(n: int, override_num_blocks: int | None = None):
     def _gen(batch: pa.Table) -> pa.Table:
         return _make_rows(batch["id"].to_numpy())
 
-    return base.map_batches(_gen, batch_format="pyarrow")
+    return base.map_batches(_gen, batch_format="pyarrow", batch_size=None)

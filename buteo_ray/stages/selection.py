@@ -69,6 +69,11 @@ def sampling_stratified(ds, class_col: str, n_per_class: int, seed: int = 42):
         rng = np.random.default_rng((seed, class_hash))
         if len(g) <= n_per_class:
             return g
+        # Positional choice over an ORDER-FREE row ordering: the group's
+        # internal row order depends on upstream partitioning, so sort by
+        # content first — identical runs then sample identical rows
+        # regardless of block layout (the module's resumability contract).
+        g = g.sort_values(list(g.columns), kind="stable").reset_index(drop=True)
         idx = rng.choice(len(g), size=n_per_class, replace=False)
         return g.iloc[np.sort(idx)]
 

@@ -418,3 +418,130 @@ def test_rasterize_edge_tiles_clip_to_grid(ray_session):
     arr = raster_to_array(rd.from_pandas(out))
     assert arr.shape[:2] == (10, 12)
     assert np.nansum(arr) == 2.0  # absent (point-free) tiles read as NaN
+
+
+# ---------------------------------------------------------------- 4th pass
+
+
+def test_kernel_weights_zero_edge_distance():
+    """edge_distance=0 means no feathering → uniform weights, not NaN."""
+    from buteo_ray.functions.array_patches import get_kernel_weights
+
+    k = get_kernel_weights(8, 0)
+    assert np.all(np.isfinite(k))
+    assert np.all(k == 1.0)
+
+
+def test_integer_noise_clipped_not_wrapped():
+    """Additive noise on integer imagery: computed in float then rounded and
+    clipped back — never truncated to zero or wrapped past the dtype range."""
+    from buteo_ray.functions.augmentation import (
+        augmentation_noise_normal,
+        augmentation_noise_uniform,
+    )
+
+    X = np.zeros((16, 16, 1), np.uint8)
+    out = augmentation_noise_uniform(X, np.random.default_rng(0), amount=3.0)
+    assert out.dtype == np.uint8
+    assert out.max() <= 3          # no wrap to 255 from negative noise
+    assert out.max() > 0           # sub-integer noise not silently dropped
+
+    X2 = np.full((16, 16, 1), 250, np.uint8)
+    out2 = augmentation_noise_normal(X2, np.random.default_rng(1), std=20.0)
+    assert out2.dtype == np.uint8 and int(out2.max()) <= 255
+    assert out2.min() < 250        # noise actually applied
+
+
+def test_cutmix_degenerate_size_range():
+    """min_size == max_size (or a tiny sample) must not raise in
+    rng.integers(low, high)."""
+    from buteo_ray.functions.augmentation import augmentation_cutmix
+
+    rng = np.random.default_rng(0)
+    X_t = np.zeros((12, 12, 2))
+    X_s = np.ones((12, 12, 2))
+    y_t = np.array([1.0, 0.0])
+    y_s = np.array([0.0, 1.0])
+    X, y = augmentation_cutmix(X_t, y_t, X_s, y_s, rng,
+                               min_size=0.5, max_size=0.5)
+    assert X.shape == X_t.shape
+    assert np.isclose(y.sum(), 1.0)
+    # 2x2 sample: int(h*min) == int(h*max) == 0
+    X2, _ = augmentation_cutmix(np.zeros((2, 2, 1)), y_t,
+                                np.ones((2, 2, 1)), y_s, rng)
+    assert X2.sum() >= 1  # a >=1x1 patch was pasted
+
+
+def test_spatial_label_smoothing_preserves_argmax(rng):
+    """preserve_class boosts the center weight so the per-pixel winning
+    class never flips; rows stay a distribution (sum 1)."""
+    from buteo_ray.functions.augmentation import spatial_label_smoothing
+
+    cls = (rng.random((20, 20)) > 0.5).astype(np.int64)
+    y = np.zeros((20, 20, 2))
+    y[np.arange(20)[:, None], np.arange(20)[None, :], cls] = 1.0
+    out = spatial_label_smoothing(y, radius=1.0)
+    assert np.allclose(out.sum(axis=2), 1.0)
+    assert np.array_equal(out.argmax(axis=2), cls)
+    # smoothing actually happened at class boundaries
+    assert out.max() < 1.0 or np.all(cls == cls[0, 0])
+
+
+def test_column_stats_population_std(ray_session):
+    """column_stats std is the population (ddof=0) estimator, matching the
+    array scalers' np.nanstd."""
+    import ray.data as rd
+
+    from buteo_ray.functions.scalers import column_stats
+
+    vals = np.array([1.0, 2.0, 3.0, 10.0])
+    stats = column_stats(rd.from_pandas(pd.DataFrame({"v": vals})), "v")
+    assert np.isclose(stats["std"], np.std(vals))  # ddof=0
+
+
+def test_warp_bilinear_coverage_matches_nearest():
+    """Bilinear writes nodata in exactly the same half-pixel ring as
+    nearest — no fabricated edge-replicated values outside the footprint."""
+    from buteo_ray.functions.warp import warp_array
+
+    src = np.arange(16, dtype=np.float64).reshape(4, 4)
+    src_gt = (0.0, 1.0, 0.0, 4.0, 0.0, -1.0)
+    dst_gt = (-1.0, 1.0, 0.0, 5.0, 0.0, -1.0)  # one-pixel ring around src
+    near = warp_array(src, src_gt, dst_gt, (6, 6), method="nearest")
+    bil = warp_array(src, src_gt, dst_gt, (6, 6), method="bilinear")
+    assert np.array_equal(np.isnan(near), np.isnan(bil))
+    # interior values agree exactly on pixel centers
+    assert np.allclose(bil[1:5, 1:5, 0], src)
+
+
+def test_utm_undesignated_zone_roundtrip_across_equator():
+    """'UTM:31' (no hemisphere letter) round-trips points on both sides of
+    the equator — one consistent false-northing convention."""
+    from buteo_ray.grid.projection import reproject_points
+
+    lon = np.array([3.0, 3.5, 3.0])
+    lat = np.array([-5.0, 0.0, 5.0])
+    x, y = reproject_points(lon, lat, "EPSG:4326", "UTM:31")
+    lon2, lat2 = reproject_points(x, y, "UTM:31", "EPSG:4326")
+    assert np.allclose(lon2, lon, atol=1e-6)
+    assert np.allclose(lat2, lat, atol=1e-6)
+
+
+def test_stratified_sampling_block_layout_invariant(ray_session):
+    """The sampled rows are identical regardless of how the input is split
+    into blocks (the in-group order is canonicalized before choice)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.selection import sampling_stratified
+
+    df = pd.DataFrame({
+        "cls": np.arange(300) % 3,
+        "val": np.arange(300) * 7 % 101,
+    })
+    outs = []
+    for nblocks in (1, 8):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = sampling_stratified(ds, "cls", 10, seed=7).to_pandas()
+        outs.append(out.sort_values(["cls", "val"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 30
