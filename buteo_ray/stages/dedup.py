@@ -169,6 +169,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: Optional[int] = None,
+    broadcast_threshold: int = 64 << 20,
 ):
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -292,11 +293,39 @@ def minhash_lsh_pairs(
              "id_b": pd.Series([], dtype="int64"),
              "est_jaccard": pd.Series([], dtype="float64")}))
 
-    hot = band_rows.join(
-        multi, join_type="left_semi",
-        num_partitions=derive_num_partitions(band_rows, multi),
-        on=("band", "band_hash"),
-    )
+    # Size-gated broadcast of the hot-bucket key set: `multi` has one row
+    # per multi-member bucket (≈ near-dup clusters × bands), which is tiny
+    # relative to the corpus in every realistic dedup run — ray.put the
+    # packed keys once and filter band rows with a vectorized searchsorted
+    # (saves a full-width all-to-all). Above the threshold (duplicate-
+    # saturated corpora) fall back to the hash-partitioned left-semi join.
+    mb = multi.size_bytes()
+    if mb is not None and mb < broadcast_threshold:
+        import ray as _ray
+
+        mp = multi.to_pandas()
+        # Packed key wraps mod 2^64 — not injective in the top bits, but a
+        # collision only KEEPS an extra singleton row (the final groupby
+        # re-keys on the exact (band, band_hash) pair); never drops one.
+        mkey = np.sort(mp["band_hash"].to_numpy() * np.int64(bands)
+                       + mp["band"].to_numpy())
+        mref = _ray.put(mkey)
+
+        def _hot_filter(t: pa.Table) -> pa.Table:
+            keys = _ray.get(mref)
+            k = (t["band_hash"].to_numpy() * np.int64(bands)
+                 + t["band"].to_numpy())
+            pos = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
+            return t.filter(pa.array(keys[pos] == k))
+
+        hot = band_rows.map_batches(_hot_filter, batch_format="pyarrow",
+                                    batch_size=None)
+    else:
+        hot = band_rows.join(
+            multi, join_type="left_semi",
+            num_partitions=derive_num_partitions(band_rows, multi),
+            on=("band", "band_hash"),
+        )
     # No pair-dedup shuffle needed: the first-matching-band ownership
     # rule inside _pairs makes each pair emit exactly once.
     return hot.groupby(["band", "band_hash"]).map_groups(

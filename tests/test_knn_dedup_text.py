@@ -204,3 +204,25 @@ def test_centroids_per_label(ray_session_module, sf_dir_module):
         expected = np.stack(g["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
         np.testing.assert_allclose(np.array(got.loc[label, "centroid"]), expected, rtol=1e-12)
         assert got.loc[label, "n"] == len(g)
+
+
+def test_minhash_lsh_broadcast_and_semijoin_paths_agree(ray_session):
+    """The size-gated broadcast hot-bucket filter and the distributed
+    left-semi fallback produce identical pair sets."""
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    texts = [base + f"variant {i}" for i in range(40)]
+    texts += [base + "variant 0"]          # near-dup of doc 0
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = rd.from_pandas(df)
+
+    a = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    b = minhash_lsh_pairs(ds, threshold=0.5, broadcast_threshold=0).to_pandas()
+    key = ["id_a", "id_b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert ((a["id_a"] == 0) & (a["id_b"] == 40)).any()
