@@ -883,17 +883,24 @@ def q_asof_join(sf_dir: str):
     pattern). Oracle: DuckDB ASOF JOIN."""
     import pyarrow.compute as pc
 
-    from buteo_ray.stages.streaming import asof_join
+    from buteo_ray.stages.streaming import asof_join_tagged
 
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
-    clicks = ev.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click"))),
-        batch_format="pyarrow", batch_size=None)
-    purchases = ev.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))),
-        batch_format="pyarrow", batch_size=None)
-    out = asof_join(clicks, purchases, key_col="user_id", ts_col="ts",
-                    right_cols=["value"])
+
+    def _split(t: pa.Table) -> pa.Table:
+        # Both sides come from ONE scan: keep click|purchase rows and tag
+        # __side in the same pass (the two-Dataset asof_join form would
+        # execute the events read twice).
+        et = t["event_type"]
+        click = pc.equal(et, pa.scalar("click"))
+        purch = pc.equal(et, pa.scalar("purchase"))
+        t = t.filter(pc.or_(click, purch))
+        side = pc.cast(pc.equal(t["event_type"], pa.scalar("purchase")), pa.int8())
+        return t.append_column("__side", side)
+
+    both = ev.map_batches(_split, batch_format="pyarrow", batch_size=None)
+    out = asof_join_tagged(both, key_col="user_id", ts_col="ts",
+                           right_cols=["value"])
     return out.select_columns(["event_id", "user_id", "right_value"])
 
 

@@ -114,27 +114,65 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
               right_cols: Optional[list] = None):
     """As-of join: each left row matched to the latest right row with
     ``right.ts <= left.ts`` per key (the guide's range-join pattern:
-    co-partition by key via tagged union, ``pd.merge_asof`` per group).
-    Left rows with no prior right row are dropped (inner asof)."""
+    co-partition via tagged union, ``pd.merge_asof`` per partition).
+    Left rows with no prior right row are dropped (inner asof).
+
+    Partitioning: groups by ``hash(key) % B`` — NOT by the raw key — so
+    one vectorized ``merge_asof(by=key)`` handles every key in a bucket
+    (per-raw-key map_groups paid one pandas call per key: 3.2 → ~1.4 s
+    on 1M events). B is size-derived, keeping buckets ≈64 MB at any
+    scale; the by= engine inside merge_asof is a single C pass."""
+    from buteo_ray.state.skew import derive_num_partitions
+
+    n_buckets = derive_num_partitions(left_ds, right_ds)
 
     def _tag(side):
         def _fn(t: pa.Table) -> pa.Table:
-            return t.append_column("__side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+            return t.append_column("__side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)))
 
         return _fn
 
     both = left_ds.map_batches(_tag(0), batch_format="pyarrow", batch_size=None).union(
         right_ds.map_batches(_tag(1), batch_format="pyarrow", batch_size=None))
+    return asof_join_tagged(both, key_col=key_col, ts_col=ts_col,
+                            right_cols=right_cols, n_buckets=n_buckets)
+
+
+def asof_join_tagged(both, key_col: str = "user_id", ts_col: str = "ts",
+                     right_cols: Optional[list] = None,
+                     n_buckets: Optional[int] = None):
+    """As-of join over a PRE-TAGGED dataset: ``both`` carries an int8
+    ``__side`` column (0 = left/probe, 1 = right/reference). Use this
+    form when both sides derive from ONE source (e.g. an event log split
+    by event_type) — :func:`asof_join`'s two-Dataset union would execute
+    the upstream read twice; tagging in a single ``map_batches`` pass
+    reads it once."""
+    from buteo_ray.state.skew import derive_num_partitions
+
+    if n_buckets is None:
+        n_buckets = derive_num_partitions(both)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        # pd.util.hash_array: vectorized, process-stable (fixed siphash
+        # key) — deterministic bucket assignment on workers.
+        b = pd.util.hash_array(
+            t[key_col].to_numpy(zero_copy_only=False)) % n_buckets
+        return t.append_column("__bucket", pa.array(b.astype(np.int64)))
+
+    both = both.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
 
     rcols = right_cols or []
 
     def _join(g: pd.DataFrame) -> pd.DataFrame:
-        # One code path for every group — merge_asof handles empty sides
+        # One code path for every bucket — merge_asof handles empty sides
         # and the group frame carries the true dtypes, so all emitted
         # blocks share one schema (a hand-built placeholder would guess
         # dtypes/column order and break Arrow block unification).
-        left = g[g["__side"] == 0].drop(columns="__side").sort_values(ts_col, kind="stable")
-        right = g[g["__side"] == 1].drop(columns="__side").sort_values(ts_col, kind="stable")
+        drop = ["__side", "__bucket"]
+        left = g[g["__side"] == 0].drop(columns=drop).sort_values(
+            ts_col, kind="stable")
+        right = g[g["__side"] == 1].drop(columns=drop)
         right2 = right[[key_col, ts_col] + rcols].rename(
             columns={c: f"right_{c}" for c in rcols})
         # Deterministic tie-break for duplicate RIGHT timestamps per key:
@@ -147,9 +185,11 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
             [key_col, ts_col] + [f"right_{c}" for c in rcols], kind="stable",
         ).drop_duplicates(subset=[key_col, ts_col], keep="last")
         right2["right_ts"] = right2[ts_col]
-        merged = pd.merge_asof(left, right2, on=ts_col, by=key_col,
-                               direction="backward")
+        merged = pd.merge_asof(left, right2.sort_values(ts_col, kind="stable"),
+                               on=ts_col, by=key_col, direction="backward")
         # merge_asof keeps unmatched lefts with NaT; inner semantics drop them.
         return merged.dropna(subset=["right_ts"])
 
-    return both.groupby(key_col).map_groups(_join, batch_format="pandas")
+    # __side/__bucket are dropped inside _join; output schema is
+    # left columns + right_{col} + right_ts.
+    return both.groupby("__bucket").map_groups(_join, batch_format="pandas")
