@@ -731,14 +731,12 @@ def sql_scale_minmax() -> str:
 
 def q_topk_per_group(sf_dir: str):
     """Per-key top-k (top 3 orders per customer by price; ≙ SURVEY.md
-    §2.9 per-key top-k via groupby + in-group sort)."""
+    §2.9 per-key top-k). Two-level: per-block partial top-3 combiner →
+    hash-bucket final (see stages/selection.py:topk_per_group)."""
+    from buteo_ray.stages.selection import topk_per_group
+
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def _top(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["o_totalprice", "o_orderkey"],
-                             ascending=[False, False], kind="stable").head(3)
-
-    return ds.groupby("o_custkey").map_groups(_top, batch_format="pandas")
+    return topk_per_group(ds, "o_custkey", ["o_totalprice"], 3, ascending=False)
 
 
 def sql_topk_per_group() -> str:

@@ -78,3 +78,40 @@ def sampling_stratified(ds, class_col: str, n_per_class: int, seed: int = 42):
         return g.iloc[np.sort(idx)]
 
     return ds.groupby(class_col).map_groups(_take, batch_format="pandas")
+
+
+def topk_per_group(ds, key_col: str, sort_cols: list, k: int,
+                   ascending: bool = False):
+    """Top-``k`` rows per key by ``sort_cols`` (SURVEY.md §2.9 per-key
+    top-k). Two-level plan: a vectorized per-block PARTIAL top-k (at most
+    k rows per key per block cross the shuffle — the combiner that keeps
+    the exchange skinny at scale), then a hash-bucket groupby where ONE
+    pandas sort+head per bucket finalizes every key in it (per-raw-key
+    map_groups paid one Python call per key).
+
+    Ties beyond ``sort_cols`` are broken by the remaining columns so the
+    result is deterministic regardless of block layout."""
+    from buteo_ray.state.skew import derive_num_partitions
+
+    n_buckets = derive_num_partitions(ds)
+    asc = [ascending] * len(sort_cols)
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        other = [c for c in g.columns if c not in sort_cols and c != "__bucket"]
+        out = (g.sort_values(sort_cols + other, ascending=asc + [ascending] * len(other),
+                             kind="stable")
+               .groupby(key_col, sort=False).head(k))
+        return out
+
+    def _block_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        out = _partial(g)
+        b = pd.util.hash_array(out[key_col].to_numpy()) % n_buckets
+        out = out.assign(__bucket=b.astype(np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return _partial(g).drop(columns="__bucket")
+
+    return (ds.map_batches(_block_partial, batch_format="pyarrow", batch_size=None)
+            .groupby("__bucket").map_groups(_final, batch_format="pandas"))

@@ -545,3 +545,25 @@ def test_stratified_sampling_block_layout_invariant(ray_session):
         outs.append(out.sort_values(["cls", "val"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert len(outs[0]) == 30
+
+
+def test_topk_per_group_matches_brute_force_any_layout(ray_session, rng):
+    """Two-level top-k == single-frame pandas brute force, regardless of
+    block layout; at most k rows per key."""
+    import ray.data as rd
+
+    from buteo_ray.stages.selection import topk_per_group
+
+    df = pd.DataFrame({
+        "key": rng.integers(0, 40, 500),
+        "score": rng.integers(0, 30, 500).astype(np.float64),  # many ties
+        "id": np.arange(500),
+    })
+    want = (df.sort_values(["score", "id", "key"], ascending=False, kind="stable")
+            .groupby("key", sort=False).head(3)
+            .sort_values(["key", "id"]).reset_index(drop=True))
+    for nblocks in (1, 7):
+        got = (topk_per_group(rd.from_pandas(df).repartition(nblocks),
+                              "key", ["score"], 3).to_pandas()
+               .sort_values(["key", "id"]).reset_index(drop=True)[want.columns])
+        pd.testing.assert_frame_equal(got, want)
