@@ -54,24 +54,35 @@ def content_hash_column(texts: pd.Series) -> np.ndarray:
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: keep the min-``id_col`` row per distinct ``text_col``.
 
-    Plan: vectorized content-hash column → ``groupby(content_hash)`` →
-    per group keep first by id (hash collisions resolved by comparing the
-    text inside the group). Only hash+payload travels in the shuffle.
+    Plan: vectorized content-hash column + per-block PARTIAL dedup (the
+    combiner: duplicate texts inside one block never cross the wire) →
+    ``groupby(hash % B)`` hash buckets → one vectorized sort +
+    drop_duplicates(text) per bucket (collision-safe: dedup is on the
+    actual text; equal texts share a hash, hence a bucket). Bucketing —
+    not grouping by the raw hash — avoids one pandas call per distinct
+    document; B is size-derived (~64 MB buckets).
     """
+    from buteo_ray.state.skew import derive_num_partitions
 
-    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["content_hash"] = content_hash_column(batch[text_col])
-        return batch
+    n_buckets = derive_num_partitions(ds)
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        # Within one hash bucket, dedup on the actual text (collision-safe).
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="stable")
         return g.drop_duplicates(subset=[text_col], keep="first")
 
+    def _hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = content_hash_column(batch[text_col])
+        batch = batch.assign(content_hash=h,
+                             __bucket=(h.view(np.uint64) % n_buckets).view(np.int64))
+        return _dedup(batch)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return _dedup(g).drop(columns="__bucket")
+
     return (
-        ds.map_batches(_hash, batch_format="pandas", batch_size=None)
-        .groupby("content_hash")
-        .map_groups(_first, batch_format="pandas")
+        ds.map_batches(_hash_partial, batch_format="pandas", batch_size=None)
+        .groupby("__bucket")
+        .map_groups(_final, batch_format="pandas")
     )
 
 
