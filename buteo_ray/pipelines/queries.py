@@ -175,7 +175,6 @@ def q_agg_groupby(sf_dir: str):
     reference raster/zonal_statistics.py:29-157, over attribute keys):
     TPC-H-Q1-shaped aggregate with in-batch revenue derivation."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -187,13 +186,17 @@ def q_agg_groupby(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("revenue", rev)
 
+    from buteo_ray.stages.aggregate import grouped_aggregate
+
     ds = ds.map_batches(_derive, batch_format="pyarrow", batch_size=None)
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("revenue", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Count(alias_name="n_rows"),
+    # Partial+final combiner: per-block partials — not rows — cross the
+    # shuffle (stages/aggregate.py).
+    out = grouped_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice",
+              "sum_disc_price": "revenue"},
+        means={"avg_qty": "l_quantity"},
+        count="n_rows",
     ).to_pandas()
     # Large sums round to whole units: engine summation orders differ by
     # O(n·ulp) — at sf0.1 that is ~1e-4 on ~1e9 totals, which crosses a
@@ -686,10 +689,10 @@ def q_join_multiway(sf_dir: str):
     oc = hash_join_auto(orders, cust, "o_custkey", "c_custkey")
     j = hash_join_auto(li, oc, "l_orderkey", "o_orderkey",
                        right_bytes_hint=orders.size_bytes())
-    from ray.data.aggregate import Count, Sum
+    from buteo_ray.stages.aggregate import grouped_aggregate
 
-    out = j.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_lines"), Sum("revenue", alias_name="revenue"),
+    out = grouped_aggregate(
+        j, ["c_mktsegment"], sums={"revenue": "revenue"}, count="n_lines",
     ).to_pandas()
     out["revenue"] = np.floor(out["revenue"] + 0.5)
     out["n_lines"] = out["n_lines"].astype("int64")

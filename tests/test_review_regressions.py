@@ -567,3 +567,30 @@ def test_topk_per_group_matches_brute_force_any_layout(ray_session, rng):
                               "key", ["score"], 3).to_pandas()
                .sort_values(["key", "id"]).reset_index(drop=True)[want.columns])
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_aggregate_matches_pandas(ray_session, rng):
+    """Arrow partial+final combiner == single-frame pandas groupby for
+    sums/means/mins/maxs/count, at any block layout."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import grouped_aggregate
+
+    df = pd.DataFrame({
+        "k1": rng.integers(0, 4, 400).astype(str),
+        "k2": rng.integers(0, 3, 400),
+        "a": rng.normal(size=400),
+        "b": rng.integers(0, 100, 400).astype(np.float64),
+    })
+    want = (df.groupby(["k1", "k2"], as_index=False)
+            .agg(sum_a=("a", "sum"), avg_b=("b", "mean"),
+                 min_a=("a", "min"), max_b=("b", "max"), n=("a", "size")))
+    want["n"] = want["n"].astype(np.int64)
+    want = want.sort_values(["k1", "k2"]).reset_index(drop=True)
+    for nblocks in (1, 6):
+        got = grouped_aggregate(
+            rd.from_pandas(df).repartition(nblocks), ["k1", "k2"],
+            sums={"sum_a": "a"}, means={"avg_b": "b"},
+            mins={"min_a": "a"}, maxs={"max_b": "b"}, count="n",
+        ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
