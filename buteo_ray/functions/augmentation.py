@@ -88,7 +88,7 @@ def augmentation_channel_scale(X: np.ndarray, rng: np.random.Generator,
                                amount: float = 0.1) -> np.ndarray:
     """Per-channel scale in [1−amount, 1+amount] (``transform.py:23-106``)."""
     factors = rng.uniform(1 - amount, 1 + amount, size=(1, 1, X.shape[-1]))
-    return (X * factors).astype(X.dtype)
+    return _cast_like(X * factors, X.dtype)
 
 
 def augmentation_contrast(X: np.ndarray, rng: np.random.Generator,
@@ -96,18 +96,18 @@ def augmentation_contrast(X: np.ndarray, rng: np.random.Generator,
     """Contrast stretch about the per-channel mean (``transform.py:107-181``)."""
     factor = 1.0 + rng.uniform(-amount, amount)
     mean = X.mean(axis=(0, 1), keepdims=True)
-    return ((X - mean) * factor + mean).astype(X.dtype)
+    return _cast_like((X - mean) * factor + mean, X.dtype)
 
 
 def augmentation_blur(X: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Gaussian-ish blur (``transform.py:182-321``; apply-probability is
     the AugmentationPipeline step's job, not this kernel's)."""
-    return filter_blur(X, radius=1.0).astype(X.dtype)
+    return _cast_like(filter_blur(X, radius=1.0), X.dtype)
 
 
 def augmentation_sharpen(X: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Unsharp sharpen (``transform.py:322-468``)."""
-    return filter_unsharp(X).astype(X.dtype)
+    return _cast_like(filter_unsharp(X), X.dtype)
 
 
 def augmentation_misalign(X: np.ndarray, rng: np.random.Generator,
@@ -148,7 +148,7 @@ def augmentation_mixup(X_t, y_t, X_s, y_s, rng: np.random.Generator,
     lam = float(rng.beta(alpha, alpha)) if alpha > 0 else 0.5
     X = X_t * lam + X_s * (1 - lam)
     y = y_t * lam + y_s * (1 - lam)
-    return X.astype(X_t.dtype), y
+    return _cast_like(X, X_t.dtype), y
 
 
 # --------------------------------------------------------------- masking
@@ -229,9 +229,13 @@ def spatial_label_smoothing(y: np.ndarray, radius: float = 1.0,
     reference's 'kernel' method, lines 75-105) the center kernel weight
     is boosted to ``kernel.sum()·size/(size−1)`` — at least the mass of
     every neighbour combined — so the per-pixel argmax class can never
-    flip at boundaries; rows renormalize to sum 1."""
+    flip at boundaries; rows renormalize to sum 1.
+
+    Class preservation needs a class axis: 2-D label maps and
+    single-channel stacks fall back to the plain blur (the reference's
+    'half' method) — renormalizing one channel would return all-ones."""
     y = y.astype(np.float64)
-    if not preserve_class:
+    if not preserve_class or y.ndim < 3 or y.shape[-1] < 2:
         return filter_blur(y, radius=radius)
     from buteo_ray.functions.convolution import convolve, kernel_base
 

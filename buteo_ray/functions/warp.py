@@ -72,11 +72,15 @@ def warp_array(
         y0 = np.floor(fy).astype(np.int64)
         tx = fx - x0
         ty = fy - y0
-        # Same coverage rule as the nearest path (fx ∈ [-0.5, w-0.5)):
-        # accepting x0 >= -1 would fabricate edge-replicated values in a
-        # half-pixel ring outside the source footprint where GDAL (and
-        # our nearest) writes nodata.
-        valid = (fx >= -0.5) & (fx < w - 0.5) & (fy >= -0.5) & (fy < h - 0.5)
+        # EXACTLY the nearest path's acceptance set (rint half-to-even,
+        # index in range) — a half-open fx < w-0.5 rule disagrees with
+        # rint at exact half-pixel boundaries depending on parity, so
+        # nearest- and bilinear-warped tiles would disagree on footprint.
+        # Accepting x0 >= -1 instead would fabricate edge-replicated
+        # values in a half-pixel ring where GDAL writes nodata.
+        rx = np.rint(fx)
+        ry = np.rint(fy)
+        valid = (rx >= 0) & (rx < w) & (ry >= 0) & (ry < h)
         x0c = np.clip(x0, 0, w - 1)
         y0c = np.clip(y0, 0, h - 1)
         x1c = np.clip(x0 + 1, 0, w - 1)

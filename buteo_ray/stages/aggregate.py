@@ -35,9 +35,10 @@ def grouped_aggregate(
     ``sums``/``means``/``mins``/``maxs`` map OUTPUT alias → input column;
     ``count`` is the alias for the group row count (rows, not non-null —
     pandas ``size`` semantics). Means are derived exactly from
-    (sum, rowcount) partials, so mean columns must be null-free (use an
-    upstream filter otherwise). Input columns named like ``*_sum`` /
-    ``count_all`` would collide with the partial names — rename first.
+    (sum, valid-count) partials — null values are skipped, matching SQL
+    AVG and ``ray.data.aggregate.Mean`` (an all-null group yields NaN).
+    Input columns named like ``*_sum`` / ``*_count`` / ``count_all``
+    would collide with the partial names — rename first.
     Result column order: keys, sums, means, mins, maxs, count."""
     from ray.data.aggregate import Max, Min, Sum
 
@@ -48,12 +49,14 @@ def grouped_aggregate(
     keys = list(keys)
 
     sum_cols = sorted(set(sums.values()) | set(means.values()))
+    mean_cols = sorted(set(means.values()))
     min_cols = sorted(set(mins.values()))
     max_cols = sorted(set(maxs.values()))
-    need_count = count is not None or bool(means)
+    need_count = count is not None
 
     def _partial(t: pa.Table) -> pa.Table:
         aggs = ([(c, "sum") for c in sum_cols]
+                + [(c, "count") for c in mean_cols]  # non-null denominator
                 + [(c, "min") for c in min_cols]
                 + [(c, "max") for c in max_cols])
         if need_count:
@@ -63,6 +66,7 @@ def grouped_aggregate(
     partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
 
     aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in sum_cols]
+    aggs += [Sum(f"{c}_count", alias_name=f"{c}_count") for c in mean_cols]
     aggs += [Min(f"{c}_min", alias_name=f"{c}_min") for c in min_cols]
     aggs += [Max(f"{c}_max", alias_name=f"{c}_max") for c in max_cols]
     if need_count:
@@ -74,7 +78,7 @@ def grouped_aggregate(
         for a, c in sums.items():
             out[a] = g[f"{c}_sum"]
         for a, c in means.items():
-            out[a] = g[f"{c}_sum"] / g["count_all"]
+            out[a] = g[f"{c}_sum"] / g[f"{c}_count"]
         for a, c in mins.items():
             out[a] = g[f"{c}_min"]
         for a, c in maxs.items():

@@ -71,9 +71,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         return g.drop_duplicates(subset=[text_col], keep="first")
 
     def _hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # The hash is consumed locally (bucket derivation only) — not
+        # shipped: dedup keys on the text itself, so the 8-byte column
+        # would be dead weight in the exchange and the output schema.
         h = content_hash_column(batch[text_col])
-        batch = batch.assign(content_hash=h,
-                             __bucket=(h.view(np.uint64) % n_buckets).view(np.int64))
+        batch = batch.assign(__bucket=(h.view(np.uint64) % n_buckets).view(np.int64))
         return _dedup(batch)
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:

@@ -73,7 +73,13 @@ def sampling_stratified(ds, class_col: str, n_per_class: int, seed: int = 42):
         # internal row order depends on upstream partitioning, so sort by
         # content first — identical runs then sample identical rows
         # regardless of block layout (the module's resumability contract).
-        g = g.sort_values(list(g.columns), kind="stable").reset_index(drop=True)
+        # Only scalar columns are sortable (embedding/tensor columns
+        # raise in sort_values); non-scalar-only frames keep input order.
+        sortable = [c for c in g.columns
+                    if np.isscalar(g[c].iloc[0]) or g[c].iloc[0] is None
+                    or isinstance(g[c].iloc[0], (bytes, pd.Timestamp))]
+        if sortable:
+            g = g.sort_values(sortable, kind="stable").reset_index(drop=True)
         idx = rng.choice(len(g), size=n_per_class, replace=False)
         return g.iloc[np.sort(idx)]
 

@@ -594,3 +594,112 @@ def test_grouped_aggregate_matches_pandas(ray_session, rng):
             mins={"min_a": "a"}, maxs={"max_b": "b"}, count="n",
         ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+# ---------------------------------------------------------------- 5th pass
+
+
+def test_warp_bilinear_nearest_footprint_parity_odd_grid():
+    """At exact half-pixel boundaries (odd source dim, 2x downsample) the
+    bilinear mask must equal nearest's rint-based mask — a half-open rule
+    diverges depending on index parity."""
+    from buteo_ray.functions.warp import warp_array
+
+    src = np.arange(25, dtype=np.float64).reshape(5, 5)
+    src_gt = (0.0, 1.0, 0.0, 5.0, 0.0, -1.0)
+    dst_gt = (0.0, 2.0, 0.0, 5.0, 0.0, -2.0)
+    near = warp_array(src, src_gt, dst_gt, (3, 3), method="nearest")
+    bil = warp_array(src, src_gt, dst_gt, (3, 3), method="bilinear")
+    assert np.array_equal(np.isnan(near), np.isnan(bil))
+
+
+def test_stratified_sampling_with_tensor_column(ray_session):
+    """Non-scalar (embedding) columns must not crash the canonical-order
+    sort; sampling stays deterministic via the scalar columns."""
+    import ray.data as rd
+
+    from buteo_ray.stages.selection import sampling_stratified
+
+    df = pd.DataFrame({
+        "cls": np.arange(60) % 2,
+        "id": np.arange(60),
+        "emb": [np.arange(4, dtype=np.float32) + i for i in range(60)],
+    })
+    outs = []
+    for nblocks in (1, 5):
+        out = sampling_stratified(rd.from_pandas(df).repartition(nblocks),
+                                  "cls", 5, seed=3).to_pandas()
+        outs.append(sorted(out["id"].tolist()))
+    assert outs[0] == outs[1] and len(outs[0]) == 10
+
+
+def test_spatial_label_smoothing_2d_and_single_channel():
+    """2-D label maps and single-channel stacks fall back to plain blur
+    (class preservation needs a class axis) instead of crashing or
+    returning all-ones."""
+    from buteo_ray.functions.augmentation import spatial_label_smoothing
+
+    y2 = np.random.default_rng(0).random((8, 8))
+    out2 = spatial_label_smoothing(y2, radius=1.0)
+    assert out2.shape == (8, 8) and np.all(np.isfinite(out2))
+    y1 = y2[:, :, None]
+    out1 = spatial_label_smoothing(y1, radius=1.0)
+    assert out1.shape == (8, 8, 1)
+    assert not np.allclose(out1, 1.0)
+
+
+def test_grouped_aggregate_mean_skips_nulls(ray_session):
+    """Means use the non-null denominator (SQL AVG semantics)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import grouped_aggregate
+
+    df = pd.DataFrame({"k": [0, 0, 0, 1], "x": [2.0, np.nan, 4.0, 7.0]})
+    got = grouped_aggregate(rd.from_pandas(df), ["k"],
+                            means={"avg": "x"}, count="n").to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["avg"].tolist() == [3.0, 7.0]   # not 2.0 (sum/rowcount)
+    assert got["n"].tolist() == [3, 1]         # count stays rows
+
+
+def test_augmentation_integer_cast_all_kernels():
+    """channel_scale/contrast/blur/sharpen/mixup on uint8: round+clip,
+    never truncate or wrap."""
+    from buteo_ray.functions.augmentation import (
+        augmentation_blur,
+        augmentation_channel_scale,
+        augmentation_contrast,
+        augmentation_mixup,
+        augmentation_sharpen,
+    )
+
+    X = np.zeros((12, 12, 2), np.uint8)
+    X[0, 0, 0] = 5  # dark pixel far below the mean
+    out = augmentation_contrast(X, np.random.default_rng(0), amount=0.9)
+    assert out.dtype == np.uint8 and out.max() <= 60  # no wrap to ~255
+
+    Xs = np.full((12, 12, 2), 100, np.uint8)
+    sc = augmentation_channel_scale(Xs, np.random.default_rng(1), amount=0.1)
+    assert sc.dtype == np.uint8
+    assert not np.array_equal(sc, Xs)  # sub-integer scale not truncated away
+
+    for fn in (augmentation_blur, augmentation_sharpen):
+        o = fn(X, np.random.default_rng(2))
+        assert o.dtype == np.uint8
+    Xm, _ = augmentation_mixup(Xs, np.array([1.0, 0.0]),
+                               np.zeros_like(Xs), np.array([0.0, 1.0]),
+                               np.random.default_rng(3))
+    assert Xm.dtype == np.uint8
+
+
+def test_exact_dedup_no_hash_column(ray_session):
+    """The content hash is a local bucketing detail — it must not appear
+    in the output schema or cross the shuffle."""
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame({"doc_id": [3, 1, 2], "text": ["a", "a", "b"]})
+    out = exact_dedup(rd.from_pandas(df)).to_pandas()
+    assert "content_hash" not in out.columns and "__bucket" not in out.columns
+    assert sorted(out["doc_id"]) == [1, 2]
