@@ -1126,10 +1126,13 @@ def sql_embed_centroids_flat() -> str:
 
 
 def q_knn_cells(sf_dir: str):
-    """Cell-partitioned k-ring kNN, haversine metric (the scale path;
-    exactness vs brute force verified in tests/test_knn.py)."""
+    """Cell-partitioned k-ring kNN with the exactness certificate
+    (planar2): knn_cells for the bulk + broadcast rescue for queries
+    whose k-th distance exceeds their ring-coverage bound — provably
+    equal to brute force, hence oracle-checked against the same SQL as
+    q_knn."""
     from buteo_ray.stages.geocode import hash_coords_from_ids
-    from buteo_ray.stages.knn import knn_cells
+    from buteo_ray.stages.knn import knn_cells_exact
 
     ds = _docs(sf_dir, columns=["doc_id"])
     # Distributed filter for the query ids — only the tiny filtered set
@@ -1139,7 +1142,8 @@ def q_knn_cells(sf_dir: str):
         batch_format="pyarrow", batch_size=None,
     ).to_pandas()["doc_id"].to_numpy()
     qlat, qlon = hash_coords_from_ids(qids)
-    return knn_cells(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
+    out = knn_cells_exact(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
+    return out.select_columns(["query_id", "neighbor_id", "dist"])
 
 
 def q_coregister(sf_dir: str):
@@ -1365,6 +1369,9 @@ ORACLE_SQL: Dict[str, str] = {
     "distinct": sql_distinct(),
     "union_all": sql_union_all(),
     "knn": sql_knn(),
+    # knn_cells_exact is certificate-verified equal to brute force, so it
+    # shares the brute-force kNN oracle.
+    "knn_cells": sql_knn(),
     "zonal_stats": sql_zonal_stats(),
     "zonal_stats_full": sql_zonal_stats_full(),
     "dissolve_bbox": sql_dissolve_bbox(),

@@ -247,3 +247,92 @@ def knn_cells(
     return pairs.groupby("query_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas"
     )
+
+
+def knn_cells_exact(
+    ds,
+    query_ids: np.ndarray,
+    query_lat: np.ndarray,
+    query_lon: np.ndarray,
+    k: int = 5,
+    res: int = 6,
+    ring: int = 1,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    concurrency: Optional[int] = None,
+):
+    """GUARANTEED-exact cell-partitioned kNN (planar2 metric).
+
+    Plan: :func:`knn_cells` for the bulk, then a per-query certificate —
+    a query's result is provably exact iff its k-th distance is smaller
+    than the squared distance to the nearest EXCLUDED region (the cells
+    beyond its ring window; clamped y-sides and full-wrap x count as
+    unbounded). Queries that fail the certificate (or found < k
+    neighbours) are re-run through :func:`knn_broadcast`, which is exact
+    by construction; with a density-appropriate (res, ring) the residual
+    is empty or tiny, so the rescue pass costs one extra streaming scan
+    over the corpus for a handful of queries.
+
+    planar2 only: lon does not wrap in the planar metric, so the window
+    edge distance is a true lower bound for every excluded candidate
+    (no such per-axis bound exists for haversine near the poles)."""
+    import ray
+    import ray.data as rd
+
+    qid = np.asarray(query_ids, np.int64)
+    qlat = np.asarray(query_lat, np.float64)
+    qlon = np.asarray(query_lon, np.float64)
+
+    out = knn_cells(ds, qid, qlat, qlon, k=k, res=res, ring=ring,
+                    metric="planar2", id_col=id_col, lat_col=lat_col,
+                    lon_col=lon_col, concurrency=concurrency)
+
+    # ---- certificate: squared distance to the nearest excluded region.
+    n = np.int64(1) << res
+    csx = 360.0 / float(n)
+    csy = 180.0 / float(n)
+    qx, qy = cell_xy(qlat, qlon, res)
+    inf = np.float64(np.inf)
+    if 2 * ring + 1 >= n:
+        bx = np.full(qid.shape, inf)
+    else:
+        lo = (qx - ring) * csx - 180.0          # west edge of the window
+        hi = (qx + ring + 1) * csx - 180.0      # east edge
+        bx = np.minimum(qlon - lo, hi - qlon)
+    lo_y = (qy - ring) * csy - 90.0
+    hi_y = (qy + ring + 1) * csy - 90.0
+    by_lo = np.where(qy - ring <= 0, inf, qlat - lo_y)    # clamped at pole
+    by_hi = np.where(qy + ring >= n - 1, inf, hi_y - qlat)
+    bound = np.minimum(bx, np.minimum(by_lo, by_hi))
+    bound2 = bound * bound
+
+    # Per-query k-th distance + row count (tiny: ≤ Q·k rows aggregate to
+    # Q rows — same order as the query payload already on the driver).
+    from ray.data.aggregate import Count, Max
+
+    stats = (out.groupby("query_id")
+             .aggregate(Max("dist", alias_name="kth"), Count(alias_name="nn"))
+             .to_pandas())
+    kth = pd.Series(np.float64(np.inf), index=qid)
+    nn = pd.Series(0, index=qid, dtype=np.int64)
+    kth.loc[stats["query_id"].to_numpy()] = stats["kth"].to_numpy()
+    nn.loc[stats["query_id"].to_numpy()] = stats["nn"].to_numpy()
+    # strict <: an excluded candidate can sit exactly ON the window edge
+    ok = (nn.to_numpy() >= k) & (kth.to_numpy() < bound2)
+    if ok.all():
+        return out
+
+    # ---- rescue: exact broadcast pass for the residual queries only.
+    bad = ~ok
+    bad_ids = set(qid[bad].tolist())
+    rescue = knn_broadcast(ds, qid[bad], qlat[bad], qlon[bad], k=k,
+                           metric="planar2", id_col=id_col,
+                           lat_col=lat_col, lon_col=lon_col)
+
+    def _drop_bad(t: pa.Table) -> pa.Table:
+        keep = ~np.isin(t["query_id"].to_numpy(), list(bad_ids))
+        return t.filter(pa.array(keep))
+
+    kept = out.map_batches(_drop_bad, batch_format="pyarrow", batch_size=None)
+    return kept.union(rescue)

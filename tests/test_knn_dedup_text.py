@@ -226,3 +226,33 @@ def test_minhash_lsh_broadcast_and_semijoin_paths_agree(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert ((a["id_a"] == 0) & (a["id_b"] == 40)).any()
+
+
+def test_knn_cells_exact_matches_broadcast_any_ring(ray_session, rng):
+    """knn_cells_exact == exact broadcast kNN regardless of ring size:
+    a too-small ring triggers the certificate + broadcast rescue, a big
+    ring passes the certificate outright."""
+    import ray.data as rd
+
+    from buteo_ray.stages.knn import knn_broadcast, knn_cells_exact
+
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "lat": rng.uniform(-80, 80, n),
+        "lon": rng.uniform(-179, 179, n),
+    })
+    qm = df["doc_id"] % 37 == 0
+    qid = df.loc[qm, "doc_id"].to_numpy()
+    qlat = df.loc[qm, "lat"].to_numpy()
+    qlon = df.loc[qm, "lon"].to_numpy()
+    ds = rd.from_pandas(df).repartition(4)
+
+    want = (knn_broadcast(ds, qid, qlat, qlon, k=4, metric="planar2")
+            .to_pandas().sort_values(["query_id", "neighbor_id"])
+            .reset_index(drop=True)[["query_id", "neighbor_id", "dist"]])
+    for ring in (1, 6):   # ring=1 at res=6: sparse → rescue fires
+        got = (knn_cells_exact(ds, qid, qlat, qlon, k=4, res=6, ring=ring)
+               .to_pandas().sort_values(["query_id", "neighbor_id"])
+               .reset_index(drop=True)[["query_id", "neighbor_id", "dist"]])
+        pd.testing.assert_frame_equal(got, want)
