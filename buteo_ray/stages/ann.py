@@ -37,9 +37,12 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
         arr = arr.combine_chunks()
     if len(arr) == 0:
         return np.empty((0, 0), dtype=np.float64)
-    flat = arr.flatten().to_numpy(zero_copy_only=False)
-    d = len(arr[0])
-    return flat.reshape(-1, d)
+    if hasattr(arr, "flatten"):  # list<float> layout (parquet)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        d = len(arr[0])
+        return flat.reshape(-1, d)
+    # Ray's ArrowTensorArray layout (ndarray column from pandas blocks)
+    return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
 
 
 def ann_cosine_topk(
@@ -92,9 +95,7 @@ def ann_cosine_topk(
         })
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        return g.reset_index(drop=True)
+        return _topk_merge(g, k)
 
     return (
         ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
@@ -122,6 +123,15 @@ def _bucket_ids(e: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bucket
 
 
+def _topk_merge(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Deterministic per-query merge shared by the exact and LSH paths:
+    cos_sim desc, neighbor_id asc, head(k) — the tie rule the DuckDB
+    oracle encodes; one definition so the two paths cannot diverge."""
+    g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True],
+                      kind="stable").head(k)
+    return g.reset_index(drop=True)
+
+
 def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
                       out_col: str = "lsh_bucket"):
     """Append a random-hyperplane LSH bucket id (uint64 of sign bits).
@@ -136,10 +146,9 @@ def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
         d = e.shape[1]
         if d not in planes_cache:
             planes_cache[d] = _hyperplanes(d, nbits)
-        signs = (e @ planes_cache[d].T) > 0
-        bucket = np.zeros(e.shape[0], dtype=np.uint64)
-        for b in range(nbits):
-            bucket |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        # Shared _bucket_ids so this path can never desynchronize from
+        # ann_lsh_topk's bucket derivation (same tables by construction).
+        bucket = _bucket_ids(e, planes_cache[d])
         # int64 view: the bucket is a downstream group key (uint64 keys
         # hit Ray's pickled-object fallback).
         return batch.append_column(out_col, pa.array(bucket.view(np.int64)))
@@ -150,7 +159,11 @@ def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
 def _probe_buckets(bucket: int, nbits: int, probe_bits: int) -> list:
     """Multi-probe expansion: all buckets within Hamming distance
     ``probe_bits`` of ``bucket`` (0 → just the bucket; 1 → +nbits
-    single-bit flips)."""
+    single-bit flips). Distances beyond 2 are not implemented — reject
+    loudly rather than silently delivering lower recall than asked."""
+    if probe_bits > 2:
+        raise ValueError("probe_bits > 2 is not supported (implemented "
+                         "expansions: Hamming distance 0, 1, 2)")
     out = [bucket]
     if probe_bits >= 1:
         out.extend(bucket ^ (1 << b) for b in range(nbits))
@@ -248,9 +261,7 @@ def ann_lsh_topk(
         })
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        return g.reset_index(drop=True)
+        return _topk_merge(g, k)
 
     return (
         ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
@@ -266,7 +277,10 @@ def centroids_per_label(ds, emb_col: str = "embedding", label_col: str = "label"
 
     def _partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"label": np.empty(0, np.int32),
+            # label keeps the INPUT column's dtype — a hardcoded type
+            # would break schema unification when an empty block meets
+            # non-empty partials from e.g. an int64 label column.
+            return pa.table({"label": pa.array([], type=batch.schema.field(label_col).type),
                              "vec_sum": pa.array([], type=pa.list_(pa.float64())),
                              "n": np.empty(0, np.int64)})
         e = _emb_matrix(batch, emb_col).astype(np.float64)

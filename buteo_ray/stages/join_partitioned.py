@@ -192,17 +192,15 @@ def hash_join_auto(
     import ray
     import pyarrow.compute as pc
 
-    from buteo_ray.state.skew import derive_num_partitions
+    from buteo_ray.state.skew import derive_num_partitions, estimate_bytes
 
-    # A lazy pipeline output reports size_bytes()=None — callers pass a
-    # hint (e.g. the pre-join input's metadata size, an upper bound) so
-    # the planner never has to materialize just to decide.
+    # estimate_bytes is metadata-only (logical-plan leaves): calling
+    # Dataset.size_bytes() here would EXECUTE a map-derived right side at
+    # plan time. Callers may still pass a tighter hint (e.g. the pre-join
+    # input's metadata size) when the source bound is too loose.
     rb = right_bytes_hint
     if rb is None:
-        try:
-            rb = right_ds.size_bytes()
-        except Exception:
-            pass
+        rb = estimate_bytes(right_ds) or None
     if rb is not None and rb < broadcast_threshold:
         refs = right_ds.to_arrow_refs()
         if not refs:

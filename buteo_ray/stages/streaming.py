@@ -181,8 +181,12 @@ def asof_join_tagged(both, key_col: str = "user_id", ts_col: str = "ts",
         # matches; deduping the right side (the oracle does the same via
         # GROUP BY + MAX) makes the comparison stable. Left rows are NOT
         # deduplicated — every left event emits its own match.
+        # na_position='first' so keep='last' picks the max NON-NULL value
+        # tuple (SQL MAX ignores NULLs; an all-null group keeps a null,
+        # matching the oracle's NULL result).
         right2 = right2.sort_values(
             [key_col, ts_col] + [f"right_{c}" for c in rcols], kind="stable",
+            na_position="first",
         ).drop_duplicates(subset=[key_col, ts_col], keep="last")
         right2["right_ts"] = right2[ts_col]
         merged = pd.merge_asof(left, right2.sort_values(ts_col, kind="stable"),

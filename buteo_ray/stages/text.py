@@ -14,6 +14,15 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+def _set_col(batch: pa.Table, name: str, arr) -> pa.Table:
+    """Append-or-replace: composing these stages (e.g. add_quality_score
+    after add_token_count, which both derive ``n_tokens``) must not
+    create duplicate fields — Ray's schema unification rejects them."""
+    if name in batch.column_names:
+        batch = batch.drop_columns([name])
+    return batch.append_column(name, arr)
+
+
 # Tiny per-language stopword lists (public common words).
 STOPWORDS: Dict[str, List[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
@@ -30,7 +39,7 @@ def add_token_count(ds, text_col: str = "text", out_col: str = "n_tokens"):
 
     def _fn(batch: pa.Table) -> pa.Table:
         n = pc.list_value_length(pc.split_pattern(batch[text_col], " "))
-        return batch.append_column(out_col, n.cast(pa.int64()))
+        return _set_col(batch, out_col, n.cast(pa.int64()))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
@@ -51,11 +60,9 @@ def add_quality_score(ds, text_col: str = "text"):
         nchars = pc.utf8_length(batch[text_col]).cast(pa.float64()).to_numpy()
         ntok = pc.list_value_length(pc.split_pattern(batch[text_col], " ")).cast(pa.float64()).to_numpy()
         mean_len = np.floor((nchars - ntok + 1.0) / ntok * 10000.0 + 0.5) / 10000.0
-        return (
-            batch.append_column("n_chars_text", pa.array(nchars.astype(np.int64)))
-            .append_column("n_tokens", pa.array(ntok.astype(np.int64)))
-            .append_column("mean_token_len", pa.array(mean_len))
-        )
+        batch = _set_col(batch, "n_chars_text", pa.array(nchars.astype(np.int64)))
+        batch = _set_col(batch, "n_tokens", pa.array(ntok.astype(np.int64)))
+        return _set_col(batch, "mean_token_len", pa.array(mean_len))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
@@ -105,7 +112,7 @@ class TextScorer:
         # toward alphabetically-first languages).
         tied = (scores == top[:, None]).sum(axis=1) > 1
         pred = np.where(hit & ~tied, np.array(self.langs, dtype=object)[best], "und")
-        return batch.append_column(self.out_col, pa.array(pred, type=pa.string()))
+        return _set_col(batch, self.out_col, pa.array(pred, type=pa.string()))
 
 
 def add_lang_pred(ds, concurrency: int | None = None):
@@ -125,6 +132,6 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
         # Arrow-native stage: only the text column converts (the 64-bit
         # siphash kernel lives in pandas); all other columns stay zero-copy.
         h = content_hash_column(batch[text_col].to_pandas())
-        return batch.append_column(out_col, pa.array(h))
+        return _set_col(batch, out_col, pa.array(h))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

@@ -153,7 +153,11 @@ def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
             "max": zmax,
         })
         if gather:
-            out["values"] = [v[inv == i].tobytes() for i in range(zones.shape[0])]
+            # One stable argsort + split, not a full-vector mask scan per
+            # zone (O(n log n) vs O(zones·pixels) on many-zone tiles).
+            chunks = np.split(v[np.argsort(inv, kind="stable")],
+                              np.cumsum(np.bincount(inv))[:-1])
+            out["values"] = [c.tobytes() for c in chunks]
         return out
 
     partials = both.groupby(["tile_x", "tile_y"]).map_groups(_partial, batch_format="pandas")

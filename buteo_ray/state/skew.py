@@ -24,13 +24,51 @@ import pyarrow as pa
 from buteo_ray.stages.dedup import _splitmix64
 
 
+def estimate_bytes(ds) -> int:
+    """Metadata-only dataset size estimate — NEVER executes the plan.
+
+    ``Dataset.size_bytes()`` is metadata-only for raw reads and
+    materialized datasets, but on a map-derived dataset Ray 2.49 falls
+    through to ``self._plan.execute()`` — calling it at graph-build time
+    silently materializes the whole upstream pipeline. Instead, walk the
+    logical DAG to its leaf ops (Read / FromPandas / InputData) and sum
+    their ``infer_metadata().size_bytes`` — the SOURCE bytes, an upper
+    bound for the usual project/filter chains. Unknown leaves count 0."""
+    try:
+        if ds._plan.has_computed_output():
+            return int(ds.size_bytes() or 0)
+    except Exception:
+        pass
+    total = 0
+    try:
+        stack = [ds._logical_plan.dag]
+        seen = set()
+        while stack:
+            op = stack.pop()
+            if id(op) in seen:
+                continue
+            seen.add(id(op))
+            deps = getattr(op, "input_dependencies", None) or []
+            if deps:
+                stack.extend(deps)
+                continue
+            try:
+                md = op.infer_metadata()
+                total += int(md.size_bytes or 0)
+            except Exception:
+                pass
+    except Exception:
+        return 0
+    return total
+
+
 def derive_num_partitions(*datasets, target_bytes: int = 64 << 20,
                           lo: int = 8, hi: int = 4096) -> int:
     """Shuffle-partition count sized to the data, not hardcoded.
 
-    ``ceil(sum(size_bytes) / target_bytes)`` clamped to [lo, hi].
-    ``size_bytes()`` on a lazy parquet read is metadata-only (verified:
-    2 ms on an unexecuted Dataset), so this never triggers execution.
+    ``ceil(sum(estimate_bytes) / target_bytes)`` clamped to [lo, hi];
+    sizes come from :func:`estimate_bytes` (logical-plan metadata — never
+    triggers execution, even on map-derived datasets).
     Byte-derived counts keep per-partition size near ``target_bytes`` at
     any scale: a 100 TB input gets thousands of partitions regardless of
     one node's core count, while a megabyte-scale input stays at ``lo``
@@ -38,12 +76,7 @@ def derive_num_partitions(*datasets, target_bytes: int = 64 << 20,
     hash-shuffle aggregator overhead DOMINATE small joins — 2.7× slower
     at sf0.1 — so the floor is deliberately low; large inputs reach full
     core fan-out through the bytes term alone)."""
-    total = 0
-    for ds in datasets:
-        try:
-            total += int(ds.size_bytes() or 0)
-        except Exception:
-            pass
+    total = sum(estimate_bytes(ds) for ds in datasets)
     return int(max(lo, min(hi, -(-total // max(target_bytes, 1)))))
 
 

@@ -703,3 +703,80 @@ def test_exact_dedup_no_hash_column(ray_session):
     out = exact_dedup(rd.from_pandas(df)).to_pandas()
     assert "content_hash" not in out.columns and "__bucket" not in out.columns
     assert sorted(out["doc_id"]) == [1, 2]
+
+
+# ---------------------------------------------------------------- 6th pass
+
+
+def test_estimate_bytes_never_executes(ray_session):
+    """derive_num_partitions sizing must be metadata-only even on
+    map-derived datasets (Dataset.size_bytes() would execute the plan)."""
+    import ray.data as rd
+
+    from buteo_ray.state.skew import derive_num_partitions, estimate_bytes
+
+    calls = {"n": 0}
+
+    def _boom(t):
+        calls["n"] += 1
+        return t
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    m = ds.map_batches(_boom, batch_format="pyarrow", batch_size=None)
+    est = estimate_bytes(m)
+    n = derive_num_partitions(m, m)
+    assert calls["n"] == 0          # nothing executed
+    assert est > 0 and n >= 8      # sized from the source read's metadata
+
+
+def test_text_stages_compose_without_duplicate_columns(ray_session):
+    """add_quality_score after add_token_count (both derive n_tokens)
+    must replace, not duplicate, the column."""
+    import ray.data as rd
+
+    from buteo_ray.stages.text import add_quality_score, add_token_count
+
+    df = pd.DataFrame({"text": ["a b c", "d e"]})
+    out = add_quality_score(add_token_count(rd.from_pandas(df))).to_pandas()
+    assert list(out.columns).count("n_tokens") == 1
+    assert out["n_tokens"].tolist() == [3, 2]
+
+
+def test_asof_right_dedup_ignores_null_values(ray_session):
+    """Duplicate right timestamps with a null value: the kept row is the
+    max NON-NULL value (SQL MAX semantics)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import asof_join
+
+    left = pd.DataFrame({"user_id": [1], "ts": [10.0], "event_id": [100]})
+    right = pd.DataFrame({"user_id": [1, 1, 1], "ts": [5.0, 5.0, 5.0],
+                          "value": [3.0, np.nan, 7.0]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key_col="user_id", ts_col="ts",
+                    right_cols=["value"]).to_pandas()
+    assert out["right_value"].tolist() == [7.0]
+
+
+def test_probe_bits_over_two_rejected():
+    from buteo_ray.stages.ann import _probe_buckets
+
+    with pytest.raises(ValueError):
+        _probe_buckets(0, 8, 3)
+
+
+def test_centroids_label_dtype_follows_input(ray_session):
+    """Empty partial blocks keep the input label dtype (int64 here) so
+    schema unification succeeds."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import centroids_per_label
+
+    df = pd.DataFrame({
+        "label": np.array([7, 7, 9], dtype=np.int64),
+        "embedding": [np.ones(3, np.float32)] * 3,
+    })
+    empty = df.iloc[:0]
+    ds = rd.from_pandas(df).union(rd.from_pandas(empty))
+    out = centroids_per_label(ds).to_pandas()
+    assert sorted(out["label"].tolist()) == [7, 9]
