@@ -51,8 +51,15 @@ def flagship_pipeline(
     ds = assign_tiles(ds, GridSpec.global_grid(zoom))
     if write_to is not None:
         # Resumable sink: one atomic dir per cell_r5 partition + lineage
-        # manifest; a rerun skips completed partitions.
+        # manifest; a rerun skips completed partitions. Shard count is
+        # size-derived (1 at bench scale): the generator deliberately puts
+        # ~30% of docs into one hot cell, which would otherwise become a
+        # single giant write task at 100 TB.
         from buteo_ray.state.checkpoint import write_partitioned_resumable
+        from buteo_ray.state.skew import estimate_bytes
 
-        return write_partitioned_resumable(ds, write_to, "cell_r5", op_version="flagship-v1")
+        shards = int(min(256, max(1, estimate_bytes(ds) // (256 << 20))))
+        return write_partitioned_resumable(
+            ds, write_to, "cell_r5", op_version="flagship-v1",
+            shard_col="doc_id", num_shards=shards)
     return ds

@@ -196,20 +196,33 @@ def predict_tiles(
     ≥ ``tile_size − 1``. Patch bytes stream to a :class:`PatchScorer`
     actor pool, then through the same piece/merge plan as
     :func:`predict_dataset`. ``shape`` (h, w) is derived from the tile
-    metadata columns when not given."""
+    metadata columns when not given — that probe PINS the tile Dataset
+    (materialize) so the upstream lineage is not executed a second time
+    by the extract pass and cannot deadlock against the reserved scoring
+    actor pool; at scale, pass ``shape`` explicitly to keep the input
+    fully streaming. Scores ONE raster: a multi-raster tile Dataset is
+    rejected (patch keys carry no raster id, so two rasters' predictions
+    would silently merge)."""
     from buteo_ray.sources.raster import tile_to_ndarray
 
     ts = tile_size
     if shape is None:
         import pyarrow.compute as pc
 
+        tile_ds = tile_ds.materialize()
         meta = tile_ds.map_batches(
             lambda t: pa.table({
                 "h": [pc.max(pc.add(t["y_off"], t["height"])).as_py()],
                 "w": [pc.max(pc.add(t["x_off"], t["width"])).as_py()],
+                "rid_min": [pc.min(t["raster_id"]).as_py()],
+                "rid_max": [pc.max(t["raster_id"]).as_py()],
             }),
             batch_format="pyarrow", batch_size=None).to_pandas()
         h, w = int(meta["h"].max()), int(meta["w"].max())
+        if meta["rid_min"].min() != meta["rid_max"].max():
+            raise ValueError(
+                "predict_tiles scores ONE raster; got multiple raster_id "
+                "values — split the Dataset per raster first")
     else:
         h, w = int(shape[0]), int(shape[1])
     offsets = _prediction_offsets((h, w), ts, n_offsets, border_check)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 
 from buteo_ray.stages.dedup import exact_dedup, minhash_lsh_pairs
@@ -34,8 +35,30 @@ def training_data_pipeline(
     lang_concurrency: Optional[int] = None,
 ):
     """Run the chain over a page Dataset; returns the final Dataset (or
-    lineage rows when ``write_to`` is set)."""
+    lineage rows when ``write_to`` is set).
+
+    ``id_col`` must be an integer column: the near-dup stage and the
+    hash split coerce ids to int64/uint64. A string id (URL, hex hash)
+    would either crash deep inside the LSH stage or — for numeric
+    strings — make the anti-join compare string vs int64 and silently
+    keep every near-dup. Checked loudly here instead."""
     import pyarrow.compute as pc
+    import pyarrow.types as pat
+
+    sch = pages_ds.schema()  # ray Schema wrapper: parallel names/types
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if isinstance(id_type, pa.DataType):  # arrow blocks
+        id_is_int = pat.is_integer(id_type)
+    else:  # pandas blocks report numpy dtypes (object for strings)
+        try:
+            id_is_int = np.issubdtype(np.dtype(id_type), np.integer)
+        except TypeError:
+            id_is_int = False
+    if not id_is_int:
+        raise TypeError(
+            f"training_data_pipeline: id_col '{id_col}' must be an integer "
+            f"column (got {id_type}); map string ids to int64 first "
+            "(e.g. a content-hash column via stages.dedup.content_hash_column)")
 
     ds = add_lang_pred(pages_ds, concurrency=lang_concurrency)
     if keep_langs:
@@ -78,8 +101,14 @@ def training_data_pipeline(
     ds = add_split_column(ds, id_col=id_col, val_frac=val_frac)
 
     if write_to is not None:
+        # 'split' has 2-3 values — without sharding the whole train split
+        # would funnel into ONE write task. Shard by id, size-derived
+        # count (1 at bench scale, ~bytes/256 MB at scale).
         from buteo_ray.state.checkpoint import write_partitioned_resumable
+        from buteo_ray.state.skew import estimate_bytes
 
-        return write_partitioned_resumable(ds, write_to, "split",
-                                           op_version="training-data-v1")
+        shards = int(min(1024, max(1, estimate_bytes(ds) // (256 << 20))))
+        return write_partitioned_resumable(
+            ds, write_to, "split", op_version="training-data-v1",
+            shard_col=id_col, num_shards=shards)
     return ds

@@ -145,13 +145,24 @@ def raster_to_array(ds, raster_id: Optional[str] = None,
     bands = int(tbl["bands"].iloc[0])
     dtype = np.dtype(tbl["dtype"].iloc[0])
     out = np.full((h, w, bands), background, dtype=np.float64)
+    covered = np.zeros((h, w), dtype=bool)
     for _, row in tbl.iterrows():
         block = tile_to_ndarray(row)
         halo = row["halo"]
         core = block[halo:halo + row["height"], halo:halo + row["width"], :]
         out[row["y_off"]:row["y_off"] + row["height"],
             row["x_off"]:row["x_off"] + row["width"], :] = core
-    return out.astype(dtype) if not np.isnan(background) else out
+        covered[row["y_off"]:row["y_off"] + row["height"],
+                row["x_off"]:row["x_off"] + row["width"]] = True
+    if not np.isnan(background):
+        return out.astype(dtype)
+    # Default NaN background: keep the SOURCE dtype when tiles fully
+    # cover the extent (a uint8 raster must not silently come back 8×
+    # wider as float64); only an actually-sparse layout needs the float
+    # NaN representation.
+    if covered.all():
+        return out.astype(dtype)
+    return out
 
 
 def map_tiles(ds, fn: Callable[[np.ndarray, dict], np.ndarray],
@@ -251,6 +262,25 @@ def rasterize_points(points_ds, grid: GridSpec, value_col: Optional[str] = None,
     def _partial(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        # Points strictly outside the grid extent are DROPPED (reference
+        # vector_rasterize burns only in-extent points) — pixel_of's
+        # clamp would otherwise pile them onto the border pixels. Points
+        # exactly ON the max edge stay (clamped into the last pixel,
+        # matching the SQL LEAST twin for poles/antimeridian).
+        x_lo = min(grid.origin_x, grid.origin_x + grid.width * grid.pixel_width)
+        x_hi = max(grid.origin_x, grid.origin_x + grid.width * grid.pixel_width)
+        y_lo = min(grid.origin_y, grid.origin_y + grid.height * grid.pixel_height)
+        y_hi = max(grid.origin_y, grid.origin_y + grid.height * grid.pixel_height)
+        inside = (lon >= x_lo) & (lon <= x_hi) & (lat >= y_lo) & (lat <= y_hi)
+        if not inside.all():
+            batch = batch.filter(pa.array(inside))
+            lon, lat = lon[inside], lat[inside]
+        if len(lon) == 0:
+            return pa.table({"tile_x": np.empty(0, np.int64),
+                             "tile_y": np.empty(0, np.int64),
+                             "off_x": np.empty(0, np.int64),
+                             "off_y": np.empty(0, np.int64),
+                             "value": np.empty(0, np.float64)})
         px, py = grid.pixel_of(lon, lat)
         val = (batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
                if value_col else np.ones(px.shape[0]))

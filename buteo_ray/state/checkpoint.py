@@ -38,6 +38,15 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST_NAME)
 
 
+def _safe_value(value: str) -> str:
+    """Filesystem-safe partition value: percent-encode the characters
+    that would break the `{col}={value}` directory layout ('/' and '\\\\'
+    nest directories — rename then fails and readback never matches;
+    '=' confuses the split; '%' escapes the escapes)."""
+    return (value.replace("%", "%25").replace("/", "%2F")
+            .replace("\\", "%5C").replace("=", "%3D"))
+
+
 def completed_partitions(out_dir: str) -> Set[str]:
     """Partition values recorded as complete in the manifest."""
     path = _manifest_path(out_dir)
@@ -60,9 +69,26 @@ def read_manifest(out_dir: str) -> List[dict]:
         return [json.loads(l) for l in f if l.strip()]
 
 
-def filter_completed(ds, partition_col: str, out_dir: str):
-    """Drop rows whose partition is already complete (broadcast set
-    membership inside map_batches — the anti-join resume step)."""
+def _partition_strings(batch: pa.Table, partition_col: str,
+                       shard_col: Optional[str], num_shards: int) -> np.ndarray:
+    """Per-row partition id: ``str(value)`` or ``str(value)#sNN`` when
+    sharding. Stringify through pandas str() — the SAME conversion
+    _write_group uses for the manifest (an Arrow cast renders
+    floats/bools/timestamps differently: "1" vs "1.0" — and a mismatch
+    silently turns resume into a no-op)."""
+    vals = batch[partition_col].to_pandas().astype(str).to_numpy()
+    if shard_col is not None and num_shards > 1:
+        sh = (pd.util.hash_array(
+            batch[shard_col].to_numpy(zero_copy_only=False)) % num_shards)
+        vals = np.array([f"{v}#s{s:04d}" for v, s in zip(vals, sh)], dtype=object)
+    return vals
+
+
+def filter_completed(ds, partition_col: str, out_dir: str,
+                     shard_col: Optional[str] = None, num_shards: int = 1):
+    """Drop rows whose partition (or partition shard) is already complete
+    (broadcast set membership inside map_batches — the anti-join resume
+    step)."""
     done = completed_partitions(out_dir)
     if not done:
         return ds
@@ -70,11 +96,7 @@ def filter_completed(ds, partition_col: str, out_dir: str):
     done_sorted = np.array(sorted(done), dtype=object)
 
     def _fn(batch: pa.Table) -> pa.Table:
-        # Stringify through the SAME conversion _write_group uses for the
-        # manifest (python str of the pandas value): an Arrow cast renders
-        # floats/bools/timestamps differently ("1" vs "1.0", "true" vs
-        # "True") and would silently never match → resume becomes a no-op.
-        vals = batch[partition_col].to_pandas().astype(str).to_numpy()
+        vals = _partition_strings(batch, partition_col, shard_col, num_shards)
         keep = ~np.isin(vals, done_sorted)
         return batch.filter(pa.array(keep))
 
@@ -87,16 +109,29 @@ def write_partitioned_resumable(
     partition_col: str,
     op_version: str = "v1",
     resume: bool = True,
+    shard_col: Optional[str] = None,
+    num_shards: int = 1,
+    rows_per_file: int = 1 << 20,
 ):
     """Write a Dataset as one atomic parquet directory per partition
     value, with lineage rows appended to the manifest.
 
-    Plan: [optional resume filter] → ``groupby(partition_col)`` → each
-    group writes ``{out_dir}/{col}={value}/part.parquet`` via tmp+rename
-    and RETURNS its lineage row; the small lineage Dataset is appended
-    to the manifest by the driver in one atomic pass. Returns the list
-    of lineage rows written this run.
-    """
+    Plan: [optional resume filter] → ``groupby(partition id)`` → each
+    group writes ``{out_dir}/{col}={value}/part-NNNN.parquet`` files
+    (chunked every ``rows_per_file`` rows, never one giant file) via
+    tmp+rename and RETURNS its lineage row; the small lineage Dataset is
+    appended to the manifest by the driver in one atomic pass. Returns
+    the list of lineage rows written this run.
+
+    **Sharding** (``shard_col`` + ``num_shards``): a low-cardinality or
+    hot-keyed ``partition_col`` (a 'split' column, the generator's hot
+    cell) would otherwise funnel most of the corpus into ONE map_groups
+    task. With sharding the write/resume unit becomes
+    ``(value, hash(shard_col) % num_shards)`` — dirs named
+    ``{col}={value}#sNNNN`` — restoring write parallelism and making
+    resume granularity proportional to 1/num_shards of a partition.
+    Partition values are percent-encoded in directory names (path
+    separators would silently break rename and readback)."""
     os.makedirs(out_dir, exist_ok=True)
     # Sweep tmp dirs orphaned by crashed/retried writers from earlier
     # runs — they hold full parquet payloads and would leak unbounded
@@ -107,16 +142,24 @@ def write_partitioned_resumable(
         if entry.startswith("._tmp_"):
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     if resume:
-        ds = filter_completed(ds, partition_col, out_dir)
+        ds = filter_completed(ds, partition_col, out_dir,
+                              shard_col=shard_col, num_shards=num_shards)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        part = _partition_strings(batch, partition_col, shard_col, num_shards)
+        return batch.append_column("__part", pa.array(part, type=pa.string()))
 
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
-        value = str(g[partition_col].iloc[0])
+        part = str(g["__part"].iloc[0])
+        g = g.drop(columns="__part")
         t0 = time.perf_counter()
-        final_dir = os.path.join(out_dir, f"{partition_col}={value}")
-        tmp_dir = os.path.join(out_dir, f"._tmp_{value}_{uuid.uuid4().hex[:8]}")
+        final_dir = os.path.join(out_dir, f"{partition_col}={_safe_value(part)}")
+        tmp_dir = os.path.join(out_dir, f"._tmp_{uuid.uuid4().hex[:12]}")
         os.makedirs(tmp_dir, exist_ok=True)
         table = pa.Table.from_pandas(g, preserve_index=False)
-        pq.write_table(table, os.path.join(tmp_dir, "part.parquet"))
+        for i, start in enumerate(range(0, max(table.num_rows, 1), rows_per_file)):
+            pq.write_table(table.slice(start, rows_per_file),
+                           os.path.join(tmp_dir, f"part-{i:04d}.parquet"))
         nbytes = sum(
             os.path.getsize(os.path.join(tmp_dir, f)) for f in os.listdir(tmp_dir)
         )
@@ -126,7 +169,7 @@ def write_partitioned_resumable(
             shutil.rmtree(final_dir)
         os.rename(tmp_dir, final_dir)
         return pd.DataFrame({
-            "partition": [value],
+            "partition": [part],
             "rows": [len(g)],
             "bytes": [nbytes],
             "op_version": [op_version],
@@ -134,11 +177,16 @@ def write_partitioned_resumable(
             "written_utc": [datetime.now(timezone.utc).isoformat()],
         })
 
-    lineage = ds.groupby(partition_col).map_groups(_write_group, batch_format="pandas")
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", batch_size=None)
+    lineage = tagged.groupby("__part").map_groups(_write_group, batch_format="pandas")
     rows = lineage.to_pandas().to_dict("records")
 
-    # Atomic manifest append: write-all to tmp, rename over.
-    existing = read_manifest(out_dir)
+    # Atomic manifest rewrite: drop superseded rows for partitions
+    # rewritten THIS run (a resume=False rerun would otherwise append
+    # duplicates and double-count lineage metrics), then append.
+    rewritten = {r["partition"] for r in rows}
+    existing = [r for r in read_manifest(out_dir)
+                if r["partition"] not in rewritten]
     tmp = _manifest_path(out_dir) + f".tmp{uuid.uuid4().hex[:6]}"
     with open(tmp, "w") as f:
         for r in existing + rows:
@@ -151,7 +199,7 @@ def read_partitioned(out_dir: str, columns: Optional[list] = None):
     """Read back a resumable layout (manifest partitions only)."""
     import ray.data as rd
 
-    done = completed_partitions(out_dir)
+    done = {_safe_value(p) for p in completed_partitions(out_dir)}
     paths = []
     for d in sorted(os.listdir(out_dir)):
         if "=" in d and d.split("=", 1)[1] in done:

@@ -780,3 +780,96 @@ def test_centroids_label_dtype_follows_input(ray_session):
     ds = rd.from_pandas(df).union(rd.from_pandas(empty))
     out = centroids_per_label(ds).to_pandas()
     assert sorted(out["label"].tolist()) == [7, 9]
+
+
+# ---------------------------------------------------------------- 7th pass
+
+
+def test_write_partitioned_sharded_resume(ray_session, tmp_path):
+    """Sharded sink: low-cardinality partition col fans out to
+    (value, shard) units; resume skips completed shards; manifest has
+    no duplicate rows after a resume=False rerun; slash-bearing
+    partition values survive the rename and read back."""
+    import ray.data as rd
+
+    from buteo_ray.state.checkpoint import (
+        read_manifest,
+        read_partitioned,
+        write_partitioned_resumable,
+    )
+
+    df = pd.DataFrame({"split": ["train"] * 90 + ["a/b"] * 10,
+                       "id": np.arange(100)})
+    out = str(tmp_path / "sink")
+    rows = write_partitioned_resumable(rd.from_pandas(df), out, "split",
+                                       shard_col="id", num_shards=4)
+    assert len(rows) >= 5                  # train fanned out over shards
+    back = read_partitioned(out).to_pandas()
+    assert len(back) == 100
+    assert sorted(back[back["split"] == "a/b"]["id"]) == list(range(90, 100))
+
+    # rerun without resume: manifest must not double-count
+    write_partitioned_resumable(rd.from_pandas(df), out, "split",
+                                shard_col="id", num_shards=4, resume=False)
+    man = read_manifest(out)
+    parts = [r["partition"] for r in man]
+    assert len(parts) == len(set(parts))
+    assert sum(r["rows"] for r in man) == 100
+
+    # resume: everything complete -> nothing rewritten
+    rows3 = write_partitioned_resumable(rd.from_pandas(df), out, "split",
+                                        shard_col="id", num_shards=4)
+    assert rows3 == []
+
+
+def test_training_pipeline_rejects_string_ids(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    df = pd.DataFrame({"page_id": ["u1", "u2"], "text": ["a b", "c d"]})
+    with pytest.raises(TypeError):
+        training_data_pipeline(rd.from_pandas(df))
+
+
+def test_rasterize_points_drops_out_of_extent(ray_session):
+    """Points outside a non-global grid are dropped, not clamped onto
+    the border pixels; exact max-edge points stay in the last pixel."""
+    import ray.data as rd
+
+    from buteo_ray.sources.raster import raster_to_array, rasterize_points
+    from buteo_ray.stages.tiling import GridSpec
+
+    grid = GridSpec(origin_x=0.0, origin_y=4.0, pixel_width=1.0,
+                    pixel_height=-1.0, width=4, height=4, tile_size=4)
+    pts = pd.DataFrame({"lon": [-1.0, 0.5, 4.0, 9.0],
+                        "lat": [2.0, 3.5, 0.0, 2.0]})
+    arr = raster_to_array(rasterize_points(rd.from_pandas(pts), grid))
+    # only the inside point (0.5, 3.5) and the max-edge point (4.0, 0.0)
+    assert np.nansum(arr) == 2.0
+    assert arr[0, 0, 0] == 1.0      # inside point
+    assert arr[3, 3, 0] == 1.0      # edge point clamps into last pixel
+
+
+def test_raster_to_array_keeps_dtype_when_covered(ray_session):
+    from buteo_ray.sources.raster import raster_from_array, raster_to_array
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    back = raster_to_array(raster_from_array(arr, tile_size=4))
+    assert back.dtype == np.uint8
+    np.testing.assert_array_equal(back[:, :, 0], arr)
+
+
+def test_predict_tiles_rejects_multi_raster(ray_session, rng):
+    from buteo_ray.pipelines.predict import predict_tiles
+    from buteo_ray.sources.raster import raster_from_array
+
+    a = rng.normal(size=(96, 96)).astype(np.float32)
+    tiles = raster_from_array(a, tile_size=64, halo=63, raster_id="a").union(
+        raster_from_array(a, tile_size=64, halo=63, raster_id="b"))
+
+    def builder():
+        return lambda x: x[..., :1]
+
+    with pytest.raises(Exception):
+        predict_tiles(tiles, builder, tile_size=64).to_pandas()
