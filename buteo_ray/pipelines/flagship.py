@@ -55,10 +55,13 @@ def flagship_pipeline(
         # size-derived (1 at bench scale): the generator deliberately puts
         # ~30% of docs into one hot cell, which would otherwise become a
         # single giant write task at 100 TB.
-        from buteo_ray.state.checkpoint import write_partitioned_resumable
-        from buteo_ray.state.skew import estimate_bytes
+        from buteo_ray.state.checkpoint import (derive_num_shards,
+                                                write_partitioned_resumable)
 
-        shards = int(min(256, max(1, estimate_bytes(ds) // (256 << 20))))
+        # hot_share=0.35: the generator's hot cell holds ~30% of docs, so
+        # the shard count targets THAT partition's bytes, not the total.
+        # On resume the recorded scheme wins (estimates drift between runs).
+        shards = derive_num_shards(ds, out_dir=write_to, hot_share=0.35)
         return write_partitioned_resumable(
             ds, write_to, "cell_r5", op_version="flagship-v1",
             shard_col="doc_id", num_shards=shards)

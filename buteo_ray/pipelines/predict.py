@@ -201,8 +201,10 @@ def predict_tiles(
     by the extract pass and cannot deadlock against the reserved scoring
     actor pool; at scale, pass ``shape`` explicitly to keep the input
     fully streaming. Scores ONE raster: a multi-raster tile Dataset is
-    rejected (patch keys carry no raster id, so two rasters' predictions
-    would silently merge)."""
+    rejected — upfront by the shape probe when ``shape=None``, and by a
+    piece-overlap check in the merge stage on the explicit-``shape``
+    path (patch keys carry no raster id, so two rasters' predictions
+    would otherwise silently merge)."""
     from buteo_ray.sources.raster import tile_to_ndarray
 
     ts = tile_size
@@ -318,8 +320,20 @@ def _assemble_and_merge(scored, ts: int, h: int, w: int, n_grids: int,
         tw = min(ts, w - txx * ts)
         stack = np.full((n_grids, th, tw, bands), np.nan, dtype=np.float32)
         wstack = np.zeros((n_grids, th, tw, 1), dtype=np.float32)
+        covered = np.zeros((n_grids, th, tw), dtype=bool)
         for row in g.itertuples(index=False):
             piece = np.frombuffer(row.piece, dtype=np.float32).reshape(row.h, row.w, bands)
+            tgt = covered[row.grid_id, row.py:row.py + row.h, row.px:row.px + row.w]
+            if tgt.any():
+                # One raster's grid positions step by tile_size, so pieces
+                # within a grid never overlap — a collision means TWO
+                # rasters' patches landed in one output keyspace (the
+                # explicit-shape path has no upfront raster_id probe).
+                raise ValueError(
+                    "overlapping prediction pieces in one merge group — "
+                    "predict_tiles scores ONE raster; split the tile "
+                    "Dataset per raster_id first")
+            tgt[:] = True
             stack[row.grid_id, row.py:row.py + row.h, row.px:row.px + row.w, :] = piece
             wpiece = weight_kernel[row.sy:row.sy + row.h, row.sx:row.sx + row.w]
             wstack[row.grid_id, row.py:row.py + row.h, row.px:row.px + row.w, 0] = wpiece

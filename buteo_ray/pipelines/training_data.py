@@ -104,10 +104,12 @@ def training_data_pipeline(
         # 'split' has 2-3 values — without sharding the whole train split
         # would funnel into ONE write task. Shard by id, size-derived
         # count (1 at bench scale, ~bytes/256 MB at scale).
-        from buteo_ray.state.checkpoint import write_partitioned_resumable
-        from buteo_ray.state.skew import estimate_bytes
+        from buteo_ray.state.checkpoint import (derive_num_shards,
+                                                write_partitioned_resumable)
 
-        shards = int(min(1024, max(1, estimate_bytes(ds) // (256 << 20))))
+        # hot_share=1.0 (default): 'train' can be ~all the bytes. On
+        # resume the recorded scheme wins (estimates drift between runs).
+        shards = derive_num_shards(ds, out_dir=write_to)
         return write_partitioned_resumable(
             ds, write_to, "split", op_version="training-data-v1",
             shard_col=id_col, num_shards=shards)

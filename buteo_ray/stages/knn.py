@@ -277,16 +277,16 @@ def knn_cells_exact(
     planar2 only: lon does not wrap in the planar metric, so the window
     edge distance is a true lower bound for every excluded candidate
     (no such per-axis bound exists for haversine near the poles)."""
-    import ray
-    import ray.data as rd
-
     qid = np.asarray(query_ids, np.int64)
     qlat = np.asarray(query_lat, np.float64)
     qlon = np.asarray(query_lon, np.float64)
 
+    # Materialize: `out` (≤ Q·k rows — tiny) is consumed twice (the
+    # certificate aggregate below, then the caller / the rescue filter);
+    # without this the FULL corpus-scan lineage re-executes per consumer.
     out = knn_cells(ds, qid, qlat, qlon, k=k, res=res, ring=ring,
                     metric="planar2", id_col=id_col, lat_col=lat_col,
-                    lon_col=lon_col, concurrency=concurrency)
+                    lon_col=lon_col, concurrency=concurrency).materialize()
 
     # ---- certificate: squared distance to the nearest excluded region.
     n = np.int64(1) << res
@@ -325,13 +325,13 @@ def knn_cells_exact(
 
     # ---- rescue: exact broadcast pass for the residual queries only.
     bad = ~ok
-    bad_ids = set(qid[bad].tolist())
-    rescue = knn_broadcast(ds, qid[bad], qlat[bad], qlon[bad], k=k,
+    bad_arr = qid[bad]
+    rescue = knn_broadcast(ds, bad_arr, qlat[bad], qlon[bad], k=k,
                            metric="planar2", id_col=id_col,
                            lat_col=lat_col, lon_col=lon_col)
 
     def _drop_bad(t: pa.Table) -> pa.Table:
-        keep = ~np.isin(t["query_id"].to_numpy(), list(bad_ids))
+        keep = ~np.isin(t["query_id"].to_numpy(), bad_arr)
         return t.filter(pa.array(keep))
 
     kept = out.map_batches(_drop_bad, batch_format="pyarrow", batch_size=None)

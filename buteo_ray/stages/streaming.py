@@ -176,18 +176,17 @@ def asof_join_tagged(both, key_col: str = "user_id", ts_col: str = "ts",
         right2 = right[[key_col, ts_col] + rcols].rename(
             columns={c: f"right_{c}" for c in rcols})
         # Deterministic tie-break for duplicate RIGHT timestamps per key:
-        # keep the row with the max value tuple. pandas merge_asof and
-        # DuckDB ASOF JOIN each pick an arbitrary row among equal-ts
-        # matches; deduping the right side (the oracle does the same via
-        # GROUP BY + MAX) makes the comparison stable. Left rows are NOT
-        # deduplicated — every left event emits its own match.
-        # na_position='first' so keep='last' picks the max NON-NULL value
-        # tuple (SQL MAX ignores NULLs; an all-null group keeps a null,
-        # matching the oracle's NULL result).
-        right2 = right2.sort_values(
-            [key_col, ts_col] + [f"right_{c}" for c in rcols], kind="stable",
-            na_position="first",
-        ).drop_duplicates(subset=[key_col, ts_col], keep="last")
+        # per-column MAX over (key, ts) — EXACTLY the oracle's GROUP BY +
+        # MAX (pandas merge_asof and DuckDB ASOF JOIN each pick an
+        # arbitrary row among equal-ts matches). Per-column, not
+        # row-tuple: with two value columns and rows (3, NULL)/(NULL, 5)
+        # SQL MAX yields (3, 5), which no single kept row contains.
+        # groupby().max() skips NaN per column like SQL MAX; an all-null
+        # column stays null. Left rows are NOT deduplicated — every left
+        # event emits its own match.
+        if len(right2):
+            right2 = right2.groupby([key_col, ts_col], as_index=False,
+                                    sort=False).max()
         right2["right_ts"] = right2[ts_col]
         merged = pd.merge_asof(left, right2.sort_values(ts_col, kind="stable"),
                                on=ts_col, by=key_col, direction="backward")

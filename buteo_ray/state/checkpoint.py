@@ -32,10 +32,45 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 MANIFEST_NAME = "_manifest.jsonl"
+SCHEME_NAME = "_scheme.json"
 
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST_NAME)
+
+
+def _scheme_path(out_dir: str) -> str:
+    return os.path.join(out_dir, SCHEME_NAME)
+
+
+def check_scheme(out_dir: str, partition_col: str,
+                 shard_col: Optional[str], num_shards: int) -> None:
+    """Validate (and persist) the partition/shard scheme for a layout.
+
+    Partition ids embed ``hash(shard_col) % num_shards``, so a resume
+    with a DIFFERENT shard scheme would mark rows complete that the old
+    shard dirs never contained (silent data loss) and read back
+    duplicates for rows present under both schemes. The scheme is
+    recorded in ``_scheme.json`` on first write; any later run against
+    the same directory must match or clear the directory."""
+    path = _scheme_path(out_dir)
+    scheme = {"partition_col": partition_col,
+              "shard_col": shard_col, "num_shards": int(num_shards)}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != scheme:
+            raise ValueError(
+                f"partition scheme mismatch for {out_dir}: layout was written "
+                f"with {existing}, this run uses {scheme}; resuming across "
+                "scheme changes silently drops/duplicates rows — rerun with "
+                "the recorded scheme or clear the output directory")
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        json.dump(scheme, f)
+    os.rename(tmp, path)
 
 
 def _safe_value(value: str) -> str:
@@ -84,6 +119,34 @@ def _partition_strings(batch: pa.Table, partition_col: str,
     return vals
 
 
+def derive_num_shards(ds, out_dir: Optional[str] = None,
+                      hot_share: float = 1.0,
+                      target_bytes: int = 256 << 20,
+                      cap: int = 65536) -> int:
+    """Shard count for :func:`write_partitioned_resumable`.
+
+    Sized so the HOT partition's per-shard write task is ~``target_bytes``:
+    ``hot_share`` is the caller's estimate of the largest partition's
+    share of total bytes (1.0 = assume one partition could hold
+    everything — the conservative default for low-cardinality partition
+    columns like 'split'). A low cap would silently recreate the giant-
+    task problem at scale (100 TB / 256 cap ≈ 117 GB per task), so the
+    cap is only a tiny-file backstop; small partitions fan out into at
+    most ``min(rows, num_shards)`` dirs, and resume reads the manifest,
+    not a directory scan.
+
+    If ``out_dir`` already has a recorded scheme, its shard count is
+    returned verbatim — a byte-estimate that drifts between runs must
+    not change the scheme mid-resume (see :func:`check_scheme`)."""
+    if out_dir is not None and os.path.exists(_scheme_path(out_dir)):
+        with open(_scheme_path(out_dir)) as f:
+            return int(json.load(f)["num_shards"])
+    from buteo_ray.state.skew import estimate_bytes
+
+    est = estimate_bytes(ds)
+    return int(min(cap, max(1, int(est * hot_share) // target_bytes)))
+
+
 def filter_completed(ds, partition_col: str, out_dir: str,
                      shard_col: Optional[str] = None, num_shards: int = 1):
     """Drop rows whose partition (or partition shard) is already complete
@@ -92,6 +155,9 @@ def filter_completed(ds, partition_col: str, out_dir: str,
     done = completed_partitions(out_dir)
     if not done:
         return ds
+    # A manifest exists: the partition ids about to be computed must use
+    # the SAME shard scheme that produced it (see check_scheme).
+    check_scheme(out_dir, partition_col, shard_col, num_shards)
 
     done_sorted = np.array(sorted(done), dtype=object)
 
@@ -141,6 +207,7 @@ def write_partitioned_resumable(
     for entry in os.listdir(out_dir):
         if entry.startswith("._tmp_"):
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    check_scheme(out_dir, partition_col, shard_col, num_shards)
     if resume:
         ds = filter_completed(ds, partition_col, out_dir,
                               shard_col=shard_col, num_shards=num_shards)

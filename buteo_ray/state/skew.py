@@ -33,7 +33,13 @@ def estimate_bytes(ds) -> int:
     silently materializes the whole upstream pipeline. Instead, walk the
     logical DAG to its leaf ops (Read / FromPandas / InputData) and sum
     their ``infer_metadata().size_bytes`` — the SOURCE bytes, an upper
-    bound for the usual project/filter chains. Unknown leaves count 0."""
+    bound for the usual project/filter chains. Unknown leaves count 0.
+
+    Leaves are counted once per DAG *path*, not once per object: a
+    source reaching the sink via two branches (e.g. a union of two
+    derivations of one read) executes twice at runtime, so it weighs
+    twice here — deduping by object id would size downstream shuffles
+    at half the true bytes."""
     try:
         if ds._plan.has_computed_output():
             return int(ds.size_bytes() or 0)
@@ -42,12 +48,8 @@ def estimate_bytes(ds) -> int:
     total = 0
     try:
         stack = [ds._logical_plan.dag]
-        seen = set()
         while stack:
             op = stack.pop()
-            if id(op) in seen:
-                continue
-            seen.add(id(op))
             deps = getattr(op, "input_dependencies", None) or []
             if deps:
                 stack.extend(deps)

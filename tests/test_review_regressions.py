@@ -873,3 +873,92 @@ def test_predict_tiles_rejects_multi_raster(ray_session, rng):
 
     with pytest.raises(Exception):
         predict_tiles(tiles, builder, tile_size=64).to_pandas()
+
+
+# ---------------------------------------------------------------- 8th pass
+
+
+def test_shard_scheme_recorded_and_enforced(ray_session, tmp_path):
+    """A resume with a different shard scheme must be refused (the old
+    shard dirs don't contain the rows the new hash would mark complete),
+    and derive_num_shards must adopt the recorded scheme instead of a
+    drifted byte estimate."""
+    import ray.data as rd
+
+    from buteo_ray.state.checkpoint import (derive_num_shards,
+                                            write_partitioned_resumable)
+
+    out = str(tmp_path / "sharded_scheme")
+    df = pd.DataFrame({"k": np.zeros(60, dtype=np.int64),
+                       "id": np.arange(60), "v": np.arange(60)})
+    write_partitioned_resumable(rd.from_pandas(df), out, "k",
+                                shard_col="id", num_shards=2)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        write_partitioned_resumable(rd.from_pandas(df), out, "k",
+                                    shard_col="id", num_shards=3)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        write_partitioned_resumable(rd.from_pandas(df), out, "k",
+                                    shard_col="v", num_shards=2)
+    # recorded scheme wins over any size-derived proposal
+    assert derive_num_shards(rd.from_pandas(df), out_dir=out) == 2
+    # matching scheme resumes cleanly: everything complete → no-op
+    assert write_partitioned_resumable(rd.from_pandas(df), out, "k",
+                                       shard_col="id", num_shards=2) == []
+
+
+def test_predict_tiles_rejects_multi_raster_with_explicit_shape(ray_session, rng):
+    """The explicit-shape path skips the raster_id probe; the merge-stage
+    piece-overlap backstop must still reject a two-raster input instead
+    of silently averaging both rasters' predictions."""
+    from buteo_ray.pipelines.predict import predict_tiles
+    from buteo_ray.sources.raster import raster_from_array
+
+    a = rng.normal(size=(96, 96)).astype(np.float32)
+    tiles = raster_from_array(a, tile_size=64, halo=63, raster_id="a").union(
+        raster_from_array(a, tile_size=64, halo=63, raster_id="b"))
+
+    def builder():
+        return lambda x: x[..., :1]
+
+    with pytest.raises(Exception, match="ONE raster"):
+        predict_tiles(tiles, builder, tile_size=64, shape=(96, 96)).to_pandas()
+
+
+def test_asof_multicol_tie_uses_per_column_max(ray_session):
+    """Two right rows at one (key, ts) with complementary nulls: the
+    oracle's GROUP BY + per-column MAX yields (3, 5) — a value no single
+    right row contains — so row-tuple dedup would diverge."""
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import asof_join
+
+    left = pd.DataFrame({"user_id": [1], "ts": [10.0], "event_id": [100]})
+    right = pd.DataFrame({"user_id": [1, 1], "ts": [5.0, 5.0],
+                          "a": [3.0, np.nan], "b": [np.nan, 5.0]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key_col="user_id", ts_col="ts",
+                    right_cols=["a", "b"]).to_pandas()
+    assert len(out) == 1
+    assert out["right_a"].tolist() == [3.0]
+    assert out["right_b"].tolist() == [5.0]
+
+
+def test_estimate_bytes_counts_shared_leaf_per_path(ray_session):
+    """A source reaching the sink via two union branches executes twice,
+    so it must weigh twice — id-deduping leaves would size downstream
+    shuffles at half the true bytes."""
+    import ray.data as rd
+
+    from buteo_ray.state.skew import estimate_bytes
+
+    src = rd.from_pandas(pd.DataFrame({"v": np.arange(20000)}))
+
+    def _ident(t):
+        return t
+
+    one = estimate_bytes(src.map_batches(_ident, batch_format="pyarrow",
+                                         batch_size=None))
+    both = src.map_batches(_ident, batch_format="pyarrow", batch_size=None).union(
+        src.map_batches(_ident, batch_format="pyarrow", batch_size=None))
+    assert one > 0
+    assert estimate_bytes(both) == 2 * one
