@@ -307,13 +307,13 @@ def knn_cells_exact(
     bound = np.minimum(bx, np.minimum(by_lo, by_hi))
     bound2 = bound * bound
 
-    # Per-query k-th distance + row count (tiny: ≤ Q·k rows aggregate to
-    # Q rows — same order as the query payload already on the driver).
-    from ray.data.aggregate import Count, Max
-
-    stats = (out.groupby("query_id")
-             .aggregate(Max("dist", alias_name="kth"), Count(alias_name="nn"))
-             .to_pandas())
+    # Per-query k-th distance + row count, computed driver-side: `out`
+    # is ≤ Q·k rows — the same order as the query payload the caller
+    # already holds on the driver — so a pandas groupby here is bounded
+    # at any corpus scale and skips a fixed-cost Ray all-to-all.
+    op = out.select_columns(["query_id", "dist"]).to_pandas()
+    stats = (op.groupby("query_id", as_index=False)
+             .agg(kth=("dist", "max"), nn=("dist", "size")))
     kth = pd.Series(np.float64(np.inf), index=qid)
     nn = pd.Series(0, index=qid, dtype=np.int64)
     kth.loc[stats["query_id"].to_numpy()] = stats["kth"].to_numpy()
