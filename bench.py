@@ -57,15 +57,26 @@ def _init_ray(num_cpus: int):
 
 def _ensure_pages():
     """Generate the deterministic page table once (not part of the timed
-    pipeline — the north rule's input is a parquet table on storage)."""
-    if os.path.isdir(PAGES_DIR) and any(f.endswith(".parquet") for f in os.listdir(PAGES_DIR)):
+    pipeline — the north rule's input is a parquet table on storage).
+
+    A ``_SUCCESS`` marker written AFTER the parquet files gates reuse: a
+    run killed mid-write leaves a partial directory, and silently
+    benching against it would inflate pages_per_sec (the numerator stays
+    N_PAGES) and invalidate the scaling numbers."""
+    marker = os.path.join(PAGES_DIR, "_SUCCESS")
+    if os.path.exists(marker):
         return
+    import shutil
+
     from buteo_ray.sources.pages import pages_dataset
 
+    shutil.rmtree(PAGES_DIR, ignore_errors=True)  # sweep partial leftovers
     os.makedirs(PAGES_DIR, exist_ok=True)
     # ≥2 blocks per CPU at the 32-CPU level so no stage starves.
     blocks = max(64, N_PAGES // 100_000)
     pages_dataset(N_PAGES, override_num_blocks=blocks).write_parquet(PAGES_DIR)
+    with open(marker, "w") as f:
+        f.write(str(N_PAGES))
 
 
 def run_headline() -> dict:

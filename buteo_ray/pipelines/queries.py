@@ -15,7 +15,7 @@ Conventions that make the value-hash comparison deterministic:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 import pandas as pd
@@ -37,6 +37,17 @@ def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _sample_rows(ds, col: str, mod: int) -> pd.DataFrame:
+    """Deterministic query sampling shared by the kNN/ANN/line queries:
+    keep rows where ``col % mod == 0``, filtered INSIDE map_batches so
+    only the tiny sampled set ever reaches the driver — never the
+    corpus. Returns the sampled rows as a driver-side DataFrame."""
+    return ds.map_batches(
+        lambda t: t.filter(np.equal(t[col].to_numpy() % mod, 0)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -203,7 +214,9 @@ def q_agg_groupby(sf_dir: str):
     # 4-decimal rounding boundary. Means stay at 4 decimals (tiny values).
     for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
         out[c] = np.floor(out[c] + 0.5)
-    out["avg_qty"] = out["avg_qty"].round(4)
+    # floor(x*1e4+0.5) on BOTH sides — .round(4) is half-even while
+    # DuckDB ROUND is half-up, so an exact .5 tie would diverge.
+    out["avg_qty"] = np.floor(out["avg_qty"] * 10000.0 + 0.5) / 10000.0
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
 
@@ -214,7 +227,7 @@ def sql_agg_groupby() -> str:
         "FLOOR(SUM(l_quantity) + 0.5) AS sum_qty, "
         "FLOOR(SUM(l_extendedprice) + 0.5) AS sum_base_price, "
         "FLOOR(SUM(l_extendedprice * (1.0 - l_discount)) + 0.5) AS sum_disc_price, "
-        "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+        "FLOOR(AVG(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty, "
         "COUNT(*) AS n_rows "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus"
@@ -323,10 +336,7 @@ def q_knn(sf_dir: str):
     from buteo_ray.stages.knn import knn_broadcast
 
     ds = _docs(sf_dir, columns=["doc_id"])
-    qids = ds.map_batches(
-        lambda t: t.filter(np.equal(t["doc_id"].to_numpy() % 101, 0)),
-        batch_format="pyarrow", batch_size=None,
-    ).to_pandas()["doc_id"].to_numpy()
+    qids = _sample_rows(ds, "doc_id", 101)["doc_id"].to_numpy()
     qlat, qlon = hash_coords_from_ids(qids)
     out = knn_broadcast(geocode(ds), qids, qlat, qlon, k=5, metric="planar2")
     return out.select_columns(["query_id", "neighbor_id", "dist"])
@@ -542,10 +552,7 @@ def q_ann_topk(sf_dir: str):
     from buteo_ray.stages.ann import ann_cosine_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qdf = emb.map_batches(
-        lambda t: t.filter(np.equal(t["vec_id"].to_numpy() % 97, 0)),
-        batch_format="pyarrow", batch_size=None,
-    ).to_pandas()
+    qdf = _sample_rows(emb, "vec_id", 97)
     qids = qdf["vec_id"].to_numpy()
     qvecs = np.stack(qdf["embedding"].to_numpy())
     out = ann_cosine_topk(emb, qids, qvecs, k=5)
@@ -570,26 +577,15 @@ def sql_ann_topk() -> str:
 # ---------------------------------------------------------------- streaming-shaped
 
 def q_window_agg(sf_dir: str):
-    """Tumbling 1-hour window aggregate over the events log (Ray-Data
-    re-expression of stream windowing: window id = epoch_us // 3.6e9)."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1-hour window aggregate over the events log — drives the
+    shared :func:`tumbling_window` operator (window id = epoch // width,
+    unit-aware), not a re-implementation."""
+    from buteo_ray.stages.streaming import tumbling_window
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-
-    def _win(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.int64()).to_numpy()
-        return pa.table({
-            "event_type": t["event_type"],
-            "hour_id": us // 3_600_000_000,
-            "value": t["value"],
-        })
-
-    out = (
-        ds.map_batches(_win, batch_format="pyarrow", batch_size=None)
-        .groupby(["event_type", "hour_id"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    out = tumbling_window(ds, ts_col="ts", window="1h",
+                          keys=["event_type"]).to_pandas()
+    out = out.rename(columns={"window_id": "hour_id"})
     out["sum_value"] = np.floor(out["sum_value"] * 10000.0 + 0.5) / 10000.0
     out["n_events"] = out["n_events"].astype("int64")
     return out
@@ -1117,7 +1113,7 @@ def sql_embed_centroids_flat() -> str:
     # DuckDB 1.0 lacks WITH ORDINALITY — pair the list with its index via
     # a generate_series lateral join (embedding dim = 64).
     return (
-        "SELECT label, CAST(gs.d AS BIGINT) AS dim, "
+        "SELECT CAST(label AS BIGINT) AS label, CAST(gs.d AS BIGINT) AS dim, "
         "FLOOR(AVG(CAST(embedding[gs.d + 1] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 "
         "AS centroid "
         "FROM embeddings, generate_series(0, 63) AS gs(d) "
@@ -1135,12 +1131,7 @@ def q_knn_cells(sf_dir: str):
     from buteo_ray.stages.knn import knn_cells_exact
 
     ds = _docs(sf_dir, columns=["doc_id"])
-    # Distributed filter for the query ids — only the tiny filtered set
-    # reaches the driver (never the corpus itself).
-    qids = ds.map_batches(
-        lambda t: t.filter(np.equal(t["doc_id"].to_numpy() % 101, 0)),
-        batch_format="pyarrow", batch_size=None,
-    ).to_pandas()["doc_id"].to_numpy()
+    qids = _sample_rows(ds, "doc_id", 101)["doc_id"].to_numpy()
     qlat, qlon = hash_coords_from_ids(qids)
     out = knn_cells_exact(geocode(ds), qids, qlat, qlon, k=5, res=4, ring=2)
     return out.select_columns(["query_id", "neighbor_id", "dist"])
@@ -1195,10 +1186,7 @@ def q_ann_lsh_topk(sf_dir: str):
     from buteo_ray.stages.ann import ann_lsh_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qdf = emb.map_batches(
-        lambda t: t.filter(np.equal(t["vec_id"].to_numpy() % 97, 0)),
-        batch_format="pyarrow", batch_size=None,
-    ).to_pandas()
+    qdf = _sample_rows(emb, "vec_id", 97)
     qids = qdf["vec_id"].to_numpy()
     qvecs = np.stack(qdf["embedding"].to_numpy())
     out = ann_lsh_topk(emb, qids, qvecs, k=5, nbits=8, n_tables=4, probe_bits=2)
@@ -1261,10 +1249,8 @@ def q_line_bbox_join(sf_dir: str):
     from buteo_ray.stages.geocode import hash_coords_from_ids
 
     docs = geocode(_docs(sf_dir, columns=["doc_id"]))
-    line_ids = _docs(sf_dir, columns=["doc_id"]).map_batches(
-        lambda t: t.filter(np.equal(t["doc_id"].to_numpy() % 20, 0)),
-        batch_format="pyarrow", batch_size=None,
-    ).to_pandas()["doc_id"].to_numpy()
+    line_ids = _sample_rows(_docs(sf_dir, columns=["doc_id"]),
+                            "doc_id", 20)["doc_id"].to_numpy()
     # Round-trip every line through the WKB codec; its bbox drives the join.
     wkbs = []
     for i in line_ids:
@@ -1342,59 +1328,78 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "histogram": q_histogram,
     "asof_join": q_asof_join,
     "line_bbox_join": q_line_bbox_join,
-    # rows-only (no SQL oracle; pytest-verified instead)
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "simhash": q_simhash,
     "lang_pred": q_lang_pred,
     "knn_cells": q_knn_cells,
     "pip_join_poly": q_pip_join_poly,
-    "embed_centroids": q_embed_centroids,
     "embed_centroids_flat": q_embed_centroids_flat,
     "jaccard_pairs": q_jaccard_pairs,
+    # rows-only from here down (no ORACLE_SQL entry; each is
+    # pytest-verified against a brute-force/parity oracle instead)
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "simhash": q_simhash,
+    "embed_centroids": q_embed_centroids,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
     "coregister": q_coregister,
 }
 
-ORACLE_SQL: Dict[str, str] = {
-    "geocode_cells": sql_geocode_cells(),
-    "pip_join_bbox": sql_pip_join_bbox(),
-    "pip_semi_join": sql_pip_semi_join(),
-    "pip_anti_join": sql_pip_anti_join(),
-    "tile_assign": sql_tile_assign(),
-    "filter_project": sql_filter_project(),
-    "agg_groupby": sql_agg_groupby(),
-    "join_broadcast": sql_join_broadcast(),
-    "sort_topk": sql_sort_topk(),
-    "distinct": sql_distinct(),
-    "union_all": sql_union_all(),
-    "knn": sql_knn(),
+# Builders, not strings: sql_pip_join_poly() alone synthesises 1000
+# polygons into a ~1.9 MB VALUES literal — building all oracles eagerly
+# cost ~0.6 s in EVERY importing process (bench, tests, Ray workers
+# unpickling query closures). The dict is materialized lazily via the
+# module-level __getattr__ below, so `from ... import ORACLE_SQL` still
+# works and pays only at first use.
+_ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
+    "geocode_cells": sql_geocode_cells,
+    "pip_join_bbox": sql_pip_join_bbox,
+    "pip_semi_join": sql_pip_semi_join,
+    "pip_anti_join": sql_pip_anti_join,
+    "tile_assign": sql_tile_assign,
+    "filter_project": sql_filter_project,
+    "agg_groupby": sql_agg_groupby,
+    "join_broadcast": sql_join_broadcast,
+    "sort_topk": sql_sort_topk,
+    "distinct": sql_distinct,
+    "union_all": sql_union_all,
+    "knn": sql_knn,
     # knn_cells_exact is certificate-verified equal to brute force, so it
     # shares the brute-force kNN oracle.
-    "knn_cells": sql_knn(),
-    "zonal_stats": sql_zonal_stats(),
-    "zonal_stats_full": sql_zonal_stats_full(),
-    "dissolve_bbox": sql_dissolve_bbox(),
-    "explode_tokens": sql_explode_tokens(),
-    "text_stats": sql_text_stats(),
-    "dedup_exact": sql_dedup_exact(),
-    "ann_topk": sql_ann_topk(),
-    "window_agg": sql_window_agg(),
-    "add_field": sql_add_field(),
-    "rasterize_count": sql_rasterize_count(),
-    "sessionize": sql_sessionize(),
-    "join_multiway": sql_join_multiway(),
-    "scale_minmax": sql_scale_minmax(),
-    "topk_per_group": sql_topk_per_group(),
-    "filter_agg": sql_filter_agg(),
-    "count_distinct": sql_count_distinct(),
-    "string_ops": sql_string_ops(),
-    "median_by_group": sql_median_by_group(),
-    "histogram": sql_histogram(),
-    "asof_join": sql_asof_join(),
-    "line_bbox_join": sql_line_bbox_join(),
-    "lang_pred": sql_lang_pred(),
-    "pip_join_poly": sql_pip_join_poly(),
-    "embed_centroids_flat": sql_embed_centroids_flat(),
-    "jaccard_pairs": sql_jaccard_pairs(),
+    "knn_cells": sql_knn,
+    "zonal_stats": sql_zonal_stats,
+    "zonal_stats_full": sql_zonal_stats_full,
+    "dissolve_bbox": sql_dissolve_bbox,
+    "explode_tokens": sql_explode_tokens,
+    "text_stats": sql_text_stats,
+    "dedup_exact": sql_dedup_exact,
+    "ann_topk": sql_ann_topk,
+    "window_agg": sql_window_agg,
+    "add_field": sql_add_field,
+    "rasterize_count": sql_rasterize_count,
+    "sessionize": sql_sessionize,
+    "join_multiway": sql_join_multiway,
+    "scale_minmax": sql_scale_minmax,
+    "topk_per_group": sql_topk_per_group,
+    "filter_agg": sql_filter_agg,
+    "count_distinct": sql_count_distinct,
+    "string_ops": sql_string_ops,
+    "median_by_group": sql_median_by_group,
+    "histogram": sql_histogram,
+    "asof_join": sql_asof_join,
+    "line_bbox_join": sql_line_bbox_join,
+    "lang_pred": sql_lang_pred,
+    "pip_join_poly": sql_pip_join_poly,
+    "embed_centroids_flat": sql_embed_centroids_flat,
+    "jaccard_pairs": sql_jaccard_pairs,
 }
+
+_oracle_cache: Optional[Dict[str, str]] = None
+
+
+def __getattr__(name: str):
+    """PEP 562 lazy attribute: materialize ORACLE_SQL on first access."""
+    if name == "ORACLE_SQL":
+        global _oracle_cache
+        if _oracle_cache is None:
+            _oracle_cache = {k: fn() for k, fn in _ORACLE_BUILDERS.items()}
+        return _oracle_cache
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
