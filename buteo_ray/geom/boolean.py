@@ -217,13 +217,17 @@ def _stitch_rings(P0: np.ndarray, P1: np.ndarray, tol: float) -> List[np.ndarray
             for (nxt, j) in out_edges.get(head, []):
                 if (head, nxt) in used or (head, nxt) in local_used:
                     continue
+                if nxt == cur[0]:
+                    # The reverse directed edge (welded keys make it
+                    # geometrically identical) — never U-turn onto it;
+                    # a structural check, the angle wrap maps an exact
+                    # reverse to -pi and an angle guard would miss it.
+                    continue
                 d_out = P1[j] - P0[j]
                 # CCW rotation from incoming heading, in (-pi, pi];
                 # maximal value = sharpest left turn.
                 ang = np.arctan2(d_out[1], d_out[0]) - ang_in
                 ang = (ang + np.pi) % (2 * np.pi) - np.pi
-                if abs(ang - np.pi) < 1e-12:
-                    continue  # never U-turn onto the reverse edge
                 if best is None or ang > best_ang:
                     best, best_ang = (head, nxt, j), ang
             if best is None:

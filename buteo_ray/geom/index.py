@@ -149,22 +149,39 @@ class GridIndex:
     def query_bbox(
         self, qxmin: float, qxmax: float, qymin: float, qymax: float
     ) -> np.ndarray:
-        """Geometry ids whose bbox intersects the query bbox."""
+        """Geometry ids whose bbox intersects the query bbox.
+
+        Work is bounded by the cells PRESENT in the index, never by the
+        query area — a whole-world query against a fine-resolution index
+        must not enumerate (2^res)^2 candidate cells. Keys sort by
+        (cy, cx), so each present cell row is one contiguous key range.
+        """
+        if self._unique_keys.shape[0] == 0:
+            return np.empty(0, dtype=np.int64)
         x0, y0 = cell_xy(np.float64(qymin), np.float64(qxmin), self.res)
         x1, y1 = cell_xy(np.float64(qymax), np.float64(qxmax), self.res)
-        cxs = np.arange(int(x0), int(x1) + 1, dtype=np.int64)
-        cys = np.arange(int(y0), int(y1) + 1, dtype=np.int64)
-        gx, gy = np.meshgrid(cxs, cys)
-        keys = (gy.ravel() << np.int64(32)) | gx.ravel()
-        pos = np.searchsorted(self._unique_keys, keys)
-        valid = pos < self._unique_keys.shape[0]
-        pos = pos[valid]
-        match = self._unique_keys[pos] == keys[valid]
-        pos = pos[match]
-        if pos.size == 0:
+        x0, x1 = int(min(x0, x1)), int(max(x0, x1))
+        y0, y1 = int(min(y0, y1)), int(max(y0, y1))
+        all_cy = self._unique_keys >> np.int64(32)
+        row_lo = int(np.searchsorted(all_cy, y0, side="left"))
+        row_hi = int(np.searchsorted(all_cy, y1, side="right"))
+        if row_lo >= row_hi:
             return np.empty(0, dtype=np.int64)
-        parts = [self._geom_sorted[self._starts[p]:self._starts[p + 1]] for p in pos]
-        cand = np.unique(np.concatenate(parts))
+        cys = np.unique(all_cy[row_lo:row_hi])
+        lo = np.searchsorted(self._unique_keys, (cys << np.int64(32)) | np.int64(x0))
+        hi = np.searchsorted(
+            self._unique_keys, (cys << np.int64(32)) | np.int64(x1), side="right")
+        counts = hi - lo
+        keep_rows = counts > 0
+        lo, counts = lo[keep_rows], counts[keep_rows]
+        if lo.size == 0:
+            return np.empty(0, dtype=np.int64)
+        block_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.repeat(lo, counts) + (
+            np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(block_starts, counts))
+        _, flat = csr_probe(self._unique_keys, self._starts, self._unique_keys[pos])
+        cand = np.unique(self._geom_sorted[flat])
         xmin, xmax, ymin, ymax = self.bbox
         keep = (xmax[cand] >= qxmin) & (xmin[cand] <= qxmax) & \
                (ymax[cand] >= qymin) & (ymin[cand] <= qymax)

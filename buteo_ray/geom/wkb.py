@@ -65,6 +65,10 @@ def wkb_point(x: float, y: float, *extra: float, dims: str = None) -> bytes:
 
 def _pointseq_bytes(pts: np.ndarray, ndim: int, min_pts: int) -> bytes:
     pts = np.ascontiguousarray(np.asarray(pts, dtype="<f8"))
+    if pts.size == 0:
+        # ISO allows empty sequences ('LINESTRING EMPTY' parses as n=0);
+        # the parser accepts them, so parse→encode must round-trip.
+        return struct.pack("<I", 0)
     if pts.ndim != 2 or pts.shape[1] != ndim or pts.shape[0] < min_pts:
         raise ValueError(f"point sequence must be (N>={min_pts}, {ndim})")
     return struct.pack("<I", pts.shape[0]) + pts.tobytes()
@@ -245,13 +249,16 @@ def geom_vertices(kind: str, payload) -> np.ndarray:
     if kind == "point":
         return np.array([payload], dtype=np.float64)
     if kind in ("linestring", "multipoint"):
-        return np.asarray(payload, dtype=np.float64)
+        pts = np.asarray(payload, dtype=np.float64)
+        return pts if pts.size else np.zeros((0, 2))
     if kind == "multilinestring":
         return np.vstack(payload) if payload else np.zeros((0, 2))
     if kind == "polygon":
-        return np.vstack(payload)
+        # nrings=0 is valid ISO ('POLYGON EMPTY') — vstack([]) would raise.
+        return np.vstack(payload) if payload else np.zeros((0, 2))
     if kind == "multipolygon":
-        return np.vstack([r for rings in payload for r in rings])
+        flat = [r for rings in payload for r in rings]
+        return np.vstack(flat) if flat else np.zeros((0, 2))
     if kind == "geometrycollection":
         # Members may mix dimensionality — vertices are reported XY-only.
         parts = [geom_vertices(m[0], m[1])[:, :2] for m in payload]

@@ -33,6 +33,14 @@ def compute_patch_positions(
     step = patch_size - overlap
     if step <= 0:
         raise ValueError("Overlap must be smaller than patch size.")
+    if border_strategy == 2 and patch_size > length:
+        # Shifting the last patch back would go negative; the reference's
+        # GDAL windowed read fails loudly on negative offsets — match that
+        # with a clear error instead of emitting a corrupt position.
+        raise ValueError(
+            f"border_strategy=2 needs patch_size <= axis length "
+            f"(patch_size={patch_size}, length={length})"
+        )
 
     pos = 0
     while pos < length:

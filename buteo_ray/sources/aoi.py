@@ -6,9 +6,11 @@ Two flavours:
 
 - :func:`synth_aoi_rects` — axis-aligned rectangles whose corner math is
   SQL-expressible (bbox containment joins checked by DuckDB),
-- :func:`synth_aoi_polygons` — convex polygons (5-12 vertices) with WKB
-  geometry + bbox columns, for the exact point-in-polygon / predicate
-  joins (checked by a brute-force oracle in pytest).
+- :func:`synth_aoi_polygons` — simple star-shaped polygons (5-12
+  vertices; generally NON-convex, so not valid clip rings for the
+  convex-only fast paths) with WKB geometry + bbox columns, for the
+  exact point-in-polygon / predicate joins (checked by a brute-force
+  oracle in pytest).
 """
 
 from __future__ import annotations
@@ -58,10 +60,10 @@ def aoi_rect_sql_cte(n: int) -> str:
 
 
 def synth_aoi_polygons(n: int, include_hot: bool = True) -> pa.Table:
-    """n deterministic convex polygons with WKB + bbox columns.
+    """n deterministic simple star-shaped polygons with WKB + bbox columns.
 
-    Construction: a seeded center + radial vertices (5-12, sorted by
-    angle → simple star polygon). ~10% of polygons sit in the geocoder's
+    Construction: a seeded center + varying-radius radial vertices (5-12,
+    sorted by angle → simple star polygon, usually non-convex). ~10% of polygons sit in the geocoder's
     hot cluster (when ``include_hot``) so PiP joins hit the skewed cells
     — page-side skew (30% of pages in one ~2° cell) is what stresses the
     partitioning; the polygon side stays realistically sparse (most

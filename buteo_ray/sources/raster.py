@@ -24,6 +24,31 @@ from buteo_ray.grid.offsets import get_patch_offsets_fixed_size
 from buteo_ray.stages.tiling import GridSpec
 
 
+TILE_COLUMNS = ("raster_id", "tile_x", "tile_y", "x_off", "y_off",
+                "width", "height", "bands", "halo", "dtype", "nodata", "data")
+
+
+def new_tile_rows() -> dict:
+    """Empty column-list dict in the canonical tile-row schema order."""
+    return {k: [] for k in TILE_COLUMNS}
+
+
+def append_tile_row(rows: dict, raster_id: str, tile_x: int, tile_y: int,
+                    x0: int, y0: int, tw: int, th: int, bands: int, halo: int,
+                    dtype: str, nodata: float, data: bytes) -> None:
+    """Append one tile row — the single place the 12-column schema is
+    spelled out, so constructors can't drift from each other."""
+    for k, v in zip(TILE_COLUMNS, (raster_id, tile_x, tile_y, x0, y0, tw, th,
+                                   bands, halo, dtype, nodata, data)):
+        rows[k].append(v)
+
+
+def tile_rows_table(rows: dict) -> pa.Table:
+    """Column-list dict → Arrow table (data column forced to binary)."""
+    return pa.table({**{k: rows[k] for k in TILE_COLUMNS if k != "data"},
+                     "data": pa.array(rows["data"], type=pa.binary())})
+
+
 def _tile_rows(arr: np.ndarray, raster_id: str, tile_size: int, halo: int,
                border_strategy: int, nodata: Optional[float]) -> pa.Table:
     if arr.ndim == 2:
@@ -38,8 +63,7 @@ def _tile_rows(arr: np.ndarray, raster_id: str, tile_size: int, halo: int,
     ys_positions = sorted({o[1] for o in offsets})
     x_index = {x: i for i, x in enumerate(xs_positions)}
     y_index = {y: i for i, y in enumerate(ys_positions)}
-    rows = {k: [] for k in ("raster_id", "tile_x", "tile_y", "x_off", "y_off",
-                            "width", "height", "bands", "halo", "dtype", "nodata", "data")}
+    rows = new_tile_rows()
     for (x0, y0, tw, th) in offsets:
         ys = max(y0 - halo, 0)
         ye = min(y0 + th + halo, h)
@@ -52,22 +76,11 @@ def _tile_rows(arr: np.ndarray, raster_id: str, tile_size: int, halo: int,
             pad_lef = halo - (x0 - xs)
             pad_rig = halo - (xe - (x0 + tw))
             block = np.pad(block, ((pad_top, pad_bot), (pad_lef, pad_rig), (0, 0)), mode="edge")
-        rows["raster_id"].append(raster_id)
-        rows["tile_x"].append(x_index[x0])
-        rows["tile_y"].append(y_index[y0])
-        rows["x_off"].append(x0)
-        rows["y_off"].append(y0)
-        rows["width"].append(tw)
-        rows["height"].append(th)
-        rows["bands"].append(bands)
-        rows["halo"].append(halo)
-        rows["dtype"].append(str(arr.dtype))
-        rows["nodata"].append(np.nan if nodata is None else float(nodata))
-        rows["data"].append(np.ascontiguousarray(block).tobytes())
-    return pa.table({
-        **{k: rows[k] for k in rows if k != "data"},
-        "data": pa.array(rows["data"], type=pa.binary()),
-    })
+        append_tile_row(rows, raster_id, x_index[x0], y_index[y0], x0, y0,
+                        tw, th, bands, halo, str(arr.dtype),
+                        np.nan if nodata is None else float(nodata),
+                        np.ascontiguousarray(block).tobytes())
+    return tile_rows_table(rows)
 
 
 def raster_from_array(
@@ -103,24 +116,15 @@ def raster_create_empty(
     base = rd.from_pandas(meta)
 
     def _fill(batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in ("raster_id", "tile_x", "tile_y", "x_off", "y_off",
-                               "width", "height", "bands", "halo", "dtype", "nodata", "data")}
+        out = new_tile_rows()
         for x0, y0, tw, th in zip(batch["x_off"].to_pylist(), batch["y_off"].to_pylist(),
                                   batch["width"].to_pylist(), batch["height"].to_pylist()):
-            out["raster_id"].append(raster_id)
-            out["tile_x"].append(x0 // tile_size)
-            out["tile_y"].append(y0 // tile_size)
-            out["x_off"].append(x0)
-            out["y_off"].append(y0)
-            out["width"].append(tw)
-            out["height"].append(th)
-            out["bands"].append(bands)
-            out["halo"].append(0)
-            out["dtype"].append(dtype)
-            out["nodata"].append(np.nan)
-            out["data"].append(np.full((th, tw, bands), value, dtype=dtype).tobytes())
-        return pa.table({**{k: out[k] for k in out if k != "data"},
-                         "data": pa.array(out["data"], type=pa.binary())})
+            # Floor-division tile ids are safe here: the grid is always cut
+            # with border strategy 3, so positions are multiples of tile_size.
+            append_tile_row(out, raster_id, x0 // tile_size, y0 // tile_size,
+                            x0, y0, tw, th, bands, 0, dtype, np.nan,
+                            np.full((th, tw, bands), value, dtype=dtype).tobytes())
+        return tile_rows_table(out)
 
     return base.map_batches(_fill, batch_format="pyarrow", batch_size=None)
 
@@ -144,7 +148,9 @@ def raster_to_array(ds, raster_id: Optional[str] = None,
     w = int((tbl["x_off"] + tbl["width"]).max())
     bands = int(tbl["bands"].iloc[0])
     dtype = np.dtype(tbl["dtype"].iloc[0])
-    out = np.full((h, w, bands), background, dtype=np.float64)
+    # Assemble IN the source dtype — staging through float64 would
+    # silently round int64/uint64 pixel values above 2^53.
+    out = np.zeros((h, w, bands), dtype=dtype)
     covered = np.zeros((h, w), dtype=bool)
     for _, row in tbl.iterrows():
         block = tile_to_ndarray(row)
@@ -155,14 +161,18 @@ def raster_to_array(ds, raster_id: Optional[str] = None,
         covered[row["y_off"]:row["y_off"] + row["height"],
                 row["x_off"]:row["x_off"] + row["width"]] = True
     if not np.isnan(background):
-        return out.astype(dtype)
+        if not covered.all():
+            out[~covered] = np.asarray(background).astype(dtype)
+        return out
     # Default NaN background: keep the SOURCE dtype when tiles fully
     # cover the extent (a uint8 raster must not silently come back 8×
     # wider as float64); only an actually-sparse layout needs the float
     # NaN representation.
     if covered.all():
-        return out.astype(dtype)
-    return out
+        return out
+    fout = out.astype(np.float64)
+    fout[~covered] = np.nan
+    return fout
 
 
 def map_tiles(ds, fn: Callable[[np.ndarray, dict], np.ndarray],
@@ -238,8 +248,13 @@ def raster_stack(ds_a, ds_b):
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("__side", kind="stable")
-        if len(g) != 2:
-            raise ValueError("raster_stack: tile present on only one side")
+        # Exactly one row PER SIDE — len==2 alone would accept a same-side
+        # duplicate (e.g. a multi-raster dataset sharing the tile grid)
+        # and silently stack a tile with its sibling.
+        if len(g) != 2 or sorted(g["__side"].tolist()) != [0, 1]:
+            raise ValueError(
+                "raster_stack: each tile key must appear exactly once per "
+                f"side, got sides {g['__side'].tolist()}")
         arrs = [tile_to_ndarray(row) for _, row in g.iterrows()]
         stacked = np.concatenate(arrs, axis=2)
         out = g.iloc[[0]].drop(columns="__side").copy()
@@ -372,28 +387,17 @@ def coordinate_grid_raster(grid: GridSpec, tile_size: Optional[int] = None):
     })
 
     def _fill(batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in ("raster_id", "tile_x", "tile_y", "x_off", "y_off",
-                               "width", "height", "bands", "halo", "dtype", "nodata", "data")}
+        out = new_tile_rows()
         for x0, y0, tw, th in zip(batch["x_off"].to_pylist(), batch["y_off"].to_pylist(),
                                   batch["width"].to_pylist(), batch["height"].to_pylist()):
             xs = grid.origin_x + (x0 + np.arange(tw) + 0.5) * grid.pixel_width
             ys = grid.origin_y + (y0 + np.arange(th) + 0.5) * grid.pixel_height
             gx, gy = np.meshgrid(xs, ys)
             block = np.stack([gx, gy], axis=-1)
-            out["raster_id"].append("coords")
-            out["tile_x"].append(x0 // ts)
-            out["tile_y"].append(y0 // ts)
-            out["x_off"].append(x0)
-            out["y_off"].append(y0)
-            out["width"].append(tw)
-            out["height"].append(th)
-            out["bands"].append(2)
-            out["halo"].append(0)
-            out["dtype"].append("float64")
-            out["nodata"].append(np.nan)
-            out["data"].append(np.ascontiguousarray(block).tobytes())
-        return pa.table({**{k: out[k] for k in out if k != "data"},
-                         "data": pa.array(out["data"], type=pa.binary())})
+            append_tile_row(out, "coords", x0 // ts, y0 // ts, x0, y0, tw, th,
+                            2, 0, "float64", np.nan,
+                            np.ascontiguousarray(block).tobytes())
+        return tile_rows_table(out)
 
     return rd.from_pandas(meta).map_batches(_fill, batch_format="pyarrow", batch_size=None)
 

@@ -962,3 +962,98 @@ def test_estimate_bytes_counts_shared_leaf_per_path(ray_session):
         src.map_batches(_ident, batch_format="pyarrow", batch_size=None))
     assert one > 0
     assert estimate_bytes(both) == 2 * one
+
+
+def test_strategy2_patch_larger_than_axis_raises():
+    """border_strategy=2 with patch > axis must fail loudly, not emit a
+    negative start that silently corrupts downstream tiles."""
+    from buteo_ray.grid.offsets import compute_patch_positions
+    from buteo_ray.sources.raster import raster_from_array
+
+    with pytest.raises(ValueError, match="border_strategy=2"):
+        compute_patch_positions(100, 256, 0, 2)
+    with pytest.raises(ValueError, match="border_strategy=2"):
+        raster_from_array(np.zeros((100, 100), dtype=np.float32),
+                          tile_size=256, border_strategy=2)
+    # Strategies 1 and 3 keep their defined semantics on short axes.
+    assert compute_patch_positions(100, 256, 0, 1) == []
+    assert compute_patch_positions(100, 256, 0, 3) == [0]
+
+
+def test_empty_geometry_bbox_and_roundtrip():
+    """ISO 'POLYGON EMPTY' / 'LINESTRING EMPTY' parse, bbox to NaN, and
+    re-encode without raising."""
+    import struct
+
+    from buteo_ray.geom.wkb import encode_geom, geom_bbox, parse_wkb_dims
+
+    poly_empty = struct.pack("<BII", 1, 3, 0)
+    line_empty = struct.pack("<BII", 1, 2, 0)
+    mpoly_empty = struct.pack("<BII", 1, 6, 0)
+    for wkb in (poly_empty, line_empty, mpoly_empty):
+        assert all(np.isnan(v) for v in geom_bbox(wkb))
+        kind, payload, dims = parse_wkb_dims(wkb)
+        out = encode_geom(kind, payload, dims)
+        kind2, payload2, dims2 = parse_wkb_dims(out)
+        assert kind2 == kind and dims2 == dims
+
+
+def test_raster_stack_same_side_duplicate_raises(ray_session):
+    """Two rasters on one side sharing a tile key must not silently stack
+    with each other when the other side lacks the tile."""
+    from buteo_ray.sources.raster import raster_from_array, raster_stack
+
+    a1 = raster_from_array(np.zeros((64, 64), dtype=np.float32), raster_id="a1",
+                           tile_size=64)
+    a2 = raster_from_array(np.ones((64, 64), dtype=np.float32), raster_id="a2",
+                           tile_size=64)
+    # b tiles at (0,0) and (1,0); drop (0,0) so the a-side pair is alone.
+    b = raster_from_array(np.zeros((64, 128), dtype=np.float32), raster_id="b",
+                          tile_size=64).filter(lambda r: r["tile_x"] == 1)
+    with pytest.raises(Exception, match="per side"):
+        raster_stack(a1.union(a2), b).to_pandas()
+
+
+def test_query_bbox_world_query_on_point_index():
+    """A whole-extent query against a fine-resolution point index must be
+    bounded by index contents (the old meshgrid enumerated (2^24)^2 cells)."""
+    from buteo_ray.geom.index import GridIndex
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-170, 170, 500)
+    y = rng.uniform(-80, 80, 500)
+    idx = GridIndex(x, x, y, y)  # point bboxes -> auto res 24
+    assert idx.res == 24
+    got = idx.query_bbox(-180.0, 180.0, -90.0, 90.0)
+    assert set(got.tolist()) == set(range(500))
+    sub = idx.query_bbox(0.0, 50.0, 0.0, 50.0)
+    expect = np.nonzero((x >= 0) & (x <= 50) & (y >= 0) & (y <= 50))[0]
+    assert set(sub.tolist()) == set(expect.tolist())
+
+
+def test_raster_to_array_preserves_int64_above_2_53(ray_session):
+    """Round-trip of an int64 raster with values above 2^53 must be exact
+    (no float64 staging)."""
+    from buteo_ray.sources.raster import raster_from_array, raster_to_array
+
+    arr = (np.int64(2) ** 53 + np.arange(16, dtype=np.int64)).reshape(4, 4)
+    ds = raster_from_array(arr, tile_size=2)
+    out = raster_to_array(ds)
+    assert out.dtype == np.int64
+    np.testing.assert_array_equal(out[:, :, 0], arr)
+
+
+def test_stitch_rings_never_uturns_onto_reverse_edge():
+    """A pure out-and-back path must dangle (no ring), not retrace into a
+    zero-area ring; a genuine square still stitches."""
+    from buteo_ray.geom.boolean import _ring_signed_area, _stitch_rings
+
+    path = np.array([(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (1.0, 0.0)])
+    path_next = np.array([(1.0, 0.0), (2.0, 0.0), (1.0, 0.0), (0.0, 0.0)])
+    assert _stitch_rings(path, path_next, 1e-9) == []
+
+    sq = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+    sq_next = np.array([(1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])
+    rings = _stitch_rings(sq, sq_next, 1e-9)
+    assert len(rings) == 1
+    assert abs(_ring_signed_area(rings[0])) == pytest.approx(1.0)
