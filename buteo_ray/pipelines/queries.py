@@ -1090,6 +1090,39 @@ def sql_jaccard_pairs() -> str:
     )
 
 
+def q_cosine_dup_pairs(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (cos >= 0.4) over the
+    embeddings table — distributed all-pairs via block-pair replication
+    (stages/dedup.py::cosine_dup_pairs). Quantized-integer dots make the
+    cosine bit-identical to DuckDB's list_dot_product, so the threshold
+    cut and the reported similarity both hash-match."""
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import cosine_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = cosine_dup_pairs(emb, threshold=0.4).to_pandas()
+    out["cos_sim"] = np.floor(out["cos_sim"] * 1e4 + 0.5) / 1e4
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def sql_cosine_dup_pairs() -> str:
+    # CAST inside the lambda keeps the quantization in float64 (FLOAT
+    # arithmetic would diverge from the engine's astype(f64) path).
+    return (
+        "WITH q AS (SELECT vec_id, "
+        "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qe "
+        "FROM embeddings), "
+        "n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "floor(list_dot_product(a.qe, b.qe) / (a.nrm * b.nrm) * 10000 + 0.5) "
+        "/ 10000 AS cos_sim "
+        "FROM n a JOIN n b ON b.vec_id > a.vec_id "
+        "WHERE list_dot_product(a.qe, b.qe) / (a.nrm * b.nrm) >= 0.4"
+    )
+
+
 def q_embed_centroids_flat(sf_dir: str):
     """Per-label mean embedding, unnested to (label, dim, centroid) rows
     so the value-hash oracle applies (the list-valued sibling
@@ -1333,6 +1366,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pip_join_poly": q_pip_join_poly,
     "embed_centroids_flat": q_embed_centroids_flat,
     "jaccard_pairs": q_jaccard_pairs,
+    "cosine_dup_pairs": q_cosine_dup_pairs,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1390,6 +1424,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "pip_join_poly": sql_pip_join_poly,
     "embed_centroids_flat": sql_embed_centroids_flat,
     "jaccard_pairs": sql_jaccard_pairs,
+    "cosine_dup_pairs": sql_cosine_dup_pairs,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -420,6 +420,103 @@ def exact_jaccard_for_pairs(corpus_ds, pairs_ds, text_col: str = "text",
     return both.map_batches(_jac, batch_format="pyarrow", batch_size=None)
 
 
+def cosine_dup_pairs(
+    ds,
+    threshold: float = 0.4,
+    n_blocks: Optional[int] = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    quantized: bool = True,
+):
+    """Exact embedding-cosine near-duplicate pairs: every ``(id_a <
+    id_b)`` whose cosine similarity is ``>= threshold``.
+
+    Plan (fully distributed, no driver state): each row is assigned a
+    block ``b = splitmix64(id) % B`` and replicated to the ``B``
+    unordered block-pair keys containing ``b``; one ``groupby`` over
+    pair keys, then each group matmuls block ``i`` against block ``j``
+    (the triangle when ``i == j``). Per-task compute is O((N/B)²·D) and
+    the exchange is O(N·B) rows — the canonical exact all-pairs
+    block-join; ``B`` defaults to size-derived (≈√(2·tasks)). Exact
+    all-pairs is inherently quadratic — the approximate scale path is
+    :func:`buteo_ray.stages.ann.lsh_bucket_assign` bucketing with this
+    operator's scoring applied per bucket.
+
+    Cosines use the quantize-×1000 trick from ``stages/ann.py``:
+    integer-valued-double dots are order-independent exact, so the
+    threshold comparison is bit-identical to the DuckDB oracle.
+
+    Extends the reference's exact-unique dedup
+    (``/root/reference/buteo/array/patches/util.py:217-238``) to the
+    embedding domain. Returns Dataset[(id_a, id_b, cos_sim)]."""
+    from buteo_ray.stages.ann import _emb_matrix, quantize
+    from buteo_ray.state.skew import estimate_bytes
+
+    if n_blocks is None:
+        n_tasks = max(1, estimate_bytes(ds) // (64 << 20))
+        n_blocks = int(max(2, min(64, np.ceil(np.sqrt(2.0 * n_tasks)))))
+    B = int(n_blocks)
+
+    def _replicate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"pk": np.empty(0, np.int64),
+                             "blk": np.empty(0, np.int64),
+                             "id": np.empty(0, np.int64),
+                             "q": pa.array([], type=pa.list_(pa.float64()))})
+        e = _emb_matrix(batch, emb_col)
+        q = quantize(e) if quantized else e.astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = (_splitmix64(ids.view(np.uint64)) % np.uint64(B)).astype(np.int64)
+        qcol = pa.array(list(q), type=pa.list_(pa.float64()))
+        parts = []
+        for x in range(B):
+            i = np.minimum(blk, x)
+            j = np.maximum(blk, x)
+            parts.append(pa.table({"pk": i * B + j, "blk": blk,
+                                   "id": ids, "q": qcol}))
+        return pa.concat_tables(parts)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": np.empty(0, np.int64),
+                              "id_b": np.empty(0, np.int64),
+                              "cos_sim": np.empty(0, np.float64)})
+        pk = int(g["pk"].iloc[0])
+        i, j = pk // B, pk % B
+        if i == j:
+            sub = g[g["blk"] == i]
+            M = np.stack(sub["q"].to_numpy())
+            ids = sub["id"].to_numpy()
+            n = np.sqrt((M * M).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (M @ M.T) / (n[:, None] * n[None, :])
+            r, s = np.triu_indices(M.shape[0], 1)
+            keep = cos[r, s] >= threshold
+            r, s = r[keep], s[keep]
+            ia, ib = ids[r], ids[s]
+        else:
+            ga, gb = g[g["blk"] == i], g[g["blk"] == j]
+            if len(ga) == 0 or len(gb) == 0:
+                return empty
+            Ma, Mb = np.stack(ga["q"].to_numpy()), np.stack(gb["q"].to_numpy())
+            ia_all, ib_all = ga["id"].to_numpy(), gb["id"].to_numpy()
+            na = np.sqrt((Ma * Ma).sum(axis=1))
+            nb = np.sqrt((Mb * Mb).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (Ma @ Mb.T) / (na[:, None] * nb[None, :])
+            r, s = np.nonzero(cos >= threshold)
+            ia, ib = ia_all[r], ib_all[s]
+        sim = cos[r, s]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sim})
+
+    return (
+        ds.map_batches(_replicate, batch_format="pyarrow", batch_size=None)
+        .groupby("pk")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+
 def ngram_set(text: str, n: int = _SHINGLE) -> set:
     b = text.encode("utf-8")
     return {b[i:i + n] for i in range(max(len(b) - n + 1, 0))}

@@ -256,3 +256,39 @@ def test_knn_cells_exact_matches_broadcast_any_ring(ray_session, rng):
                .to_pandas().sort_values(["query_id", "neighbor_id"])
                .reset_index(drop=True)[["query_id", "neighbor_id", "dist"]])
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_cosine_dup_pairs_matches_brute(ray_session_module):
+    """Block-pair exact all-pairs == brute-force numpy, and the result is
+    invariant to the block count (each unordered pair scored exactly once
+    regardless of partitioning)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import cosine_dup_pairs
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 16
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    # Plant near-dups: rows 0..9 get a slightly-perturbed twin.
+    base[10:20] = base[0:10] + rng.normal(scale=0.05, size=(10, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.tolist() for v in base]}))
+
+    q = np.floor(base.astype(np.float64) * 1000.0 + 0.5)
+    nrm = np.sqrt((q * q).sum(axis=1))
+    cos = (q @ q.T) / (nrm[:, None] * nrm[None, :])
+    r, s = np.triu_indices(n, 1)
+    keep = cos[r, s] >= 0.8
+    expect = sorted(zip(ids[r[keep]], ids[s[keep]], cos[r, s][keep]))
+    assert len(expect) >= 10  # the planted twins are all above 0.8
+
+    prev = None
+    for nb in (1, 3, 7):
+        got = cosine_dup_pairs(ds, threshold=0.8, n_blocks=nb).to_pandas()
+        got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        rows = list(zip(got["id_a"], got["id_b"], got["cos_sim"]))
+        assert rows == expect, f"n_blocks={nb}"
+        if prev is not None:
+            assert rows == prev
+        prev = rows
