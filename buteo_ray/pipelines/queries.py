@@ -1226,6 +1226,23 @@ def q_ann_lsh_topk(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "cos_sim"])
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-flat ANN search (the second scale path: driver-side spherical
+    k-means coarse quantizer on a bounded sample, broadcast centroids,
+    per-batch candidate scoring of nprobe-probed cells). Rows-only;
+    recall vs the exact path is measured in tests/test_knn_dedup_text.py."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import ann_ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = _sample_rows(emb, "vec_id", 97)
+    qids = qdf["vec_id"].to_numpy()
+    qvecs = np.stack(qdf["embedding"].to_numpy())
+    out = ann_ivf_topk(emb, qids, qvecs, k=5, n_centroids=16, nprobe=8)
+    return out.select_columns(["query_id", "neighbor_id", "cos_sim"])
+
+
 def q_dissolve_union(sf_dir: str):
     """Exact-union dissolve (≙ reference vector/dissolve.py true
     ST_Union): 0.5°-buffered squares around every 20th document's hash
@@ -1374,6 +1391,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embed_centroids": q_embed_centroids,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "coregister": q_coregister,
 }
 

@@ -270,6 +270,122 @@ def ann_lsh_topk(
     )
 
 
+def _spherical_kmeans(X: np.ndarray, k: int, iters: int = 10,
+                      seed: int = 13) -> np.ndarray:
+    """Deterministic spherical k-means (unit-norm centroids, cosine
+    assignment) on a driver-side sample. Pure numpy Lloyd iterations;
+    empty clusters are re-seeded to the currently worst-served point."""
+    rng = np.random.default_rng(seed)
+    norms = np.linalg.norm(X, axis=1)
+    Xn = X[norms > 0] / norms[norms > 0, None]
+    k = min(k, Xn.shape[0])
+    C = Xn[rng.choice(Xn.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        sims = Xn @ C.T
+        assign = sims.argmax(axis=1)
+        best = sims[np.arange(Xn.shape[0]), assign]
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, Xn)
+        counts = np.bincount(assign, minlength=k)
+        for c in np.nonzero(counts == 0)[0]:
+            newC[c] = Xn[best.argmin()]
+            best[best.argmin()] = 1.0
+        lens = np.linalg.norm(newC, axis=1)
+        lens[lens == 0] = 1.0
+        C = newC / lens[:, None]
+    return C
+
+
+def ann_ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    quantized: bool = True,
+):
+    """End-to-end IVF ANN search — the second scale path beside
+    :func:`ann_lsh_topk` (standard IVF-flat: coarse quantizer + inverted
+    lists, here realized as broadcast candidate masks instead of a
+    shuffle).
+
+    Train: a bounded driver-side sample (``ds.limit(train_sample)`` —
+    O(sample), never the corpus) fits ``n_centroids`` spherical-k-means
+    centroids, broadcast once via ``ray.put``. Search: queries probe
+    their ``nprobe`` nearest centroids; each corpus batch assigns its
+    rows to centroids with one matmul and scores ONLY rows whose
+    centroid is probed by some query (quantized-exact cosine, same
+    scoring/tie rule as the exact path), then a tiny ``groupby``
+    merges partial top-ks. No shuffle; per-batch work shrinks by
+    ~nprobe/n_centroids. Recall is measured in tests, not promised.
+    Returns Dataset[(query_id, neighbor_id, cos_sim)]."""
+    import ray
+
+    qid = np.asarray(query_ids, dtype=np.int64)
+    q = quantize(np.asarray(query_vecs)) if quantized else np.asarray(query_vecs, np.float64)
+    qnorm = np.sqrt((q * q).sum(axis=1))
+
+    sample = ds.limit(int(train_sample)).to_pandas()
+    S = np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col]])
+    C = _spherical_kmeans(S, n_centroids)
+
+    qn = np.where(qnorm > 0, qnorm, 1.0)
+    probe = np.argsort(-((q / qn[:, None]) @ C.T), axis=1, kind="stable")[:, :nprobe]
+    cent_to_q = [np.nonzero((probe == c).any(axis=1))[0] for c in range(C.shape[0])]
+    state_ref = ray.put((qid, q, qnorm, C, cent_to_q))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": np.empty(0, np.int64),
+                          "neighbor_id": np.empty(0, np.int64),
+                          "cos_sim": np.empty(0, np.float64)})
+        if batch.num_rows == 0:
+            return empty
+        qid_, q_, qnorm_, C_, c2q = ray.get(state_ref)
+        e = _emb_matrix(batch, emb_col)
+        e = quantize(e) if quantized else e.astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        enorm = np.sqrt((e * e).sum(axis=1))
+        en = np.where(enorm > 0, enorm, 1.0)
+        assign = ((e / en[:, None]) @ C_.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(assign):
+            qis = c2q[int(c)]
+            if qis.size == 0:
+                continue
+            rows = np.nonzero(assign == c)[0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (e[rows] @ q_[qis].T) / (enorm[rows, None] * qnorm_[qis][None, :])
+            cos = np.where(ids[rows][:, None] == qid_[qis][None, :], -np.inf, cos)
+            kk = min(k, rows.shape[0])
+            for col, qi in enumerate(qis):
+                order = np.lexsort((ids[rows], -cos[:, col]))[:kk]
+                sim = cos[order, col]
+                fin = np.isfinite(sim)
+                out_q.append(np.full(int(fin.sum()), qid_[qi]))
+                out_n.append(ids[rows][order[fin]])
+                out_s.append(sim[fin])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "cos_sim": np.concatenate(out_s),
+        })
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return _topk_merge(g, k)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
 def centroids_per_label(ds, emb_col: str = "embedding", label_col: str = "label"):
     """Per-label mean embedding via in-batch partial sums → tiny final
     groupby (the IVF coarse-quantizer builder; also the pattern for the
