@@ -63,9 +63,7 @@ def ann_cosine_topk(
 
     def _partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"query_id": np.empty(0, np.int64),
-                             "neighbor_id": np.empty(0, np.int64),
-                             "cos_sim": np.empty(0, np.float64)})
+            return pa.table(_EMPTY_TOPK)
         e = _emb_matrix(batch, emb_col)
         e = quantize(e) if quantized else e.astype(np.float64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -74,25 +72,9 @@ def ann_cosine_topk(
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = dots / (enorm[:, None] * qnorm[None, :])
         cos = np.where(ids[:, None] == qid[None, :], -np.inf, cos)
-        kk = min(k, cos.shape[0])
-        # Per-query (−cos, neighbor_id) lexsort: argpartition alone breaks
-        # similarity ties arbitrarily at the k boundary (quantized
-        # embeddings make exact ties likely) and would diverge from the
-        # deterministic neighbor_id tie rule the oracle uses.
-        rows_l, cols_l = [], []
-        for qi in range(cos.shape[1]):
-            order = np.lexsort((ids, -cos[:, qi]))[:kk]
-            rows_l.append(order)
-            cols_l.append(np.full(order.shape[0], qi))
-        rows = np.concatenate(rows_l)
-        cols = np.concatenate(cols_l)
-        sim = cos[rows, cols]
-        finite = np.isfinite(sim)
-        return pa.table({
-            "query_id": qid[cols[finite]],
-            "neighbor_id": ids[rows[finite]],
-            "cos_sim": sim[finite],
-        })
+        qcol, ncol, scol = _partial_topk_arrays(ids, cos, qid, k)
+        return pa.table({"query_id": qcol, "neighbor_id": ncol,
+                         "cos_sim": scol})
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return _topk_merge(g, k)
@@ -130,6 +112,36 @@ def _topk_merge(g: pd.DataFrame, k: int) -> pd.DataFrame:
     g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True],
                       kind="stable").head(k)
     return g.reset_index(drop=True)
+
+
+_EMPTY_TOPK = {"query_id": np.empty(0, np.int64),
+               "neighbor_id": np.empty(0, np.int64),
+               "cos_sim": np.empty(0, np.float64)}
+
+
+def _partial_topk_arrays(ids: np.ndarray, cos: np.ndarray,
+                         qids: np.ndarray, k: int):
+    """Per-query partial-top-k emit shared by the exact, LSH, and IVF
+    search paths: ``cos`` is (N, Q) with self-matches pre-masked to
+    -inf; per query, lexsort (cos desc, neighbor_id asc) — the
+    deterministic tie rule the DuckDB oracle uses — take k, drop
+    non-finite. ONE definition (like :func:`_topk_merge` on the merge
+    side) so a tie/self-match fix cannot leave a path diverging.
+    Returns (query_id, neighbor_id, cos_sim) arrays."""
+    kk = min(k, cos.shape[0])
+    out_q, out_n, out_s = [], [], []
+    for col in range(cos.shape[1]):
+        order = np.lexsort((ids, -cos[:, col]))[:kk]
+        sim = cos[order, col]
+        fin = np.isfinite(sim)
+        out_q.append(np.full(int(fin.sum()), qids[col]))
+        out_n.append(ids[order[fin]])
+        out_s.append(sim[fin])
+    if not out_q:
+        return (_EMPTY_TOPK["query_id"], _EMPTY_TOPK["neighbor_id"],
+                _EMPTY_TOPK["cos_sim"])
+    return (np.concatenate(out_q), np.concatenate(out_n),
+            np.concatenate(out_s))
 
 
 def lsh_bucket_assign(ds, nbits: int = 16, emb_col: str = "embedding",
@@ -217,11 +229,8 @@ def ann_lsh_topk(
     state_ref = ray.put((qid, q, qnorm, tables, bucket_to_q))
 
     def _partial(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"query_id": np.empty(0, np.int64),
-                          "neighbor_id": np.empty(0, np.int64),
-                          "cos_sim": np.empty(0, np.float64)})
         if batch.num_rows == 0:
-            return empty
+            return pa.table(_EMPTY_TOPK)
         qid_, q_, qnorm_, tables_, b2q = ray.get(state_ref)
         e = _emb_matrix(batch, emb_col)
         e = quantize(e) if quantized else e.astype(np.float64)
@@ -239,7 +248,7 @@ def ann_lsh_topk(
                 for qi in qis:
                     cand.setdefault(qi, set()).update(rows.tolist())
         if not cand:
-            return empty
+            return pa.table(_EMPTY_TOPK)
         enorm = np.sqrt((e * e).sum(axis=1))
         out_q, out_n, out_s = [], [], []
         for qi, rowset in cand.items():
@@ -247,13 +256,11 @@ def ann_lsh_topk(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (e[rows] @ q_[qi]) / (enorm[rows] * qnorm_[qi])
             cos = np.where(ids[rows] == qid_[qi], -np.inf, cos)
-            kk = min(k, rows.shape[0])
-            order = np.lexsort((ids[rows], -cos))[:kk]
-            sim = cos[order]
-            fin = np.isfinite(sim)
-            out_q.append(np.full(int(fin.sum()), qid_[qi]))
-            out_n.append(ids[rows][order[fin]])
-            out_s.append(sim[fin])
+            qc, nc, sc = _partial_topk_arrays(
+                ids[rows], cos[:, None], qid_[[qi]], k)
+            out_q.append(qc)
+            out_n.append(nc)
+            out_s.append(sc)
         return pa.table({
             "query_id": np.concatenate(out_q),
             "neighbor_id": np.concatenate(out_n),
@@ -279,6 +286,8 @@ def _spherical_kmeans(X: np.ndarray, k: int, iters: int = 10,
     norms = np.linalg.norm(X, axis=1)
     Xn = X[norms > 0] / norms[norms > 0, None]
     k = min(k, Xn.shape[0])
+    if k == 0:   # empty / all-zero-norm sample: no centroids to fit
+        return np.zeros((0, X.shape[1] if X.ndim == 2 else 1))
     C = Xn[rng.choice(Xn.shape[0], size=k, replace=False)]
     for _ in range(iters):
         sims = Xn @ C.T
@@ -313,9 +322,12 @@ def ann_ivf_topk(
     lists, here realized as broadcast candidate masks instead of a
     shuffle).
 
-    Train: a bounded driver-side sample (``ds.limit(train_sample)`` —
-    O(sample), never the corpus) fits ``n_centroids`` spherical-k-means
-    centroids, broadcast once via ``ray.put``. Search: queries probe
+    Train: a bounded driver-side sample — systematic over the WHOLE
+    corpus (keep ``splitmix64(id) % stride == 0`` with stride from the
+    leaf-metadata row count, then ``limit``), not a file-order prefix,
+    so a corpus ordered/clustered on disk still trains representative
+    centroids — fits ``n_centroids`` spherical-k-means centroids,
+    broadcast once via ``ray.put``. Search: queries probe
     their ``nprobe`` nearest centroids; each corpus batch assigns its
     rows to centroids with one matmul and scores ONLY rows whose
     centroid is probed by some query (quantized-exact cosine, same
@@ -329,22 +341,43 @@ def ann_ivf_topk(
     q = quantize(np.asarray(query_vecs)) if quantized else np.asarray(query_vecs, np.float64)
     qnorm = np.sqrt((q * q).sum(axis=1))
 
-    sample = ds.limit(int(train_sample)).to_pandas()
-    S = np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col]])
-    C = _spherical_kmeans(S, n_centroids)
+    from buteo_ray.stages.dedup import _splitmix64
+    from buteo_ray.state.skew import estimate_rows
 
-    qn = np.where(qnorm > 0, qnorm, 1.0)
-    probe = np.argsort(-((q / qn[:, None]) @ C.T), axis=1, kind="stable")[:, :nprobe]
-    cent_to_q = [np.nonzero((probe == c).any(axis=1))[0] for c in range(C.shape[0])]
+    n_est = estimate_rows(ds)
+    stride = max(1, n_est // int(train_sample)) if n_est else 1
+    samp_ds = ds
+    if stride > 1:
+        def _thin(batch: pa.Table) -> pa.Table:
+            ids_ = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (_splitmix64(ids_.view(np.uint64))
+                    % np.uint64(stride)) == 0
+            return batch.filter(pa.array(keep))
+        samp_ds = ds.map_batches(_thin, batch_format="pyarrow",
+                                 batch_size=None)
+    sample = samp_ds.limit(int(train_sample)).to_pandas()
+    if len(sample) == 0:
+        C = np.zeros((0, max(q.shape[1], 1)))
+    else:
+        S = np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col]])
+        C = _spherical_kmeans(S, n_centroids)
+
+    if C.shape[0] == 0:
+        cent_to_q = []
+    else:
+        qn = np.where(qnorm > 0, qnorm, 1.0)
+        probe = np.argsort(-((q / qn[:, None]) @ C.T), axis=1,
+                           kind="stable")[:, :nprobe]
+        cent_to_q = [np.nonzero((probe == c).any(axis=1))[0]
+                     for c in range(C.shape[0])]
     state_ref = ray.put((qid, q, qnorm, C, cent_to_q))
 
     def _partial(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"query_id": np.empty(0, np.int64),
-                          "neighbor_id": np.empty(0, np.int64),
-                          "cos_sim": np.empty(0, np.float64)})
         if batch.num_rows == 0:
-            return empty
+            return pa.table(_EMPTY_TOPK)
         qid_, q_, qnorm_, C_, c2q = ray.get(state_ref)
+        if C_.shape[0] == 0:   # empty corpus sample / all-zero norms
+            return pa.table(_EMPTY_TOPK)
         e = _emb_matrix(batch, emb_col)
         e = quantize(e) if quantized else e.astype(np.float64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -360,16 +393,12 @@ def ann_ivf_topk(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (e[rows] @ q_[qis].T) / (enorm[rows, None] * qnorm_[qis][None, :])
             cos = np.where(ids[rows][:, None] == qid_[qis][None, :], -np.inf, cos)
-            kk = min(k, rows.shape[0])
-            for col, qi in enumerate(qis):
-                order = np.lexsort((ids[rows], -cos[:, col]))[:kk]
-                sim = cos[order, col]
-                fin = np.isfinite(sim)
-                out_q.append(np.full(int(fin.sum()), qid_[qi]))
-                out_n.append(ids[rows][order[fin]])
-                out_s.append(sim[fin])
+            qc, nc, sc = _partial_topk_arrays(ids[rows], cos, qid_[qis], k)
+            out_q.append(qc)
+            out_n.append(nc)
+            out_s.append(sc)
         if not out_q:
-            return empty
+            return pa.table(_EMPTY_TOPK)
         return pa.table({
             "query_id": np.concatenate(out_q),
             "neighbor_id": np.concatenate(out_n),

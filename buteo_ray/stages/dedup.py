@@ -30,6 +30,8 @@ import pyarrow as pa
 
 _SHINGLE = 5
 _BINS = 64  # OPH bins = signature length
+_BLOCK_ROWS = 8192    # cosine_dup_pairs: target rows per block (N/B)
+_SCORE_CHUNK = 1024   # cosine_dup_pairs: rows per cos-matrix slab
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant (public)
 
 
@@ -427,6 +429,7 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     quantized: bool = True,
+    score_chunk: int = _SCORE_CHUNK,
 ):
     """Exact embedding-cosine near-duplicate pairs: every ``(id_a <
     id_b)`` whose cosine similarity is ``>= threshold``.
@@ -437,7 +440,9 @@ def cosine_dup_pairs(
     pair keys, then each group matmuls block ``i`` against block ``j``
     (the triangle when ``i == j``). Per-task compute is O((N/B)²·D) and
     the exchange is O(N·B) rows — the canonical exact all-pairs
-    block-join; ``B`` defaults to size-derived (≈√(2·tasks)). Exact
+    block-join; ``B`` defaults to row-derived (N/B ≈ 8k rows, estimated
+    from leaf metadata), and in-group scoring is chunked so cos-matrix
+    memory stays bounded even when a group is unexpectedly large. Exact
     all-pairs is inherently quadratic — the approximate scale path is
     :func:`buteo_ray.stages.ann.lsh_bucket_assign` bucketing with this
     operator's scoring applied per bucket.
@@ -450,11 +455,21 @@ def cosine_dup_pairs(
     (``/root/reference/buteo/array/patches/util.py:217-238``) to the
     embedding domain. Returns Dataset[(id_a, id_b, cos_sim)]."""
     from buteo_ray.stages.ann import _emb_matrix, quantize
-    from buteo_ray.state.skew import estimate_bytes
+    from buteo_ray.state.skew import estimate_bytes, estimate_rows
 
     if n_blocks is None:
-        n_tasks = max(1, estimate_bytes(ds) // (64 << 20))
-        n_blocks = int(max(2, min(64, np.ceil(np.sqrt(2.0 * n_tasks)))))
+        # Per-group memory is O((N/B)^2) pair math, so B must scale with
+        # ROWS (bound N/B near _BLOCK_ROWS), not with source bytes — a
+        # 13 MB / 50k-row table needs B≈7, which sqrt(bytes/64MB) would
+        # put at the floor. Falls back to the byte heuristic only when
+        # no leaf reports a row count.
+        n_rows = estimate_rows(ds)
+        if n_rows > 0:
+            n_blocks = -(-n_rows // _BLOCK_ROWS)
+        else:
+            n_tasks = max(1, estimate_bytes(ds) // (64 << 20))
+            n_blocks = np.ceil(np.sqrt(2.0 * n_tasks))
+        n_blocks = int(max(2, min(1024, n_blocks)))
     B = int(n_blocks)
 
     def _replicate(batch: pa.Table) -> pa.Table:
@@ -476,6 +491,31 @@ def cosine_dup_pairs(
                                    "id": ids, "q": qcol}))
         return pa.concat_tables(parts)
 
+    def _score(Ma, ia_all, Mb, ib_all, diagonal: bool):
+        """Chunked block scoring: cos-matrix memory is bounded at
+        _SCORE_CHUNK × |Mb| regardless of group size (a 25k-row group
+        must never allocate a 25k² matrix, and triu_indices on it would
+        be a 5 GB index array). ``diagonal`` keeps only r < s pairs."""
+        na = np.sqrt((Ma * Ma).sum(axis=1))
+        nb = np.sqrt((Mb * Mb).sum(axis=1))
+        out_a, out_b, out_s = [], [], []
+        for st in range(0, Ma.shape[0], score_chunk):
+            en = min(st + score_chunk, Ma.shape[0])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (Ma[st:en] @ Mb.T) / (na[st:en, None] * nb[None, :])
+            if diagonal:
+                r_gl = np.arange(st, en)[:, None]
+                cos = np.where(r_gl < np.arange(Mb.shape[0])[None, :],
+                               cos, -np.inf)
+            r, s = np.nonzero(cos >= threshold)
+            out_a.append(ia_all[r + st])
+            out_b.append(ib_all[s])
+            out_s.append(cos[r, s])
+        ia = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        ib = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        sim = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+        return ia, ib, sim
+
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": np.empty(0, np.int64),
                               "id_b": np.empty(0, np.int64),
@@ -483,29 +523,16 @@ def cosine_dup_pairs(
         pk = int(g["pk"].iloc[0])
         i, j = pk // B, pk % B
         if i == j:
-            sub = g[g["blk"] == i]
-            M = np.stack(sub["q"].to_numpy())
-            ids = sub["id"].to_numpy()
-            n = np.sqrt((M * M).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (M @ M.T) / (n[:, None] * n[None, :])
-            r, s = np.triu_indices(M.shape[0], 1)
-            keep = cos[r, s] >= threshold
-            r, s = r[keep], s[keep]
-            ia, ib = ids[r], ids[s]
+            M = np.stack(g["q"].to_numpy())
+            ids = g["id"].to_numpy()
+            ia, ib, sim = _score(M, ids, M, ids, diagonal=True)
         else:
             ga, gb = g[g["blk"] == i], g[g["blk"] == j]
             if len(ga) == 0 or len(gb) == 0:
                 return empty
             Ma, Mb = np.stack(ga["q"].to_numpy()), np.stack(gb["q"].to_numpy())
-            ia_all, ib_all = ga["id"].to_numpy(), gb["id"].to_numpy()
-            na = np.sqrt((Ma * Ma).sum(axis=1))
-            nb = np.sqrt((Mb * Mb).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (Ma @ Mb.T) / (na[:, None] * nb[None, :])
-            r, s = np.nonzero(cos >= threshold)
-            ia, ib = ia_all[r], ib_all[s]
-        sim = cos[r, s]
+            ia, ib, sim = _score(Ma, ga["id"].to_numpy(),
+                                 Mb, gb["id"].to_numpy(), diagonal=False)
         lo = np.minimum(ia, ib)
         hi = np.maximum(ia, ib)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sim})

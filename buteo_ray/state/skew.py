@@ -64,6 +64,34 @@ def estimate_bytes(ds) -> int:
     return total
 
 
+def estimate_rows(ds) -> int:
+    """Metadata-only row-count estimate (same DAG walk as
+    :func:`estimate_bytes` — never executes the plan). Source rows, an
+    upper bound after filters; 0 when no leaf reports a count."""
+    try:
+        if ds._plan.has_computed_output():
+            return int(ds.count() or 0)
+    except Exception:
+        pass
+    total = 0
+    try:
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = getattr(op, "input_dependencies", None) or []
+            if deps:
+                stack.extend(deps)
+                continue
+            try:
+                md = op.infer_metadata()
+                total += int(md.num_rows or 0)
+            except Exception:
+                pass
+    except Exception:
+        return 0
+    return total
+
+
 def derive_num_partitions(*datasets, target_bytes: int = 64 << 20,
                           lo: int = 8, hi: int = 4096) -> int:
     """Shuffle-partition count sized to the data, not hardcoded.

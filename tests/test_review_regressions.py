@@ -1057,3 +1057,68 @@ def test_stitch_rings_never_uturns_onto_reverse_edge():
     rings = _stitch_rings(sq, sq_next, 1e-9)
     assert len(rings) == 1
     assert abs(_ring_signed_area(rings[0])) == pytest.approx(1.0)
+
+
+def test_cosine_dup_pairs_chunked_scoring(ray_session):
+    """Chunked in-group scoring (bounded cos-matrix memory) must produce
+    identical pairs to single-slab scoring, across chunk boundaries on
+    both the diagonal and cross block cases."""
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import cosine_dup_pairs
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(90, 8)).astype(np.float32)
+    X[45:60] = X[0:15] + rng.normal(scale=0.03, size=(15, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(90, dtype=np.int64),
+         "embedding": [v.tolist() for v in X]}))
+    whole = cosine_dup_pairs(ds, threshold=0.9, n_blocks=2,
+                             score_chunk=1024).to_pandas()
+    chunked = cosine_dup_pairs(ds, threshold=0.9, n_blocks=2,
+                               score_chunk=7).to_pandas()
+    w = whole.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    c = chunked.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(w) >= 15
+    pd.testing.assert_frame_equal(w, c)
+
+
+def test_cosine_dup_pairs_row_derived_blocks(ray_session):
+    """Default n_blocks must scale with estimated ROW count (bounding the
+    per-group quadratic), not source bytes."""
+    import ray.data as rd
+
+    from buteo_ray.stages import dedup as dd
+
+    n = 40_000
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [[0.0, 0.0]] * n}))
+    from buteo_ray.state.skew import estimate_rows
+    assert estimate_rows(ds) == n
+    # 40k rows / 8192 target → B=5 (not the old bytes-derived floor of 2).
+    expect = -(-n // dd._BLOCK_ROWS)
+    assert expect == 5
+
+
+def test_ann_ivf_empty_and_zero_norm(ray_session):
+    """IVF search degrades gracefully (empty result) on an empty corpus
+    and on an all-zero-norm corpus, like the exact and LSH paths."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import ann_ivf_topk
+
+    qids = np.array([1], dtype=np.int64)
+    qvecs = np.array([[1.0, 0.0]])
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"vec_id": pd.Series([], dtype=np.int64),
+         "embedding": pd.Series([], dtype=object)}))
+    out = ann_ivf_topk(empty, qids, qvecs, k=3).to_pandas()
+    assert len(out) == 0
+
+    zeros = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(5, dtype=np.int64),
+         "embedding": [[0.0, 0.0]] * 5}))
+    out2 = ann_ivf_topk(zeros, qids, qvecs, k=3).to_pandas()
+    assert len(out2) == 0
