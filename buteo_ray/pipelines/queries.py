@@ -1226,6 +1226,22 @@ def q_ann_lsh_topk(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "cos_sim"])
 
 
+def q_simhash_dup_pairs(sf_dir: str):
+    """SimHash Hamming-radius near-dup pairs (pigeonhole banding —
+    exact wrt signatures, every qualifying pair found once). Rows-only:
+    the signature function (pd.util.hash_pandas_object token hashes)
+    has no SQL twin; exactness vs a brute-force all-pairs popcount is
+    pytest-verified (tests/test_knn_dedup_text.py)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import simhash_dup_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = simhash_dup_pairs(docs, max_hamming=6).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-flat ANN search (the second scale path: driver-side spherical
     k-means coarse quantizer on a bounded sample, broadcast centroids,
@@ -1388,6 +1404,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "embed_centroids": q_embed_centroids,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,

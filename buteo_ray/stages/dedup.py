@@ -377,6 +377,96 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount for uint64 arrays (numpy 1.x has no
+    array bit_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      score_chunk: int = _SCORE_CHUNK):
+    """SimHash near-duplicate pairs: every ``(id_a < id_b)`` whose
+    64-bit SimHashes differ in at most ``max_hamming`` bits — EXACT
+    with respect to the signatures (Manku/Jain/Sarma, WWW'07
+    pigeonhole): split 64 bits into ``max_hamming+1`` bands; any pair
+    within Hamming r must agree exactly on ≥1 band, so a groupby per
+    band finds every qualifying pair with zero recall loss.
+
+    Plan: signature rows explode to (band, band_bits) keys → ONE
+    shuffle of (band, key, id, simhash) width → per-bucket chunked
+    XOR-popcount verification. A pair colliding in several bands is
+    owned by the FIRST matching band (recomputed from the signatures
+    in-group — same driver-free ownership trick as
+    :func:`minhash_lsh_pairs`, no pair-dedup shuffle). Returns
+    Dataset[(id_a, id_b, hamming)]."""
+    r = int(max_hamming)
+    n_bands = r + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    width = 64 // n_bands
+    sig = simhash_signatures(ds, text_col=text_col, id_col=id_col)
+
+    def _band_bits(s: np.ndarray, band: int) -> np.ndarray:
+        # Last band absorbs the remainder bits.
+        shift = np.uint64(band * width)
+        if band == n_bands - 1:
+            return s >> shift
+        return (s >> shift) & np.uint64((1 << width) - 1)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for t in range(n_bands):
+            parts.append(pa.table({
+                "band": np.full(s.shape[0], t, dtype=np.int64),
+                # int64 views: uint64 group keys hit Ray's pickled-object
+                # fallback.
+                "band_key": _band_bits(s, t).view(np.int64),
+                "id": ids,
+                "sig": s.view(np.int64),
+            }))
+        return pa.concat_tables(parts)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = int(g["band"].iloc[0])
+        ids = g["id"].to_numpy()
+        s = g["sig"].to_numpy().view(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for st in range(0, s.shape[0], score_chunk):
+            en = min(st + score_chunk, s.shape[0])
+            x = s[st:en, None] ^ s[None, :]
+            h = _popcount64(x).astype(np.int64)
+            # r < s (global) upper triangle, Hamming bound, and
+            # first-band ownership: skip pairs already matching in an
+            # earlier band.
+            keep = h <= r
+            keep &= np.arange(st, en)[:, None] < np.arange(s.shape[0])[None, :]
+            for tp in range(t):
+                keep &= _band_bits(s[st:en], tp)[:, None] != \
+                    _band_bits(s, tp)[None, :]
+            rr, ss = np.nonzero(keep)
+            out_a.append(ids[rr + st])
+            out_b.append(ids[ss])
+            out_h.append(h[rr, ss])
+        ia = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        ib = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        hh = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": hh})
+
+    return (
+        sig.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+        .groupby(["band", "band_key"])
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+
 def exact_jaccard_for_pairs(corpus_ds, pairs_ds, text_col: str = "text",
                             id_col: str = "doc_id"):
     """Distributed exact n-gram Jaccard for candidate pairs — the

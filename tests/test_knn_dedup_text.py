@@ -338,3 +338,28 @@ def test_ann_ivf_topk_recall(ray_session_module, sf_dir_module):
     e2 = set(zip(exact2["query_id"], exact2["neighbor_id"]))
     g2 = set(zip(ivf2["query_id"], ivf2["neighbor_id"]))
     assert len(e2 & g2) / len(e2) >= 0.5, f"sf recall {len(e2 & g2) / len(e2):.2f}"
+
+
+def test_simhash_dup_pairs_exact_vs_brute(ray_session_module, sf_dir_module):
+    """Pigeonhole banding finds EVERY pair within the Hamming radius
+    (exact wrt signatures — no recall loss), each emitted exactly once
+    (first-matching-band ownership)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import _popcount64, simhash64, simhash_dup_pairs
+
+    docs = rd.read_parquet(f"{sf_dir_module}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pdf = docs.to_pandas()
+    sig = simhash64(pdf["text"].tolist())
+    ids = pdf["doc_id"].to_numpy()
+    h = _popcount64(sig[:, None] ^ sig[None, :]).astype(int)
+    r, s = np.triu_indices(len(sig), 1)
+    for radius in (3, 8):
+        keep = h[r, s] <= radius
+        brute = set(zip(np.minimum(ids[r[keep]], ids[s[keep]]),
+                        np.maximum(ids[r[keep]], ids[s[keep]])))
+        got = simhash_dup_pairs(docs, max_hamming=radius).to_pandas()
+        assert len(got) == len(brute)          # no duplicate emissions
+        assert set(zip(got["id_a"], got["id_b"])) == brute
+        assert (got["hamming"] <= radius).all()
