@@ -3,8 +3,9 @@ preparation chain composed from the engine's operators:
 
 read pages → language ID (actor pool) → quality filter (vectorized
 heuristics) → exact dedup (hash-partition + first) → near-dup removal
-(OPH-MinHash LSH pairs → drop the higher id of each pair) → token count
-→ deterministic train/val split → resumable partitioned write.
+(selectable: OPH-MinHash LSH pairs, exact Hamming-radius SimHash pairs,
+or embedding-cosine pairs — drop the higher id of each pair) → token
+count → deterministic train/val split → resumable partitioned write.
 
 Every stage streams; the only shuffles are the two dedup groupbys and
 the near-dup pair join (broadcast of the small drop-set). All
@@ -29,7 +30,11 @@ def training_data_pipeline(
     text_col: str = "text",
     keep_langs: Optional[set] = None,
     min_tokens: int = 10,
+    near_dup_method: str = "minhash",
     near_dup_threshold: float = 0.85,
+    near_dup_hamming: int = 3,
+    near_dup_cosine: float = 0.95,
+    emb_col: Optional[str] = None,
     val_frac: float = 0.05,
     write_to: Optional[str] = None,
     lang_concurrency: Optional[int] = None,
@@ -83,20 +88,46 @@ def training_data_pipeline(
     # and the dedup shuffle would all execute twice.
     ds = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
 
-    # Near-dup removal: LSH candidate pairs → drop the larger id of each
+    # Near-dup removal: candidate pairs → drop the larger id of each
     # kept pair via a hash-partitioned LEFT ANTI join on id_b. The pair
     # set never touches the driver, so a duplicate-heavy corpus (the
     # Common-Crawl case) cannot blow driver memory; duplicate id_b rows
     # on the right are harmless under anti-join semantics.
     from buteo_ray.state.skew import derive_num_partitions
 
-    pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
-                              threshold=near_dup_threshold)
+    if near_dup_method == "minhash":
+        pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
+                                  threshold=near_dup_threshold)
+    elif near_dup_method == "simhash":
+        from buteo_ray.stages.dedup import simhash_dup_pairs
+
+        pairs = simhash_dup_pairs(ds, max_hamming=near_dup_hamming,
+                                  text_col=text_col, id_col=id_col)
+    elif near_dup_method == "embedding":
+        if emb_col is None:
+            raise ValueError("near_dup_method='embedding' needs emb_col")
+        from buteo_ray.stages.dedup import cosine_dup_pairs
+
+        pairs = cosine_dup_pairs(ds, threshold=near_dup_cosine,
+                                 id_col=id_col, emb_col=emb_col)
+    else:
+        raise ValueError(
+            f"unknown near_dup_method {near_dup_method!r} "
+            "(expected 'minhash', 'simhash', or 'embedding')")
     drops = pairs.select_columns(["id_b"]).materialize()
     if drops.count() > 0:
+        # Acero (the per-partition join kernel) rejects nested payload
+        # columns (list / tensor embeddings) — byte-pack them across
+        # the shuffle and restore after.
+        from buteo_ray.stages.nested_join import (nested_payload_columns,
+                                                  pack_nested, unpack_nested)
+
+        plan = nested_payload_columns(ds.schema())
+        ds = pack_nested(ds, plan)
         ds = ds.join(drops, join_type="left_anti",
                      num_partitions=derive_num_partitions(ds, drops),
                      on=(id_col,), right_on=("id_b",))
+        ds = unpack_nested(ds, plan)
 
     ds = add_split_column(ds, id_col=id_col, val_frac=val_frac)
 

@@ -110,3 +110,48 @@ def test_training_data_pipeline(ray_session, tmp_path):
         near_dup_threshold=0.97, write_to=str(tmp_path / "td"),
     )
     assert {r["partition"] for r in lineage} <= {"train", "val"}
+
+
+def test_training_data_pipeline_alt_near_dup_methods(ray_session):
+    """The simhash and embedding near-dup modes drop planted near-dups
+    end-to-end; an unknown mode fails loudly."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    rng = np.random.default_rng(23)
+    vocab = [f"word{j}" for j in range(400)]
+    rows = []
+    for i in range(30):
+        # Distinct random texts: far apart in SimHash space, unlike a
+        # shared-boilerplate corpus where everything is a near-dup.
+        words = rng.choice(vocab, size=60, replace=True)
+        vec = rng.normal(size=8)
+        rows.append({"page_id": i, "text": " ".join(words),
+                     "embedding": vec.tolist()})
+    # Planted near-dup of id 3: one-word change + near-identical vector.
+    twin = dict(rows[3])
+    twin["page_id"] = 500
+    twin["text"] = "changed " + twin["text"].split(" ", 1)[1]
+    twin["embedding"] = (np.asarray(rows[3]["embedding"]) + 1e-4).tolist()
+    rows.append(twin)
+    df = pd.DataFrame(rows)
+
+    sim = training_data_pipeline(
+        rd.from_pandas(df), min_tokens=5, near_dup_method="simhash",
+        near_dup_hamming=3).to_pandas()
+    assert 3 in set(sim["page_id"]) and 500 not in set(sim["page_id"])
+
+    emb = training_data_pipeline(
+        rd.from_pandas(df), min_tokens=5, near_dup_method="embedding",
+        emb_col="embedding", near_dup_cosine=0.999).to_pandas()
+    assert 3 in set(emb["page_id"]) and 500 not in set(emb["page_id"])
+    # Distinct random vectors survive the 0.999 cut.
+    assert len(emb) == 30
+
+    with _pytest.raises(ValueError, match="near_dup_method"):
+        training_data_pipeline(rd.from_pandas(df), near_dup_method="bogus")
+    with _pytest.raises(ValueError, match="emb_col"):
+        training_data_pipeline(rd.from_pandas(df), near_dup_method="embedding")

@@ -363,3 +363,53 @@ def test_simhash_dup_pairs_exact_vs_brute(ray_session_module, sf_dir_module):
         assert len(got) == len(brute)          # no duplicate emissions
         assert set(zip(got["id_a"], got["id_b"])) == brute
         assert (got["hamming"] <= radius).all()
+
+
+def test_nested_join_pack_unpack_roundtrip(ray_session):
+    """Byte-packing for join payloads round-trips fixed lists, ragged
+    lists, nulls and sliced chunks, and survives an actual anti-join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.nested_join import (_pack_column, _unpack_column,
+                                              nested_payload_columns,
+                                              pack_nested, unpack_nested)
+
+    # Fixed-size list, sliced (non-zero offset) to exercise buffer math.
+    fixed = pa.chunked_array(
+        [pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                  pa.list_(pa.float64(), 2)).slice(1, 2)])
+    out = _unpack_column(pa.chunked_array([_pack_column(fixed, np.dtype("float64"))]),
+                         np.dtype("float64"))
+    assert out.to_pylist() == [[3.0, 4.0], [5.0, 6.0]]
+
+    # Ragged list with a null and a slice.
+    ragged = pa.chunked_array(
+        [pa.array([[1], [2, 3, 4], None, [5, 6]],
+                  pa.list_(pa.int32())).slice(1, 3)])
+    out = _unpack_column(pa.chunked_array([_pack_column(ragged, np.dtype("int32"))]),
+                         np.dtype("int32"))
+    assert out.to_pylist() == [[2, 3, 4], None, [5, 6]]
+
+    # End-to-end: anti-join a Dataset carrying an embedding column.
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "embedding": [np.arange(4, dtype=np.float64) + i for i in range(6)],
+    })
+    ds = rd.from_pandas(df)
+    plan = nested_payload_columns(ds.schema())
+    assert "embedding" in plan
+    drops = rd.from_items([{"id_b": 2}, {"id_b": 4}])
+    joined = unpack_nested(
+        pack_nested(ds, plan).join(drops, join_type="left_anti",
+                                   num_partitions=2,
+                                   on=("id",), right_on=("id_b",)),
+        plan).to_pandas().sort_values("id")
+    assert list(joined["id"]) == [0, 1, 3, 5]
+    row3 = joined[joined["id"] == 3]["embedding"].iloc[0]
+    assert list(np.asarray(row3)) == [3.0, 4.0, 5.0, 6.0]
+
+    # Non-numeric nested values are refused loudly.
+    strs = rd.from_items([{"id": 1, "toks": ["a", "b"]}])
+    with pytest.raises(TypeError, match="non-numeric"):
+        nested_payload_columns(strs.schema())
