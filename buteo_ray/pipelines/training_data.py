@@ -50,6 +50,16 @@ def training_data_pipeline(
     import pyarrow.compute as pc
     import pyarrow.types as pat
 
+    # Fail fast on bad dispatch args: by the time the near-dup stage
+    # would notice, the lang-ID pool, quality filters and the exact-dedup
+    # shuffle have already run over the whole corpus — hours at 100 TB.
+    if near_dup_method not in ("minhash", "simhash", "embedding"):
+        raise ValueError(
+            f"unknown near_dup_method {near_dup_method!r} "
+            "(expected 'minhash', 'simhash', or 'embedding')")
+    if near_dup_method == "embedding" and emb_col is None:
+        raise ValueError("near_dup_method='embedding' needs emb_col")
+
     sch = pages_ds.schema()  # ray Schema wrapper: parallel names/types
     id_type = dict(zip(sch.names, sch.types))[id_col]
     if isinstance(id_type, pa.DataType):  # arrow blocks
@@ -103,17 +113,11 @@ def training_data_pipeline(
 
         pairs = simhash_dup_pairs(ds, max_hamming=near_dup_hamming,
                                   text_col=text_col, id_col=id_col)
-    elif near_dup_method == "embedding":
-        if emb_col is None:
-            raise ValueError("near_dup_method='embedding' needs emb_col")
+    else:  # "embedding" — validated at the top of the function
         from buteo_ray.stages.dedup import cosine_dup_pairs
 
         pairs = cosine_dup_pairs(ds, threshold=near_dup_cosine,
                                  id_col=id_col, emb_col=emb_col)
-    else:
-        raise ValueError(
-            f"unknown near_dup_method {near_dup_method!r} "
-            "(expected 'minhash', 'simhash', or 'embedding')")
     drops = pairs.select_columns(["id_b"]).materialize()
     if drops.count() > 0:
         # Acero (the per-partition join kernel) rejects nested payload

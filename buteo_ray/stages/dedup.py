@@ -437,23 +437,34 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         t = int(g["band"].iloc[0])
         ids = g["id"].to_numpy()
         s = g["sig"].to_numpy().view(np.uint64)
+        n = s.shape[0]
+        # Hoist the earlier-band ownership bits: recomputing them per
+        # tile was O(tiles · t · n) redundant shift/mask work.
+        prev = [_band_bits(s, tp) for tp in range(t)]
         out_a, out_b, out_h = [], [], []
-        for st in range(0, s.shape[0], score_chunk):
-            en = min(st + score_chunk, s.shape[0])
-            x = s[st:en, None] ^ s[None, :]
-            h = _popcount64(x).astype(np.int64)
-            # r < s (global) upper triangle, Hamming bound, and
-            # first-band ownership: skip pairs already matching in an
-            # earlier band.
-            keep = h <= r
-            keep &= np.arange(st, en)[:, None] < np.arange(s.shape[0])[None, :]
-            for tp in range(t):
-                keep &= _band_bits(s[st:en], tp)[:, None] != \
-                    _band_bits(s, tp)[None, :]
-            rr, ss = np.nonzero(keep)
-            out_a.append(ids[rr + st])
-            out_b.append(ids[ss])
-            out_h.append(h[rr, ss])
+        # Tile BOTH dimensions: a boilerplate-heavy bucket can hold
+        # 100k+ rows, and a chunk × n slab (the SWAR popcount allocates
+        # ~5 temporaries of it) would blow the worker heap; chunk² is a
+        # bounded ~8 MB. Column tiles start at the row tile (the strict
+        # upper triangle never reaches below the diagonal).
+        for st in range(0, n, score_chunk):
+            en = min(st + score_chunk, n)
+            rows = np.arange(st, en)
+            for ct in range(st, n, score_chunk):
+                ce = min(ct + score_chunk, n)
+                x = s[st:en, None] ^ s[ct:ce][None, :]
+                h = _popcount64(x).astype(np.int64)
+                # r < s (global) upper triangle, Hamming bound, and
+                # first-band ownership: skip pairs already matching in
+                # an earlier band.
+                keep = h <= r
+                keep &= rows[:, None] < np.arange(ct, ce)[None, :]
+                for tp in range(t):
+                    keep &= prev[tp][st:en, None] != prev[tp][ct:ce][None, :]
+                rr, ss = np.nonzero(keep)
+                out_a.append(ids[rr + st])
+                out_b.append(ids[ss + ct])
+                out_h.append(h[rr, ss])
         ia = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         ib = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         hh = np.concatenate(out_h) if out_h else np.empty(0, np.int64)

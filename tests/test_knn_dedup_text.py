@@ -375,21 +375,50 @@ def test_nested_join_pack_unpack_roundtrip(ray_session):
                                               nested_payload_columns,
                                               pack_nested, unpack_nested)
 
-    # Fixed-size list, sliced (non-zero offset) to exercise buffer math.
-    fixed = pa.chunked_array(
-        [pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
-                  pa.list_(pa.float64(), 2)).slice(1, 2)])
-    out = _unpack_column(pa.chunked_array([_pack_column(fixed, np.dtype("float64"))]),
-                         np.dtype("float64"))
-    assert out.to_pylist() == [[3.0, 4.0], [5.0, 6.0]]
+    def plan_for(arrow_type, name="c"):
+        return nested_payload_columns(pa.schema([(name, arrow_type)]))[name]
 
-    # Ragged list with a null and a slice.
+    # Fixed-size list, sliced (non-zero offset) to exercise buffer math.
+    fsl2 = pa.list_(pa.float64(), 2)
+    cp = plan_for(fsl2)
+    fixed = pa.chunked_array(
+        [pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], fsl2).slice(1, 2)])
+    out = _unpack_column(pa.chunked_array([_pack_column(fixed, cp)]), cp)
+    assert out.to_pylist() == [[3.0, 4.0], [5.0, 6.0]]
+    assert out.type == fsl2
+
+    # A fixed-size-list block WITH a null must pack to the same arrow
+    # type as a null-free block (per-batch type divergence would crash
+    # the downstream join's schema unification) and round-trip the null.
+    withnull = pa.chunked_array(
+        [pa.array([[1.0, 2.0], None, [5.0, 6.0]], fsl2)])
+    p_clean = _pack_column(fixed, cp)
+    p_null = _pack_column(withnull, cp)
+    assert p_clean.type == p_null.type
+    out = _unpack_column(pa.chunked_array([p_null]), cp)
+    assert out.to_pylist() == [[1.0, 2.0], None, [5.0, 6.0]]
+    assert out.type == fsl2
+
+    # Ragged list with a null and a slice restores the original type.
+    li32 = pa.list_(pa.int32())
+    cp = plan_for(li32)
     ragged = pa.chunked_array(
-        [pa.array([[1], [2, 3, 4], None, [5, 6]],
-                  pa.list_(pa.int32())).slice(1, 3)])
-    out = _unpack_column(pa.chunked_array([_pack_column(ragged, np.dtype("int32"))]),
-                         np.dtype("int32"))
+        [pa.array([[1], [2, 3, 4], None, [5, 6]], li32).slice(1, 3)])
+    out = _unpack_column(pa.chunked_array([_pack_column(ragged, cp)]), cp)
     assert out.to_pylist() == [[2, 3, 4], None, [5, 6]]
+    assert out.type == li32
+
+    # Ray tensor-extension columns pack on the fixed path (width from
+    # the type's shape) and come back as the equivalent plain list.
+    from ray.data.extensions.tensor_extension import ArrowTensorArray
+    tens = ArrowTensorArray.from_numpy(
+        np.arange(12, dtype=np.float32).reshape(3, 4))
+    cp = plan_for(tens.type)
+    assert cp.width == 4
+    packed = _pack_column(pa.chunked_array([tens]), cp)
+    assert packed.type == pa.binary(16)
+    out = _unpack_column(pa.chunked_array([packed]), cp)
+    assert out.to_pylist() == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
 
     # End-to-end: anti-join a Dataset carrying an embedding column.
     df = pd.DataFrame({
