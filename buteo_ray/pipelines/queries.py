@@ -1358,6 +1358,140 @@ def sql_line_bbox_join() -> str:
     )
 
 
+# ------------------------------------------------ tiled raster analytics
+# Oracle-checked focal ops: rasterize the documents points onto a small
+# fixed global grid, run the op through the REAL tile pipeline
+# (raster_from_array → map_tiles with halo=1 → crop), and compare
+# per-pixel values against a DuckDB oracle that reproduces the focal
+# math with clamped-coordinate self-joins (clamping ≡ the engine's
+# edge-replicating pad, so tiled == untiled == SQL).
+
+_DEM_GRID = GridSpec(origin_x=-180.0, origin_y=90.0,
+                     pixel_width=360.0 / 32, pixel_height=-180.0 / 24,
+                     width=32, height=24, tile_size=8)
+
+
+def _dem_count_raster(sf_dir: str):
+    """Documents → per-pixel counts on the fixed 32×24 grid → halo-1
+    tile Dataset. The densify step collects the AGGREGATED counts (at
+    most width×height = 768 rows — bounded by the grid, not the data)."""
+    from ray.data.aggregate import Count
+
+    from buteo_ray.sources.raster import raster_from_array
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    ds = geocode(ds)
+    ds = assign_tiles(ds, _DEM_GRID)
+    cnt = ds.groupby(["px", "py"]).aggregate(Count(alias_name="n")).to_pandas()
+    z = np.zeros((_DEM_GRID.height, _DEM_GRID.width), dtype=np.float64)
+    z[cnt["py"].to_numpy(), cnt["px"].to_numpy()] = cnt["n"].to_numpy()
+    return raster_from_array(z, raster_id="demo", tile_size=_DEM_GRID.tile_size,
+                             halo=1)
+
+
+def _tiles_to_pixel_rows(tiles_ds, value_name: str, round4: bool):
+    """Tile rows → (px, py, value) rows, global pixel coordinates."""
+    from buteo_ray.sources.raster import tile_to_ndarray
+
+    def _explode(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pxs, pys, vals = [], [], []
+        for _, row in pdf.iterrows():
+            arr = tile_to_ndarray(row)[:, :, 0]
+            yy, xx = np.mgrid[0:row["height"], 0:row["width"]]
+            pxs.append((xx + row["x_off"]).ravel().astype(np.int64))
+            pys.append((yy + row["y_off"]).ravel().astype(np.int64))
+            vals.append(arr.ravel().astype(np.float64))
+        v = np.concatenate(vals) if vals else np.empty(0, np.float64)
+        if round4:
+            v = np.floor(v * 10000 + 0.5) / 10000
+        return pa.table({
+            "px": np.concatenate(pxs) if pxs else np.empty(0, np.int64),
+            "py": np.concatenate(pys) if pys else np.empty(0, np.int64),
+            value_name: v,
+        })
+
+    return tiles_ds.map_batches(_explode, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def q_dem_slope(sf_dir: str):
+    """Horn slope over the rasterized-count DEM via the tiled halo
+    pipeline (≙ reference raster/dem.py slope; tiling per §2.7)."""
+    from buteo_ray.functions.raster_ops import dem_slope
+    from buteo_ray.sources.raster import map_tiles
+
+    tiles = _dem_count_raster(sf_dir)
+    out = map_tiles(tiles, lambda a, row: dem_slope(a[:, :, 0], 1.0))
+    return _tiles_to_pixel_rows(out, "slope", round4=True)
+
+
+def _sql_dem_grid_cte() -> str:
+    e = tile_sql_exprs(_DEM_GRID, _LAT_SQL, _LON_SQL)
+    return (
+        f"cnt AS (SELECT {e['px']} AS px, {e['py']} AS py, COUNT(*) AS n "
+        "FROM documents GROUP BY 1, 2), "
+        "g AS (SELECT xs.x AS px, ys.y AS py, "
+        "COALESCE(CAST(cnt.n AS DOUBLE), 0.0) AS z "
+        f"FROM (SELECT UNNEST(generate_series(0, {_DEM_GRID.width - 1})) AS x) xs "
+        f"CROSS JOIN (SELECT UNNEST(generate_series(0, {_DEM_GRID.height - 1})) AS y) ys "
+        "LEFT JOIN cnt ON cnt.px = xs.x AND cnt.py = ys.y)"
+    )
+
+
+def _sql_neighbor_joins() -> str:
+    """Eight clamped-coordinate self-joins — edge replication in SQL."""
+    w, h = _DEM_GRID.width - 1, _DEM_GRID.height - 1
+    xm, xp = "GREATEST(a.px - 1, 0)", f"LEAST(a.px + 1, {w})"
+    ym, yp = "GREATEST(a.py - 1, 0)", f"LEAST(a.py + 1, {h})"
+    return (
+        f"FROM g a "
+        f"JOIN g tl ON tl.px = {xm} AND tl.py = {ym} "
+        f"JOIN g tt ON tt.px = a.px AND tt.py = {ym} "
+        f"JOIN g tr ON tr.px = {xp} AND tr.py = {ym} "
+        f"JOIN g ll ON ll.px = {xm} AND ll.py = a.py "
+        f"JOIN g rr ON rr.px = {xp} AND rr.py = a.py "
+        f"JOIN g bl ON bl.px = {xm} AND bl.py = {yp} "
+        f"JOIN g bb ON bb.px = a.px AND bb.py = {yp} "
+        f"JOIN g br ON br.px = {xp} AND br.py = {yp}"
+    )
+
+
+def sql_dem_slope() -> str:
+    # Same association order as dem_slope's numpy: ((t + 2*m) + b).
+    dzdx = "((((tr.z + 2 * rr.z) + br.z) - ((tl.z + 2 * ll.z) + bl.z)) / 8.0)"
+    dzdy = "((((bl.z + 2 * bb.z) + br.z) - ((tl.z + 2 * tt.z) + tr.z)) / 8.0)"
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        f"SELECT a.px, a.py, "
+        f"FLOOR(DEGREES(ATAN(SQRT({dzdx} * {dzdx} + {dzdy} * {dzdy}))) "
+        "* 10000 + 0.5) / 10000 AS slope "
+        + _sql_neighbor_joins()
+    )
+
+
+def q_focal_sum(sf_dir: str):
+    """3×3 focal sum (convolution engine §2.8, method='sum', ones
+    kernel) over the rasterized-count grid via the tiled halo path
+    (≙ reference array/convolution base.py convolve_array)."""
+    from buteo_ray.functions.convolution import convolve2d
+    from buteo_ray.sources.raster import map_tiles
+
+    tiles = _dem_count_raster(sf_dir)
+    kernel = np.ones((3, 3), dtype=np.float64)
+    out = map_tiles(tiles, lambda a, row: convolve2d(a[:, :, 0], kernel, "sum"))
+    return _tiles_to_pixel_rows(out, "focal_sum", round4=False)
+
+
+def sql_focal_sum() -> str:
+    taps = "tl.z + tt.z + tr.z + ll.z + a.z + rr.z + bl.z + bb.z + br.z"
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        f"SELECT a.px, a.py, ({taps}) AS focal_sum "
+        + _sql_neighbor_joins()
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -1400,6 +1534,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embed_centroids_flat": q_embed_centroids_flat,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
+    "dem_slope": q_dem_slope,
+    "focal_sum": q_focal_sum,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1460,6 +1596,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "embed_centroids_flat": sql_embed_centroids_flat,
     "jaccard_pairs": sql_jaccard_pairs,
     "cosine_dup_pairs": sql_cosine_dup_pairs,
+    "dem_slope": sql_dem_slope,
+    "focal_sum": sql_focal_sum,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
