@@ -1371,10 +1371,10 @@ _DEM_GRID = GridSpec(origin_x=-180.0, origin_y=90.0,
                      width=32, height=24, tile_size=8)
 
 
-def _dem_count_raster(sf_dir: str):
-    """Documents → per-pixel counts on the fixed 32×24 grid → halo-1
-    tile Dataset. The densify step collects the AGGREGATED counts (at
-    most width×height = 768 rows — bounded by the grid, not the data)."""
+def _dem_count_raster(sf_dir: str, halo: int = 1, tile_size: int = None):
+    """Documents → per-pixel counts on the fixed 32×24 grid → tile
+    Dataset. The densify step collects the AGGREGATED counts (at most
+    width×height = 768 rows — bounded by the grid, not the data)."""
     from ray.data.aggregate import Count
 
     from buteo_ray.sources.raster import raster_from_array
@@ -1385,8 +1385,10 @@ def _dem_count_raster(sf_dir: str):
     cnt = ds.groupby(["px", "py"]).aggregate(Count(alias_name="n")).to_pandas()
     z = np.zeros((_DEM_GRID.height, _DEM_GRID.width), dtype=np.float64)
     z[cnt["py"].to_numpy(), cnt["px"].to_numpy()] = cnt["n"].to_numpy()
-    return raster_from_array(z, raster_id="demo", tile_size=_DEM_GRID.tile_size,
-                             halo=1)
+    return raster_from_array(
+        z, raster_id="demo",
+        tile_size=_DEM_GRID.tile_size if tile_size is None else tile_size,
+        halo=halo)
 
 
 def _tiles_to_pixel_rows(tiles_ds, value_name: str, round4: bool):
@@ -1492,6 +1494,118 @@ def sql_focal_sum() -> str:
     )
 
 
+def q_resample_avg(sf_dir: str):
+    """2× average-pool downsample through the tile pipeline (≙ resample
+    'average', reference raster/resample.py:29-332). Tile offsets are
+    multiples of the factor, so per-tile pooling == whole-raster pooling;
+    block means of integer counts are exact doubles on both sides."""
+    from buteo_ray.functions.raster_ops import resample_average
+    from buteo_ray.sources.raster import tile_to_ndarray
+
+    tiles = _dem_count_raster(sf_dir, halo=0)
+
+    def _pool(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pxs, pys, vals = [], [], []
+        for _, row in pdf.iterrows():
+            arr = tile_to_ndarray(row)[:, :, 0]
+            pooled = resample_average(arr, 2)[:, :, 0]
+            yy, xx = np.mgrid[0:pooled.shape[0], 0:pooled.shape[1]]
+            pxs.append((xx + row["x_off"] // 2).ravel().astype(np.int64))
+            pys.append((yy + row["y_off"] // 2).ravel().astype(np.int64))
+            vals.append(pooled.ravel().astype(np.float64))
+        return pa.table({
+            "px": np.concatenate(pxs) if pxs else np.empty(0, np.int64),
+            "py": np.concatenate(pys) if pys else np.empty(0, np.int64),
+            "v_avg": np.concatenate(vals) if vals else np.empty(0, np.float64),
+        })
+
+    return tiles.map_batches(_pool, batch_format="pyarrow", batch_size=None)
+
+
+def sql_resample_avg() -> str:
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        "SELECT px // 2 AS px, py // 2 AS py, AVG(z) AS v_avg "
+        "FROM g GROUP BY 1, 2"
+    )
+
+
+def q_distance_transform(sf_dir: str):
+    """Exact euclidean distance to the nearest occupied cell (≙
+    raster_get_proximity, reference raster/proximity.py:25-195;
+    Felzenszwalb EDT). EDT needs the whole raster per pass, so the op
+    runs at per-raster granularity — one tile spanning the grid — which
+    is also the reference's granularity; the Ray scale path is
+    raster-level parallelism."""
+    from buteo_ray.functions.raster_ops import distance_transform
+    from buteo_ray.sources.raster import map_tiles
+
+    tiles = _dem_count_raster(
+        sf_dir, halo=0, tile_size=max(_DEM_GRID.width, _DEM_GRID.height))
+    out = map_tiles(tiles, lambda a, row: distance_transform(a[:, :, 0] > 0, 1.0))
+    return _tiles_to_pixel_rows(out, "dist", round4=True)
+
+
+def sql_distance_transform() -> str:
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        "SELECT a.px, a.py, FLOOR(MIN(SQRT("
+        "CAST((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) "
+        "AS DOUBLE))) * 10000 + 0.5) / 10000 AS dist "
+        "FROM g a CROSS JOIN (SELECT px, py FROM g WHERE z > 0) b "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_reproject_points(sf_dir: str):
+    """Point-layer reprojection EPSG:4326 → EPSG:3857 through the WKB
+    vector stage (≙ vector_reproject, reference vector/reproject.py:
+    24-151; from-scratch spherical Mercator in grid/projection.py)."""
+    from buteo_ray.geom.wkb import parse_wkb_dims, wkb_point
+    from buteo_ray.stages.vector_ops import vector_reproject
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    ds = geocode(ds)
+
+    def _mk(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "geom_wkb": [wkb_point(lo, la) for lo, la in
+                         zip(batch["lon"], batch["lat"])],
+        })
+
+    pts = ds.map_batches(_mk, batch_format="pandas", batch_size=None)
+    out = vector_reproject(pts, "EPSG:4326", "EPSG:3857")
+
+    def _extract(batch: pd.DataFrame) -> pd.DataFrame:
+        xs, ys = [], []
+        for w in batch["geom_wkb"]:
+            _, payload, _ = parse_wkb_dims(w)  # point payload = (x, y)
+            xs.append(payload[0])
+            ys.append(payload[1])
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "x_merc": np.floor(np.asarray(xs) * 10000 + 0.5) / 10000,
+            "y_merc": np.floor(np.asarray(ys) * 10000 + 0.5) / 10000,
+        })
+
+    return out.map_batches(_extract, batch_format="pandas", batch_size=None)
+
+
+def sql_reproject_points() -> str:
+    # Same constants as grid/projection.py: _A and the Mercator lat clamp.
+    a = "6378137.0"
+    mx = "85.051128779806604"
+    lat = f"LEAST(GREATEST({_LAT_SQL}, -{mx}), {mx})"
+    return (
+        f"SELECT doc_id, "
+        f"FLOOR({a} * RADIANS({_LON_SQL}) * 10000 + 0.5) / 10000 AS x_merc, "
+        f"FLOOR({a} * LN(TAN(PI() / 4 + RADIANS({lat}) / 2)) * 10000 + 0.5) "
+        "/ 10000 AS y_merc FROM documents"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -1536,6 +1650,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "dem_slope": q_dem_slope,
     "focal_sum": q_focal_sum,
+    "resample_avg": q_resample_avg,
+    "distance_transform": q_distance_transform,
+    "reproject_points": q_reproject_points,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1598,6 +1715,9 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "cosine_dup_pairs": sql_cosine_dup_pairs,
     "dem_slope": sql_dem_slope,
     "focal_sum": sql_focal_sum,
+    "resample_avg": sql_resample_avg,
+    "distance_transform": sql_distance_transform,
+    "reproject_points": sql_reproject_points,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
