@@ -1606,6 +1606,129 @@ def sql_reproject_points() -> str:
     )
 
 
+def q_morph_erode(sf_dir: str):
+    """3×3 morphological erosion (focal min) through the tiled halo path
+    (≙ morph_erode, reference array/morphology.py:77-112). Square
+    kernel: the spherical kernel's soft rim makes the weighted min
+    non-plain-min, so parity uses spherical=False (plain neighborhood
+    min — exact on integer counts)."""
+    from buteo_ray.functions.filters import morph_erode
+    from buteo_ray.sources.raster import map_tiles
+
+    tiles = _dem_count_raster(sf_dir)
+    out = map_tiles(tiles, lambda a, row: morph_erode(a[:, :, 0], 1.0,
+                                                      spherical=False))
+    return _tiles_to_pixel_rows(out, "eroded", round4=False)
+
+
+def sql_morph_erode() -> str:
+    taps = "tl.z, tt.z, tr.z, ll.z, a.z, rr.z, bl.z, bb.z, br.z"
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        f"SELECT a.px, a.py, LEAST({taps}) AS eroded "
+        + _sql_neighbor_joins()
+    )
+
+
+def q_encode_latlng(sf_dir: str):
+    """Cyclical sin/cos coordinate encoding (≙ encode_latlngs, reference
+    ai/encoding.py:13-78) — float32 outputs, computed in f64 then cast
+    once, the engine-wide float32 parity rule."""
+    from buteo_ray.functions.encoding import encode_latlngs
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    ds = geocode(ds)
+
+    def _enc(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lng = t["lon"].to_numpy(zero_copy_only=False)
+        e = encode_latlngs(np.column_stack([lat, lng]))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lat_sin": e[:, 0], "lat_cos": e[:, 1],
+            "lng_sin": e[:, 2], "lng_cos": e[:, 3],
+        })
+
+    return ds.map_batches(_enc, batch_format="pyarrow", batch_size=None)
+
+
+def sql_encode_latlng() -> str:
+    def enc(expr, lo, rng, fn):
+        return (f"CAST(({fn}(2 * PI() * ((({expr}) + {lo}) / {rng})) + 1.0) "
+                "/ 2.0 AS FLOAT)")
+
+    return (
+        "SELECT doc_id, "
+        f"{enc(_LAT_SQL, '90.0', '180.0', 'SIN')} AS lat_sin, "
+        f"{enc(_LAT_SQL, '90.0', '180.0', 'COS')} AS lat_cos, "
+        f"{enc(_LON_SQL, '180.0', '360.0', 'SIN')} AS lng_sin, "
+        f"{enc(_LON_SQL, '180.0', '360.0', 'COS')} AS lng_cos "
+        "FROM documents"
+    )
+
+
+_TS_EPOCH = 1704067200.0  # 2024-01-01, the events table's origin
+
+
+def q_ts_slope(sf_dir: str):
+    """Per-user OLS slope+intercept of value vs time (≙ timeseries
+    slope, reference array/timeseries.py:8-113, per-entity form) via
+    the partial+final combiner — per-block Arrow partial sums cross the
+    shuffle, not rows (the 100-TB shape)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import grouped_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def _terms(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (us / 1e6 - _TS_EPOCH) / 3600.0  # hours since origin
+        y = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"], "x": x, "y": y,
+                         "xy": x * y, "xx": x * x})
+
+    terms = ev.map_batches(_terms, batch_format="pyarrow", batch_size=None)
+    agg = grouped_aggregate(terms, ["user_id"],
+                            sums={"sx": "x", "sy": "y",
+                                  "sxy": "xy", "sxx": "xx"},
+                            count="n")
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        den = n * sxx - sx * sx
+        keep = (n >= 2) & (den != 0)
+        slope = (n * sxy - sx * sy) / np.where(den == 0, 1.0, den)
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)[keep],
+            "slope": (np.floor(slope * 10000 + 0.5) / 10000)[keep],
+            "intercept": (np.floor(intercept * 10000 + 0.5) / 10000)[keep],
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def sql_ts_slope() -> str:
+    x = f"(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 - {_TS_EPOCH!r}) / 3600.0"
+    return (
+        f"WITH t AS (SELECT user_id, {x} AS x, value AS y FROM events), "
+        "s AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+        "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM t GROUP BY user_id), "
+        "f AS (SELECT user_id, n, sx, sy, "
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM s "
+        "WHERE n >= 2 AND (n * sxx - sx * sx) != 0) "
+        "SELECT user_id, FLOOR(slope * 10000 + 0.5) / 10000 AS slope, "
+        "FLOOR((sy - slope * sx) / n * 10000 + 0.5) / 10000 AS intercept "
+        "FROM f"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -1653,6 +1776,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "resample_avg": q_resample_avg,
     "distance_transform": q_distance_transform,
     "reproject_points": q_reproject_points,
+    "morph_erode": q_morph_erode,
+    "encode_latlng": q_encode_latlng,
+    "ts_slope": q_ts_slope,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1718,6 +1844,9 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "resample_avg": sql_resample_avg,
     "distance_transform": sql_distance_transform,
     "reproject_points": sql_reproject_points,
+    "morph_erode": sql_morph_erode,
+    "encode_latlng": sql_encode_latlng,
+    "ts_slope": sql_ts_slope,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
