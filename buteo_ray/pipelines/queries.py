@@ -1714,6 +1714,131 @@ def q_ts_slope(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)
 
 
+_BBOX_WINDOW = [-20.0, 25.0, -15.0, 30.0]  # OGR [xmin, xmax, ymin, ymax]
+
+
+def q_bbox_ops(sf_dir: str):
+    """Bbox algebra over the synthetic AOI rects (≙ the reference bbox
+    scalar library, utils/bbox/operations.py; repo grid/bbox.py §2.11):
+    intersect-filter vs a fixed window, intersection/union areas,
+    buffered area, aspect ratio and center, through the actual
+    grid/bbox.py functions. Metadata-scale op (one row per AOI)."""
+    import ray.data as rd
+
+    from buteo_ray.grid.bbox import (bbox_aspect_ratio, bbox_center,
+                                     bboxes_intersect, buffer_bbox,
+                                     intersection_bboxes, union_bboxes)
+
+    aoi = rd.from_arrow(synth_aoi_rects(_NUM_RECTS))
+    w = _BBOX_WINDOW
+
+    def _ops(t: pa.Table) -> pa.Table:
+        rows = {"aoi_id": [], "inter_area": [], "union_area": [],
+                "buf_area": [], "aspect": [], "cx": [], "cy": []}
+        for r in t.to_pylist():
+            bb = [r["bbox_xmin"], r["bbox_xmax"], r["bbox_ymin"], r["bbox_ymax"]]
+            if not bboxes_intersect(bb, w):
+                continue
+            ib = intersection_bboxes(bb, w)
+            ub = union_bboxes(bb, w)
+            fb = buffer_bbox(bb, 1.5)
+            cx, cy = bbox_center(bb)
+            rows["aoi_id"].append(r["aoi_id"])
+            rows["inter_area"].append((ib[1] - ib[0]) * (ib[3] - ib[2]))
+            rows["union_area"].append((ub[1] - ub[0]) * (ub[3] - ub[2]))
+            rows["buf_area"].append((fb[1] - fb[0]) * (fb[3] - fb[2]))
+            rows["aspect"].append(bbox_aspect_ratio(bb))
+            rows["cx"].append(cx)
+            rows["cy"].append(cy)
+        out = pa.table({k: pa.array(v) for k, v in rows.items()})
+        for c in out.column_names:
+            if c == "aoi_id":
+                continue
+            v = out[c].to_numpy(zero_copy_only=False)
+            v = np.floor(v * 10000 + 0.5) / 10000
+            out = out.set_column(out.column_names.index(c), c, pa.array(v))
+        return out
+
+    return aoi.map_batches(_ops, batch_format="pyarrow", batch_size=None)
+
+
+def sql_bbox_ops() -> str:
+    wx0, wx1, wy0, wy1 = (repr(v) for v in _BBOX_WINDOW)
+    r4 = lambda e, n: f"FLOOR(({e}) * 10000 + 0.5) / 10000 AS {n}"
+    return (
+        f"WITH aoi AS ({aoi_rect_sql_cte(_NUM_RECTS)}) "
+        "SELECT aoi_id, "
+        + r4(f"(LEAST(bbox_xmax, {wx1}) - GREATEST(bbox_xmin, {wx0})) * "
+             f"(LEAST(bbox_ymax, {wy1}) - GREATEST(bbox_ymin, {wy0}))",
+             "inter_area") + ", "
+        + r4(f"(GREATEST(bbox_xmax, {wx1}) - LEAST(bbox_xmin, {wx0})) * "
+             f"(GREATEST(bbox_ymax, {wy1}) - LEAST(bbox_ymin, {wy0}))",
+             "union_area") + ", "
+        + r4("((bbox_xmax + 1.5) - (bbox_xmin - 1.5)) * "
+             "((bbox_ymax + 1.5) - (bbox_ymin - 1.5))", "buf_area") + ", "
+        + r4("(bbox_xmax - bbox_xmin) / (bbox_ymax - bbox_ymin)", "aspect")
+        + ", "
+        + r4("(bbox_xmin + bbox_xmax) / 2.0", "cx") + ", "
+        + r4("(bbox_ymin + bbox_ymax) / 2.0", "cy") + " "
+        "FROM aoi WHERE NOT ("
+        f"bbox_xmax < {wx0} OR bbox_xmin > {wx1} OR "
+        f"bbox_ymax < {wy0} OR bbox_ymin > {wy1})"
+    )
+
+
+def q_color_hsl(sf_dir: str):
+    """RGB → HSL conversion (≙ color_rgb_to_hsl, reference
+    array/color.py:89-179) over hash-derived per-document channels;
+    float32 engine output, rounded in f64 on both sides."""
+    from buteo_ray.functions.color import color_rgb_to_hsl
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    ds = geocode(ds)
+
+    def _hsl(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        r = (lat + 90.0) / 180.0
+        g = (lon + 180.0) / 360.0
+        b = ((did * 2654435761) % 1000) / 999.0
+        rgb = np.stack([r, g, b])[:, :, None]  # (3, N, 1)
+        hsl = color_rgb_to_hsl(rgb)[:, :, 0].astype(np.float64)
+        hsl = np.floor(hsl * 10000 + 0.5) / 10000
+        return pa.table({"doc_id": did, "hue": hsl[0], "sat": hsl[1],
+                         "lum": hsl[2]})
+
+    return ds.map_batches(_hsl, batch_format="pyarrow", batch_size=None)
+
+
+def sql_color_hsl() -> str:
+    r = f"((({_LAT_SQL}) + 90.0) / 180.0)"
+    g = f"((({_LON_SQL}) + 180.0) / 360.0)"
+    b = "(((doc_id * 2654435761) % 1000) / 999.0)"
+    cmax = f"GREATEST({r}, {g}, {b})"
+    cmin = f"LEAST({r}, {g}, {b})"
+    delta = f"({cmax} - {cmin})"
+    lum = f"(({cmax} + {cmin}) / 2.0)"
+    # np.mod(x, 6) ≡ FMOD(FMOD(x,6)+6, 6) up to an ulp the 4dp rounding
+    # absorbs; only the cmax==r branch is mod-6'ed, as in the numpy.
+    h_r = f"FMOD(FMOD((({g}) - ({b})) / {delta}, 6) + 6, 6)"
+    h_g = f"((({b}) - ({r})) / {delta} + 2)"
+    h_b = f"((({r}) - ({g})) / {delta} + 4)"
+    hue_sel = (f"(CASE WHEN {cmax} = {r} THEN {h_r} "
+               f"WHEN {cmax} = {g} THEN {h_g} ELSE {h_b} END)")
+    hue = (f"(CASE WHEN {delta} = 0 THEN 0.0 "
+           f"ELSE FMOD(FMOD({hue_sel} * 60, 360) + 360, 360) END / 360.0)")
+    sat = (f"(CASE WHEN {delta} = 0 THEN 0.0 "
+           f"ELSE {delta} / (1 - ABS(2 * {lum} - 1)) END)")
+    clip01 = lambda e: f"LEAST(GREATEST({e}, 0.0), 1.0)"
+    f32r4 = (lambda e, n: "FLOOR(CAST(CAST(" + clip01(e) +
+             " AS FLOAT) AS DOUBLE) * 10000 + 0.5) / 10000 AS " + n)
+    return ("SELECT doc_id, "
+            + f32r4(hue, "hue") + ", "
+            + f32r4(sat, "sat") + ", "
+            + f32r4(lum, "lum") + " FROM documents")
+
+
 def sql_ts_slope() -> str:
     x = f"(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 - {_TS_EPOCH!r}) / 3600.0"
     return (
@@ -1779,6 +1904,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "morph_erode": q_morph_erode,
     "encode_latlng": q_encode_latlng,
     "ts_slope": q_ts_slope,
+    "bbox_ops": q_bbox_ops,
+    "color_hsl": q_color_hsl,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1847,6 +1974,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "morph_erode": sql_morph_erode,
     "encode_latlng": sql_encode_latlng,
     "ts_slope": sql_ts_slope,
+    "bbox_ops": sql_bbox_ops,
+    "color_hsl": sql_color_hsl,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
