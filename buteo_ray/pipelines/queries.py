@@ -1714,6 +1714,35 @@ def q_ts_slope(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)
 
 
+def q_multimodal_features(sf_dir: str):
+    """Multimodal pipeline end-to-end (stages/multimodal.py): synth
+    encoded-media rows (one per document), actor-pool fake-decode →
+    bilinear resize to 16×16 → per-channel feature extraction. Rows-only
+    (the decode stub is not SQL-expressible); pytest-verified against
+    single-process decode in tests/test_multimodal.py."""
+    import ray.data as rd
+
+    from buteo_ray.stages.multimodal import (decode_media, extract_features,
+                                             synth_media_table)
+
+    n = _docs(sf_dir, columns=["doc_id"]).count()
+    media = rd.from_arrow(synth_media_table(int(n)))
+    feats = extract_features(decode_media(media, target=(16, 16)))
+
+    def _flat(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["channel_mean"].to_pylist(), dtype=np.float64)
+        s = np.asarray(t["channel_std"].to_pylist(), dtype=np.float64)
+        m = np.floor(m * 10000 + 0.5) / 10000
+        s = np.floor(s * 10000 + 0.5) / 10000
+        return pa.table({
+            "media_id": t["media_id"],
+            "mean_r": m[:, 0], "mean_g": m[:, 1], "mean_b": m[:, 2],
+            "std_r": s[:, 0], "std_g": s[:, 1], "std_b": s[:, 2],
+        })
+
+    return feats.map_batches(_flat, batch_format="pyarrow", batch_size=None)
+
+
 _BBOX_WINDOW = [-20.0, 25.0, -15.0, 30.0]  # OGR [xmin, xmax, ymin, ymax]
 
 
@@ -1916,6 +1945,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "coregister": q_coregister,
+    "multimodal_features": q_multimodal_features,
 }
 
 # Builders, not strings: sql_pip_join_poly() alone synthesises 1000
