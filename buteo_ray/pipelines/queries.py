@@ -1675,12 +1675,9 @@ def q_ts_slope(sf_dir: str):
     slope, reference array/timeseries.py:8-113, per-entity form) via
     the partial+final combiner — per-block Arrow partial sums cross the
     shuffle, not rows (the 100-TB shape)."""
-    import ray.data as rd
-
     from buteo_ray.stages.aggregate import grouped_aggregate
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"])
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def _terms(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -16,8 +16,12 @@ join would then see two schemas for one column):
 
     fixed element count d (fixed_size_list<T>[d], fixed-shape tensor)
         → fixed_size_binary(d·itemsize), nulls kept via validity
-    variable count (list<T>, large_list<T>, ragged tensor)
+    variable count (list<T>, large_list<T>)
         → large_binary
+
+Ray's VARIABLE-shaped tensor extension (struct storage, per-row shape)
+is rejected loudly at plan time: byte-packing would silently drop the
+per-row shapes — cast to a plain list column before joining instead.
 
 Both directions are vectorized buffer reinterpretations (``numpy``
 ``frombuffer``/``reshape``); rows with nulls take a documented per-row
@@ -75,6 +79,14 @@ def nested_payload_columns(schema) -> Dict[str, _ColPlan]:
             continue
         is_ext = isinstance(typ, pa.BaseExtensionType)
         base = typ.storage_type if is_ext else typ
+        if is_ext and pat.is_struct(base):
+            # Ray's variable-shaped tensor type: struct<data, shape>.
+            # Packing only the data would silently drop per-row shapes.
+            raise TypeError(
+                f"nested_payload_columns: column '{name}' is a "
+                f"variable-shaped tensor ({typ}); byte-packing would drop "
+                "the per-row shapes — cast it to a plain list column "
+                "before the join")
         if not (pat.is_fixed_size_list(base) or pat.is_list(base)
                 or pat.is_large_list(base)):
             continue
@@ -89,7 +101,7 @@ def nested_payload_columns(schema) -> Dict[str, _ColPlan]:
             if shape is not None and all(s is not None for s in shape):
                 width = int(np.prod(shape))
                 orig = pa.list_(vt, width)
-            else:  # variable-shaped tensor column
+            else:  # extension over a plain variable list
                 width, orig = None, pa.list_(vt)
         elif pat.is_fixed_size_list(base):
             width, orig = base.list_size, base
@@ -103,8 +115,13 @@ def _pack_column(col: pa.ChunkedArray, plan: _ColPlan) -> pa.Array:
     arr = col.combine_chunks()
     dt, width = plan.dtype, plan.width
     if isinstance(arr.type, pa.BaseExtensionType):
+        if arr.null_count:
+            # Null-check BEFORE to_numpy: ArrowTensorArray.to_numpy (and
+            # even its to_pylist) crash on null rows. The storage array
+            # is a plain list with the same validity — pack from that.
+            return _pack_rows(arr.storage.to_pylist(), plan)
         nd = np.asarray(arr.to_numpy(zero_copy_only=False))
-        if nd.dtype == object or arr.null_count:
+        if nd.dtype == object:
             return _pack_rows([None if v is None else np.asarray(v)
                                for v in nd], plan)
         flat = np.ascontiguousarray(

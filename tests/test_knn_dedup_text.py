@@ -420,6 +420,25 @@ def test_nested_join_pack_unpack_roundtrip(ray_session):
     out = _unpack_column(pa.chunked_array([packed]), cp)
     assert out.to_pylist() == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
 
+    # A tensor column WITH a null row must take the per-row fallback
+    # (ArrowTensorArray.to_numpy crashes on nulls) and round-trip.
+    tens_null = tens.take(pa.array([0, None, 2]))
+    assert tens_null.null_count == 1
+    p = _pack_column(pa.chunked_array([tens_null]), cp)
+    assert p.type == pa.binary(16)
+    out = _unpack_column(pa.chunked_array([p]), cp)
+    assert out.to_pylist() == [[0, 1, 2, 3], None, [8, 9, 10, 11]]
+
+    # Variable-shaped tensor columns (struct storage, per-row shapes)
+    # are rejected loudly at plan time, not silently skipped.
+    from ray.data.extensions.tensor_extension import \
+        ArrowVariableShapedTensorArray
+    ragged_t = ArrowVariableShapedTensorArray.from_numpy(
+        np.array([np.zeros((2, 2), np.float32),
+                  np.zeros((3, 1), np.float32)], dtype=object))
+    with pytest.raises(TypeError, match="variable-shaped"):
+        nested_payload_columns(pa.schema([("c", ragged_t.type)]))
+
     # End-to-end: anti-join a Dataset carrying an embedding column.
     df = pd.DataFrame({
         "id": np.arange(6, dtype=np.int64),
