@@ -97,12 +97,21 @@ def _shingle_hashes(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
     per doc; fully vectorized via a sliding window over the concatenated
     byte buffer with doc-boundary masking.
     """
-    bufs = [t.encode("utf-8") for t in texts]
-    lens = np.array([len(b) for b in bufs], dtype=np.int64)
-    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-    total = data.shape[0]
-    if total < _SHINGLE:
-        return np.empty(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        # Zero-copy path: Arrow strings are already contiguous UTF-8 —
+        # read (offsets, data) straight from the buffers instead of
+        # to_pylist() + per-doc encode().
+        data, starts, lens = _utf8_buffer_view(texts)
+        n_texts = len(texts)
+    else:
+        bufs = [t.encode("utf-8") for t in texts]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        n_texts = len(texts)
+    if data.shape[0] < _SHINGLE:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_texts + 1, dtype=np.int64)
 
     win = np.lib.stride_tricks.sliding_window_view(data, _SHINGLE).astype(np.uint64)
     # Polynomial hash of the window then a splitmix finalizer.
@@ -111,15 +120,42 @@ def _shingle_hashes(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         h = h * np.uint64(1099511628211) + win[:, j]  # FNV prime (public)
     h = _splitmix64(h)
 
-    ends = np.cumsum(lens)
-    starts = ends - lens
     # Valid shingle start positions: within a doc, at least _SHINGLE from its end.
     n_shingles = np.maximum(lens - _SHINGLE + 1, 0)
     doc_offsets = np.concatenate([[0], np.cumsum(n_shingles)])
-    idx = np.concatenate([
-        np.arange(starts[i], starts[i] + n_shingles[i]) for i in range(len(texts))
-    ]) if len(texts) else np.empty(0, dtype=np.int64)
+    tot = int(doc_offsets[-1])
+    if tot:
+        # idx[k] = starts[doc(k)] + (k - doc_offsets[doc(k)]), fully vectorized.
+        rel = np.arange(tot, dtype=np.int64) - np.repeat(doc_offsets[:-1], n_shingles)
+        idx = rel + np.repeat(starts, n_shingles)
+    else:
+        idx = np.empty(0, dtype=np.int64)
     return h[idx], doc_offsets
+
+
+def _utf8_buffer_view(arr) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data_bytes, starts, lens) views over an Arrow string column's
+    UTF-8 buffers, normalized so ``starts`` indexes into ``data`` from 0.
+    Nulls become empty strings."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    else:
+        if not pa.types.is_string(arr.type):
+            arr = arr.cast(pa.string())
+        odt = np.int32
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[arr.offset:arr.offset + n + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0]:offs[-1]]
+    starts = offs[:-1] - offs[0]
+    lens = np.diff(offs)
+    return data, starts, lens
 
 
 def oph_minhash(texts: List[str]) -> np.ndarray:
@@ -151,7 +187,10 @@ def oph_minhash(texts: List[str]) -> np.ndarray:
     # still collide — by design).
     n_shingles = np.diff(offsets)
     for i in np.nonzero(n_shingles == 0)[0]:
-        data = np.frombuffer(texts[i].encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        t = texts[i]
+        if not isinstance(t, str):  # Arrow scalar from the buffer path
+            t = t.as_py() or ""
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         hv = np.uint64(14695981039346656037)
         with np.errstate(over="ignore"):  # uint64 wraparound is the hash
             for b in data:
@@ -164,8 +203,7 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Dataset[(id, sig_0..sig_63)] — one OPH-MinHash row per document."""
 
     def _fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        sig = oph_minhash(texts)
+        sig = oph_minhash(batch[text_col])
         cols = {id_col: batch[id_col]}
         for b in range(_BINS):
             cols[f"sig_{b}"] = pa.array(sig[:, b])
@@ -208,8 +246,7 @@ def minhash_lsh_pairs(
     rows = _BINS // bands
 
     def _bands(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        sig = oph_minhash(texts)
+        sig = oph_minhash(batch[text_col])
         n = sig.shape[0]
         band_hash = np.zeros((n, bands), dtype=np.uint64)
         for b in range(bands):
@@ -220,16 +257,28 @@ def minhash_lsh_pairs(
             band_hash[:, b] = _splitmix64(h + np.uint64(b))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         # Signature packed into ONE binary column (512 B) instead of 64
-        # uint64 columns — ~8× less shuffle width per band row.
-        sig_bytes = [sig[i].tobytes() for i in range(n)]
+        # uint64 columns — ~8× less shuffle width per band row. Built
+        # zero-copy from one repeated buffer (offsets stay int32, so the
+        # >2 GiB-per-block case falls back to the per-row list path).
+        width = _BINS * 8
+        if n * bands * width < 2 ** 31:
+            rep = np.ascontiguousarray(np.repeat(sig, bands, axis=0))
+            offs = np.arange(n * bands + 1, dtype=np.int32) * width
+            sig_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), n * bands,
+                [None, pa.py_buffer(offs), pa.py_buffer(rep)])
+        else:
+            sig_bytes = [sig[i].tobytes() for i in range(n)]
+            sig_arr = pa.array(
+                [sig_bytes[i] for i in range(n) for _ in range(bands)],
+                type=pa.binary())
         return pa.table({
             id_col: np.repeat(ids, bands),
             "band": np.tile(np.arange(bands, dtype=np.int64), n),
             # int64 view: uint64 group keys hit Ray's pickled-object
             # fallback in the aggregate path.
             "band_hash": band_hash.ravel().view(np.int64),
-            "sig": pa.array([sig_bytes[i] for i in range(n) for _ in range(bands)],
-                            type=pa.binary()),
+            "sig": sig_arr,
         })
 
     def _pair_tile(sig_a, sig_b, ids_a, ids_b, band, diag):
@@ -251,32 +300,95 @@ def minhash_lsh_pairs(
         ia, ib = np.nonzero(keep)
         return ids_a[ia], ids_b[ib], est[ia, ib]
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY = {"id_a": pd.Series([], dtype="int64"),
+              "id_b": pd.Series([], dtype="int64"),
+              "est_jaccard": pd.Series([], dtype="float64")}
+
+    def _pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """All pairs for EVERY (band, band_hash) group in one hash
+        bucket, in one vectorized pass. Ray's per-raw-key ``map_groups``
+        paid ~ms of pandas overhead per near-dup cluster (the dominant
+        cost of the whole job); here groups are found by boundary diffs
+        on the sorted bucket and same-size groups are paired as one
+        (G, s, s, 64) tensor op, chunked to bound the tensor at ~32 MB."""
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "est_jaccard": pd.Series([], dtype="float64")})
-        band = int(g["band"].iloc[0])
-        g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-        if max_bucket is not None and len(g) > max_bucket:
-            g = g.head(max_bucket)
+            return pd.DataFrame(_EMPTY)
+        g = g.sort_values(["band_hash", "band", id_col], kind="stable")
+        bh = g["band_hash"].to_numpy()
+        bd = g["band"].to_numpy()
         ids = g[id_col].to_numpy()
-        sig = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
-        m = len(ids)
+        idx = np.arange(len(g))
+
+        def _boundaries():
+            return (bh[1:] == bh[:-1]) & (bd[1:] == bd[:-1])
+
+        same = _boundaries()
+        keep = np.ones(len(bh), dtype=bool)
+        keep[1:] = ~(same & (ids[1:] == ids[:-1]))  # duplicate-id rows
+        if not keep.all():
+            bh, bd, ids, idx = bh[keep], bd[keep], ids[keep], idx[keep]
+            same = _boundaries()
+        if max_bucket is not None and len(bh):
+            # Truncate pathological groups to their max_bucket smallest
+            # ids (rows are id-sorted within a group, so "first rows").
+            gid0 = np.concatenate([[0], np.cumsum(~same)])
+            gstart = np.concatenate([[0], np.cumsum(np.bincount(gid0))])[gid0]
+            keep = (np.arange(len(bh)) - gstart) < max_bucket
+            if not keep.all():
+                bh, bd, ids, idx = bh[keep], bd[keep], ids[keep], idx[keep]
+                same = _boundaries()
+        if len(bh) < 2:
+            return pd.DataFrame(_EMPTY)
+        sig_col = g["sig"].to_numpy()[idx]
+        sig = np.frombuffer(b"".join(sig_col.tolist()),
+                            dtype=np.uint64).reshape(len(bh), _BINS)
+        sizes = np.bincount(np.concatenate([[0], np.cumsum(~same)]))
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        group_band = bd[starts]
         out_a, out_b, out_e = [], [], []
-        for i0 in range(0, m, _PAIR_CHUNK):
-            i1 = min(i0 + _PAIR_CHUNK, m)
-            for j0 in range(i0, m, _PAIR_CHUNK):
-                j1 = min(j0 + _PAIR_CHUNK, m)
-                a, b, e = _pair_tile(sig[i0:i1], sig[j0:j1],
-                                     ids[i0:i1], ids[j0:j1], band, i0 == j0)
-                out_a.append(a)
-                out_b.append(b)
-                out_e.append(e)
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            sel = np.flatnonzero(sizes == s)
+            if s > _PAIR_CHUNK:
+                # Degenerate boilerplate clusters: blockwise tiles so one
+                # bucket cannot blow the worker heap.
+                for gi in sel:
+                    i0g, m = starts[gi], int(s)
+                    sg, ig = sig[i0g:i0g + m], ids[i0g:i0g + m]
+                    for i0 in range(0, m, _PAIR_CHUNK):
+                        i1 = min(i0 + _PAIR_CHUNK, m)
+                        for j0 in range(i0, m, _PAIR_CHUNK):
+                            j1 = min(j0 + _PAIR_CHUNK, m)
+                            a, b, e = _pair_tile(
+                                sg[i0:i1], sg[j0:j1], ig[i0:i1], ig[j0:j1],
+                                int(group_band[gi]), i0 == j0)
+                            out_a.append(a); out_b.append(b); out_e.append(e)
+                continue
+            gchunk = max(1, (32 << 20) // (int(s) * int(s) * _BINS))
+            tri = np.triu(np.ones((s, s), dtype=bool), k=1)[None]
+            for c0 in range(0, len(sel), gchunk):
+                gsel = sel[c0:c0 + gchunk]
+                rows_idx = (starts[gsel][:, None]
+                            + np.arange(s)[None, :]).ravel()
+                S = sig[rows_idx].reshape(len(gsel), s, _BINS)
+                I = ids[rows_idx].reshape(len(gsel), s)
+                eq = S[:, :, None, :] == S[:, None, :, :]
+                est = eq.mean(axis=3)
+                kp = (est >= threshold) & tri
+                chunk_eq = eq.reshape(len(gsel), s, s, bands, rows).all(axis=4)
+                first_band = chunk_eq.argmax(axis=3)
+                kp &= chunk_eq.any(axis=3) \
+                    & (first_band == group_band[gsel][:, None, None])
+                gg, ia, ib = np.nonzero(kp)
+                out_a.append(I[gg, ia]); out_b.append(I[gg, ib])
+                out_e.append(est[gg, ia, ib])
+        if not out_a:
+            return pd.DataFrame(_EMPTY)
         return pd.DataFrame({
             "id_a": np.concatenate(out_a).astype(np.int64),
             "id_b": np.concatenate(out_b).astype(np.int64),
-            "est_jaccard": np.concatenate(out_e),
+            "est_jaccard": np.concatenate(out_e).astype(np.float64),
         })
 
     # Materialize: the band rows are consumed twice (count probe + pair
@@ -342,9 +454,21 @@ def minhash_lsh_pairs(
             on=("band", "band_hash"),
         )
     # No pair-dedup shuffle needed: the first-matching-band ownership
-    # rule inside _pairs makes each pair emit exactly once.
-    return hot.groupby(["band", "band_hash"]).map_groups(
-        _pairs, batch_format="pandas")
+    # rule inside the pair kernel makes each pair emit exactly once.
+    # Group by a HASH BUCKET of the key, not the raw key: one vectorized
+    # call finalizes every cluster in the bucket (exact grouping happens
+    # via boundary diffs inside _pairs_bucket).
+    n_pair_buckets = derive_num_partitions(hot)
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        k = (t["band_hash"].to_numpy().view(np.uint64) * np.uint64(bands)
+             + t["band"].to_numpy().astype(np.uint64))
+        b = _splitmix64(k) % np.uint64(n_pair_buckets)
+        return t.append_column("__bucket", pa.array(b.view(np.int64)))
+
+    return (hot.map_batches(_bucketize, batch_format="pyarrow", batch_size=None)
+            .groupby("__bucket")
+            .map_groups(_pairs_bucket, batch_format="pandas"))
 
 
 def simhash64(texts: List[str]) -> np.ndarray:
