@@ -1880,6 +1880,131 @@ def sql_ts_slope() -> str:
     )
 
 
+def q_predict_linear(sf_dir: str):
+    """Distributed model scoring end-to-end (≙ predict_array, reference
+    array/patches/prediction.py:30-187): count-raster tiles → per-tile
+    patch extraction (2 dithered grids + border grids) → PatchScorer
+    actor pool applying an affine model (2x+1) → per-tile weighted-median
+    merge. Every grid predicts the identical value for a pixel, so the
+    merge must reproduce 2*z+1 exactly — this oracle-checks the whole
+    §2.3/§2.7 predict+stitch+merge plan, not just the model math."""
+    from buteo_ray.pipelines.predict import predict_tiles
+
+    ts = _DEM_GRID.tile_size
+    tiles = _dem_count_raster(sf_dir, halo=ts - 1)
+    out = predict_tiles(
+        tiles, lambda: (lambda p: p * 2.0 + 1.0),
+        shape=(_DEM_GRID.height, _DEM_GRID.width), tile_size=ts,
+        n_offsets=2, border_check=True, merge_method="median",
+        edge_distance=3, batch_size=64, concurrency=2)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pxs, pys, vals = [], [], []
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(row["data"], dtype=np.float32).reshape(
+                row["height"], row["width"], row["bands"])[:, :, 0]
+            yy, xx = np.mgrid[0:row["height"], 0:row["width"]]
+            pxs.append((xx + row["tile_x"] * ts).ravel().astype(np.int64))
+            pys.append((yy + row["tile_y"] * ts).ravel().astype(np.int64))
+            vals.append(arr.ravel().astype(np.float64))
+        v = np.concatenate(vals) if vals else np.empty(0, np.float64)
+        v = np.floor(v * 10000 + 0.5) / 10000
+        return pa.table({
+            "px": np.concatenate(pxs) if pxs else np.empty(0, np.int64),
+            "py": np.concatenate(pys) if pys else np.empty(0, np.int64),
+            "pred": v,
+        })
+
+    return out.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+
+
+def sql_predict_linear() -> str:
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        "SELECT px, py, FLOOR((2.0 * z + 1.0) * 10000 + 0.5) / 10000 "
+        "AS pred FROM g"
+    )
+
+
+def q_augment_rot_mirror(sf_dir: str):
+    """Deterministic augmentation chain (≙ augmentation_rotation +
+    augmentation_mirror, reference ai/augmentation/basic.py:75-345):
+    180° rotation then a horizontal mirror over the count raster via
+    the per-tile kernel stage. rot180∘flip(axis=1) ≡ vertical flip, so
+    the SQL twin reads the grid at (px, H-1-py)."""
+    from buteo_ray.functions.augmentation import (augmentation_mirror,
+                                                  augmentation_rotation)
+    from buteo_ray.sources.raster import map_tiles
+
+    tiles = _dem_count_raster(
+        sf_dir, halo=0, tile_size=max(_DEM_GRID.width, _DEM_GRID.height))
+
+    def _fn(a, row):
+        out = augmentation_rotation(a, None, k=2)
+        return augmentation_mirror(out, None, axis=1)
+
+    out = map_tiles(tiles, _fn)
+    return _tiles_to_pixel_rows(out, "val", round4=False)
+
+
+def sql_augment_rot_mirror() -> str:
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        "SELECT a.px, a.py, b.z AS val FROM g a "
+        f"JOIN g b ON b.px = a.px AND b.py = {_DEM_GRID.height - 1} - a.py"
+    )
+
+
+def q_raster_stack_extract(sf_dir: str):
+    """Band-stack two aligned rasters then select band 1 (≙
+    raster_stack_list + raster_extract_bands, reference
+    core_raster_stack.py:24-265 / core_raster_subset.py:19-94): the
+    all-documents count raster stacked with the lang='en' count raster
+    via the tile-key positional join, band 1 extracted and exploded to
+    pixel rows — the SQL twin is the zero-filled 'en' count grid."""
+    from buteo_ray.sources.raster import raster_extract_bands, raster_stack
+
+    a = _dem_count_raster(sf_dir, halo=0)
+    b = _lang_count_raster(sf_dir, "en")
+    stacked = raster_stack(a, b)
+    band1 = raster_extract_bands(stacked, [1])
+    return _tiles_to_pixel_rows(band1, "n_en", round4=False)
+
+
+def _lang_count_raster(sf_dir: str, lang: str):
+    """Like :func:`_dem_count_raster` but only documents of one lang
+    (the densify collect stays bounded by the 768-pixel grid)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from buteo_ray.sources.raster import raster_from_array
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    ds = ds.map_batches(lambda t: t.filter(pc.equal(t["lang"], lang)),
+                        batch_format="pyarrow", batch_size=None)
+    ds = geocode(ds)
+    ds = assign_tiles(ds, _DEM_GRID)
+    cnt = ds.groupby(["px", "py"]).aggregate(Count(alias_name="n")).to_pandas()
+    z = np.zeros((_DEM_GRID.height, _DEM_GRID.width), dtype=np.float64)
+    z[cnt["py"].to_numpy(), cnt["px"].to_numpy()] = cnt["n"].to_numpy()
+    return raster_from_array(z, raster_id="demo",
+                             tile_size=_DEM_GRID.tile_size, halo=0)
+
+
+def sql_raster_stack_extract() -> str:
+    e = tile_sql_exprs(_DEM_GRID, _LAT_SQL, _LON_SQL)
+    return (
+        f"WITH cnt AS (SELECT {e['px']} AS px, {e['py']} AS py, "
+        "COUNT(*) AS n FROM documents WHERE lang = 'en' GROUP BY 1, 2) "
+        "SELECT xs.x AS px, ys.y AS py, "
+        "COALESCE(CAST(cnt.n AS DOUBLE), 0.0) AS n_en "
+        f"FROM (SELECT UNNEST(generate_series(0, {_DEM_GRID.width - 1})) AS x) xs "
+        f"CROSS JOIN (SELECT UNNEST(generate_series(0, {_DEM_GRID.height - 1})) AS y) ys "
+        "LEFT JOIN cnt ON cnt.px = xs.x AND cnt.py = ys.y"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -1932,6 +2057,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ts_slope": q_ts_slope,
     "bbox_ops": q_bbox_ops,
     "color_hsl": q_color_hsl,
+    "predict_linear": q_predict_linear,
+    "augment_rot_mirror": q_augment_rot_mirror,
+    "raster_stack_extract": q_raster_stack_extract,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2003,6 +2131,9 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "ts_slope": sql_ts_slope,
     "bbox_ops": sql_bbox_ops,
     "color_hsl": sql_color_hsl,
+    "predict_linear": sql_predict_linear,
+    "augment_rot_mirror": sql_augment_rot_mirror,
+    "raster_stack_extract": sql_raster_stack_extract,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
