@@ -5,11 +5,9 @@ Semantics follow ``/root/reference/buteo/array/convolution/funcs.py``
 (the ``_hood_*`` reducers, including their weighted max/min/contrast
 definitions and the cumulative-weight quantile) and
 ``kernels.py:51-488`` (kernel constructors). The circular kernel's
-fractional edge coverage uses the analytic approximation
-``clip(radius + 0.5 − dist, 0, 1)`` rather than the reference's exact
-square/circle polygon clipping — interior and exterior cells are
-identical, only the ~4·radius boundary cells differ slightly
-(documented divergence; tests pin interior/exterior equality).
+fractional rim coverage reproduces the reference's 10×10-point cell
+sampling exactly (kernels.py ``_area_covered``), vectorized as one
+distance matrix over rim cells × sample points.
 
 Engine mapping: these run inside ``map_batches`` over HALO-PADDED tile
 rows — the tile carries ``halo`` extra pixels on each side so focal ops
@@ -26,12 +24,31 @@ import numpy as np
 
 
 def circular_kernel(radius: float) -> np.ndarray:
-    """(2⌈r⌉+1)² kernel: 1 inside the circle, fractional on the rim."""
+    """(2⌈r⌉+1)² kernel: 1 inside the circle, 0 outside, and the
+    reference's 10×10-point cell-coverage fraction on the rim
+    (kernels.py `_circular_kernel_2D` + `_area_covered` — a cell is rim
+    iff its four corners straddle ``radius + 0.5``; bit-matched here by
+    one vectorized distance matrix over all rim cells × sample points,
+    float32 compares like the reference)."""
     size = int(np.ceil(radius) * 2 + 1)
     step = size // 2
-    yy, xx = np.meshgrid(np.arange(-step, step + 1), np.arange(-step, step + 1), indexing="ij")
-    dist = np.sqrt(xx.astype(np.float64) ** 2 + yy ** 2)
-    return np.clip(radius + 0.5 - dist, 0.0, 1.0).astype(np.float32)
+    coords = np.arange(-step, step + 1, dtype=np.float64)
+    yy, xx = np.meshgrid(coords, coords, indexing="ij")
+    cr = np.float32(radius + 0.5)
+    corner_in = np.zeros((size, size), dtype=np.int64)
+    for dy in (-0.5, 0.5):
+        for dx in (-0.5, 0.5):
+            corner_in += np.sqrt((yy + dy) ** 2 + (xx + dx) ** 2).astype(np.float32) <= cr
+    kernel = (corner_in == 4).astype(np.float32)
+    rim = (corner_in > 0) & (corner_in < 4)
+    if rim.any():
+        t = np.linspace(-0.5, 0.5, 10)
+        py, px = np.meshgrid(t, t, indexing="ij")
+        ry, rx = yy[rim], xx[rim]
+        d = np.sqrt(((ry[:, None] + py.ravel()[None, :]) ** 2
+                     + (rx[:, None] + px.ravel()[None, :]) ** 2).astype(np.float32))
+        kernel[rim] = ((d <= cr).sum(axis=1) / 100.0).astype(np.float32)
+    return kernel
 
 
 def distance_weighted_kernel(radius: float, method: int = 0, decay: float = 0.2,

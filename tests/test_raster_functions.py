@@ -50,15 +50,24 @@ def test_kernel_base_normalised():
     k2 = kernel_base(2.0, circular=True, normalised=False, hole=True)
     assert k2.shape == (5, 5)
     assert k2[2, 2] == 0.0
-    # circular: corners outside radius+0.5 are 0
-    assert k2[0, 0] == 0.0
+    # circular: the corner cell straddles the r+0.5 circle — reference
+    # samples 15/100 cell points inside (old approximation said 0).
+    assert k2[0, 0] == np.float32(0.15)
 
 
 def test_circular_kernel_interior_exterior():
     k = circular_kernel(2.0)
-    assert k[2, 2] == 1.0 and k[2, 1] == 1.0   # strictly interior (d <= r-0.5)
-    assert k[2, 0] == 0.5                       # centered exactly on the rim
-    assert k[0, 0] == 0.0                       # d = 2.83 > r+0.5
+    assert k[2, 2] == 1.0 and k[2, 1] == 1.0   # strictly interior (all corners in)
+    # Rim cells carry the reference's sampled cell-coverage fraction
+    # (kernels.py _area_covered: 10x10 inclusive-linspace points).
+    t = np.linspace(-0.5, 0.5, 10)
+    py, px = np.meshgrid(t, t, indexing="ij")
+    for (i, j) in [(2, 0), (1, 0), (0, 1), (0, 0)]:
+        cy, cx = i - 2, j - 2
+        d = np.sqrt(((cy + py) ** 2 + (cx + px) ** 2).astype(np.float32))
+        frac = np.float32((d <= np.float32(2.5)).sum() / 100.0)
+        assert k[i, j] == frac, (i, j, k[i, j], frac)
+    assert k[2, 0] == np.float32(0.9)
 
 
 def test_convolve_sum_matches_manual():
