@@ -159,6 +159,21 @@ def scaling():
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def bandwidth_probe() -> float:
+        """Single-thread 23M-element gather, seconds. This box's memory
+        bandwidth oscillates on minute timescales (healthy ≈0.5 s,
+        degraded 2-10 s) and a degraded window invalidates the high-CPU
+        level far more than the low one — recording the probe beside
+        each level makes the measurement's validity auditable."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.random(23_000_000)
+        idx = rng.integers(0, a.size, a.size)
+        t0 = time.perf_counter()
+        a[idx]
+        return round(time.perf_counter() - t0, 2)
+
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # Generate input once (outside both timed runs).
@@ -171,8 +186,11 @@ def scaling():
     # Best-of-3 per level: single-box runs suffer interference (page
     # cache, leftover workers); the fastest run is closest to capability.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    probe_before = bandwidth_probe()
     runs_lo = [run(lo) for _ in range(reps)]
+    probe_mid = bandwidth_probe()
     runs_hi = [run(hi) for _ in range(reps)]
+    probe_after = bandwidth_probe()
     r_lo = max(runs_lo, key=lambda r: r["pages_per_sec"])
     r_hi = max(runs_hi, key=lambda r: r["pages_per_sec"])
     tput_lo = r_lo["pages_per_sec"]
@@ -190,6 +208,7 @@ def scaling():
         "scaling_efficiency": round(eff, 3),
         "all_runs_lo": [r["value"] for r in runs_lo],
         "all_runs_hi": [r["value"] for r in runs_hi],
+        "bandwidth_probe_sec": [probe_before, probe_mid, probe_after],
     }))
 
 
