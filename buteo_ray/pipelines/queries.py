@@ -1371,15 +1371,24 @@ _DEM_GRID = GridSpec(origin_x=-180.0, origin_y=90.0,
                      width=32, height=24, tile_size=8)
 
 
-def _dem_count_raster(sf_dir: str, halo: int = 1, tile_size: int = None):
+def _dem_count_raster(sf_dir: str, halo: int = 1, tile_size: int = None,
+                      lang: str = None):
     """Documents → per-pixel counts on the fixed 32×24 grid → tile
-    Dataset. The densify step collects the AGGREGATED counts (at most
-    width×height = 768 rows — bounded by the grid, not the data)."""
+    Dataset; ``lang`` optionally restricts to one language. The densify
+    step collects the AGGREGATED counts (at most width×height = 768
+    rows — bounded by the grid, not the data)."""
     from ray.data.aggregate import Count
 
     from buteo_ray.sources.raster import raster_from_array
 
-    ds = _docs(sf_dir, columns=["doc_id"])
+    if lang is not None:
+        import pyarrow.compute as pc
+
+        ds = _docs(sf_dir, columns=["doc_id", "lang"])
+        ds = ds.map_batches(lambda t: t.filter(pc.equal(t["lang"], lang)),
+                            batch_format="pyarrow", batch_size=None)
+    else:
+        ds = _docs(sf_dir, columns=["doc_id"])
     ds = geocode(ds)
     ds = assign_tiles(ds, _DEM_GRID)
     cnt = ds.groupby(["px", "py"]).aggregate(Count(alias_name="n")).to_pandas()
@@ -1391,18 +1400,20 @@ def _dem_count_raster(sf_dir: str, halo: int = 1, tile_size: int = None):
         halo=halo)
 
 
-def _tiles_to_pixel_rows(tiles_ds, value_name: str, round4: bool):
-    """Tile rows → (px, py, value) rows, global pixel coordinates."""
-    from buteo_ray.sources.raster import tile_to_ndarray
+def _pixel_rows_from(tiles_ds, value_name: str, round4: bool, decode):
+    """Shared tile-explosion: ``decode(row) → (band0_2d, x_off, y_off)``
+    per tile row → (px, py, value) rows in global pixel coordinates,
+    with the queries' FLOOR half-up 4-dp rounding convention in ONE
+    place."""
 
     def _explode(t: pa.Table) -> pa.Table:
         pdf = t.to_pandas()
         pxs, pys, vals = [], [], []
         for _, row in pdf.iterrows():
-            arr = tile_to_ndarray(row)[:, :, 0]
-            yy, xx = np.mgrid[0:row["height"], 0:row["width"]]
-            pxs.append((xx + row["x_off"]).ravel().astype(np.int64))
-            pys.append((yy + row["y_off"]).ravel().astype(np.int64))
+            arr, x0, y0 = decode(row)
+            yy, xx = np.mgrid[0:arr.shape[0], 0:arr.shape[1]]
+            pxs.append((xx + x0).ravel().astype(np.int64))
+            pys.append((yy + y0).ravel().astype(np.int64))
             vals.append(arr.ravel().astype(np.float64))
         v = np.concatenate(vals) if vals else np.empty(0, np.float64)
         if round4:
@@ -1415,6 +1426,15 @@ def _tiles_to_pixel_rows(tiles_ds, value_name: str, round4: bool):
 
     return tiles_ds.map_batches(_explode, batch_format="pyarrow",
                                 batch_size=None)
+
+
+def _tiles_to_pixel_rows(tiles_ds, value_name: str, round4: bool):
+    """Tile rows → (px, py, value) rows, global pixel coordinates."""
+    from buteo_ray.sources.raster import tile_to_ndarray
+
+    return _pixel_rows_from(
+        tiles_ds, value_name, round4,
+        lambda row: (tile_to_ndarray(row)[:, :, 0], row["x_off"], row["y_off"]))
 
 
 def q_dem_slope(sf_dir: str):
@@ -1898,25 +1918,12 @@ def q_predict_linear(sf_dir: str):
         n_offsets=2, border_check=True, merge_method="median",
         edge_distance=3, batch_size=64, concurrency=2)
 
-    def _explode(t: pa.Table) -> pa.Table:
-        pdf = t.to_pandas()
-        pxs, pys, vals = [], [], []
-        for _, row in pdf.iterrows():
-            arr = np.frombuffer(row["data"], dtype=np.float32).reshape(
-                row["height"], row["width"], row["bands"])[:, :, 0]
-            yy, xx = np.mgrid[0:row["height"], 0:row["width"]]
-            pxs.append((xx + row["tile_x"] * ts).ravel().astype(np.int64))
-            pys.append((yy + row["tile_y"] * ts).ravel().astype(np.int64))
-            vals.append(arr.ravel().astype(np.float64))
-        v = np.concatenate(vals) if vals else np.empty(0, np.float64)
-        v = np.floor(v * 10000 + 0.5) / 10000
-        return pa.table({
-            "px": np.concatenate(pxs) if pxs else np.empty(0, np.int64),
-            "py": np.concatenate(pys) if pys else np.empty(0, np.int64),
-            "pred": v,
-        })
+    def _decode_merged(row):
+        arr = np.frombuffer(row["data"], dtype=np.float32).reshape(
+            row["height"], row["width"], row["bands"])[:, :, 0]
+        return arr, row["tile_x"] * ts, row["tile_y"] * ts
 
-    return out.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+    return _pixel_rows_from(out, "pred", round4=True, decode=_decode_merged)
 
 
 def sql_predict_linear() -> str:
@@ -1966,30 +1973,10 @@ def q_raster_stack_extract(sf_dir: str):
     from buteo_ray.sources.raster import raster_extract_bands, raster_stack
 
     a = _dem_count_raster(sf_dir, halo=0)
-    b = _lang_count_raster(sf_dir, "en")
+    b = _dem_count_raster(sf_dir, halo=0, lang="en")
     stacked = raster_stack(a, b)
     band1 = raster_extract_bands(stacked, [1])
     return _tiles_to_pixel_rows(band1, "n_en", round4=False)
-
-
-def _lang_count_raster(sf_dir: str, lang: str):
-    """Like :func:`_dem_count_raster` but only documents of one lang
-    (the densify collect stays bounded by the 768-pixel grid)."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
-
-    from buteo_ray.sources.raster import raster_from_array
-
-    ds = _docs(sf_dir, columns=["doc_id", "lang"])
-    ds = ds.map_batches(lambda t: t.filter(pc.equal(t["lang"], lang)),
-                        batch_format="pyarrow", batch_size=None)
-    ds = geocode(ds)
-    ds = assign_tiles(ds, _DEM_GRID)
-    cnt = ds.groupby(["px", "py"]).aggregate(Count(alias_name="n")).to_pandas()
-    z = np.zeros((_DEM_GRID.height, _DEM_GRID.width), dtype=np.float64)
-    z[cnt["py"].to_numpy(), cnt["px"].to_numpy()] = cnt["n"].to_numpy()
-    return raster_from_array(z, raster_id="demo",
-                             tile_size=_DEM_GRID.tile_size, halo=0)
 
 
 def sql_raster_stack_extract() -> str:
