@@ -461,3 +461,84 @@ def test_nested_join_pack_unpack_roundtrip(ray_session):
     strs = rd.from_items([{"id": 1, "toks": ["a", "b"]}])
     with pytest.raises(TypeError, match="non-numeric"):
         nested_payload_columns(strs.schema())
+
+
+def _lsh_pairs_per_band_reference(texts, ids, bands=16, threshold=0.5,
+                                  max_bucket=None):
+    """Straight-loop banded-LSH reference: per (band, band_hash) group
+    sorted by id, all intra-group pairs with signature-estimated Jaccard
+    >= threshold, emitted only by the FIRST band whose signature chunk
+    matches (the ownership rule). The vectorized bucket kernel in
+    stages/dedup.py must reproduce this exactly."""
+    import collections
+
+    from buteo_ray.stages.dedup import _BINS, _splitmix64, oph_minhash
+
+    sig = oph_minhash(texts)
+    rows = _BINS // bands
+    n = len(texts)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = sig[:, b * rows:(b + 1) * rows]
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(rows):
+            h = h * np.uint64(1099511628211) + chunk[:, j]
+        bh[:, b] = _splitmix64(h + np.uint64(b))
+    groups = collections.defaultdict(list)
+    for i in range(n):
+        for b in range(bands):
+            groups[(b, bh[i, b])].append(i)
+    out = set()
+    for (b, _h), mem in groups.items():
+        mem = sorted(mem, key=lambda i: ids[i])
+        if max_bucket is not None:
+            mem = mem[:max_bucket]
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                i, j = mem[x], mem[y]
+                eq = sig[i] == sig[j]
+                if eq.mean() < threshold:
+                    continue
+                ce = eq.reshape(bands, rows).all(axis=1)
+                if not ce.any() or ce.argmax() != b:
+                    continue
+                out.add((ids[i], ids[j], round(float(eq.mean()), 9)))
+    return out
+
+
+def test_minhash_lsh_pairs_match_per_band_reference(ray_session, monkeypatch):
+    """The hash-bucket vectorized pair kernel (boundary-diff grouping +
+    same-size tensor pairing + blockwise fallback) is pair-for-pair
+    identical to the per-band loop semantics, including max_bucket
+    truncation, duplicate clusters and the oversized-group path."""
+    import ray.data as rd
+
+    import buteo_ray.stages.dedup as D
+
+    rng = np.random.default_rng(11)
+    texts, ids = [], []
+    k = 0
+    for i in range(60):
+        base = f"the quick brown fox jumps over the lazy dog number {i} " * 3
+        texts.append(base); ids.append(k); k += 1
+        for _ in range(int(rng.integers(0, 3))):
+            t = list(base)
+            for _ in range(int(rng.integers(0, 3))):
+                t[int(rng.integers(0, len(t)))] = "x"
+            texts.append("".join(t)); ids.append(k); k += 1
+    # A degenerate boilerplate cluster forces the blockwise fallback
+    # once _PAIR_CHUNK is shrunk below its size.
+    for _ in range(12):
+        texts.append("boilerplate navigation footer copyright notice")
+        ids.append(k); k += 1
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    for max_bucket, chunk in [(None, 512), (4, 512), (None, 8)]:
+        monkeypatch.setattr(D, "_PAIR_CHUNK", chunk)
+        got = D.minhash_lsh_pairs(ds, max_bucket=max_bucket).to_pandas()
+        got_set = set(zip(got["id_a"], got["id_b"],
+                          got["est_jaccard"].round(9)))
+        exp = _lsh_pairs_per_band_reference(texts, ids,
+                                            max_bucket=max_bucket)
+        assert got_set == exp, (max_bucket, chunk,
+                                len(got_set), len(exp))
