@@ -1992,6 +1992,23 @@ def sql_raster_stack_extract() -> str:
     )
 
 
+def q_training_pipeline(sf_dir: str):
+    """End-to-end training-data pipeline (pipelines/training_data.py):
+    lang-ID actor pool → quality/token filters → exact dedup → MinHash
+    LSH near-dup anti-join → seeded hash train/val split, over the
+    documents table. Rows-only (stateful multi-stage chain, not
+    SQL-expressible); each stage is pytest- or oracle-verified on its
+    own, and the chain in tests/test_checkpoint_skew.py."""
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = training_data_pipeline(
+        ds, id_col="doc_id",
+        keep_langs={"en", "de", "fr", "es", "zh"},
+        min_tokens=5, near_dup_threshold=0.8)
+    return out.select_columns(["doc_id", "lang_pred", "split"])
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -2058,6 +2075,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "coregister": q_coregister,
     "multimodal_features": q_multimodal_features,
+    "training_pipeline": q_training_pipeline,
 }
 
 # Builders, not strings: sql_pip_join_poly() alone synthesises 1000

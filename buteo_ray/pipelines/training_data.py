@@ -119,7 +119,17 @@ def training_data_pipeline(
         pairs = cosine_dup_pairs(ds, threshold=near_dup_cosine,
                                  id_col=id_col, emb_col=emb_col)
     drops = pairs.select_columns(["id_b"]).materialize()
-    if drops.count() > 0:
+    n_drops = drops.count()
+    if n_drops > 0:
+        # Ray's map_groups emits SCHEMALESS empty blocks for empty sort
+        # partitions (the per-group UDF is never invoked, and map_batches
+        # passes empty blocks through without running the UDF either);
+        # Acero rejects a join partition made only of such blocks ("No
+        # match for FieldRef id_b"). Coalesce them away: repartition with
+        # block-count ≤ row-count merges every empty block into a typed
+        # one (local split/merge, no all-to-all).
+        drops = drops.repartition(
+            max(1, min(derive_num_partitions(drops), n_drops))).materialize()
         # Acero (the per-partition join kernel) rejects nested payload
         # columns (list / tensor embeddings) — byte-pack them across
         # the shuffle and restore after.

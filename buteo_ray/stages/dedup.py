@@ -466,6 +466,12 @@ def minhash_lsh_pairs(
         b = _splitmix64(k) % np.uint64(n_pair_buckets)
         return t.append_column("__bucket", pa.array(b.view(np.int64)))
 
+    # NOTE: empty sort partitions make map_groups emit SCHEMALESS empty
+    # blocks (the group UDF is never invoked for them, and a follow-up
+    # map_batches is skipped on empty blocks too, so they cannot be
+    # normalized here). Consumers that hash-join the pair set must
+    # coalesce those blocks away first — see training_data.py's
+    # repartition before the anti-join.
     return (hot.map_batches(_bucketize, batch_format="pyarrow", batch_size=None)
             .groupby("__bucket")
             .map_groups(_pairs_bucket, batch_format="pandas"))
