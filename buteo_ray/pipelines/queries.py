@@ -2009,6 +2009,60 @@ def q_training_pipeline(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred", "split"])
 
 
+def q_dup_spans(sf_dir: str):
+    """Duplicated-substring spans (stages/dedup.py:duplicate_spans —
+    fixed-window simplification of suffix-array substring dedup): every
+    (doc_id, byte pos) whose 32-byte window at stride 16 occurs >= 2
+    times anywhere in the corpus. The test corpus is ASCII, so byte
+    positions equal character positions and DuckDB substr() reproduces
+    the windows exactly."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    from buteo_ray.stages.dedup import duplicate_spans
+
+    return duplicate_spans(docs, window=32, stride=16)
+
+
+def sql_dup_spans() -> str:
+    return """
+    -- this DuckDB build rejects lateral column args to generate_series;
+    -- enumerate stride positions from a constant range and filter by doc
+    -- length instead (65536 covers any sf's max doc length).
+    WITH p AS (SELECT CAST(range AS BIGINT) AS pos FROM range(0, 65536, 16)),
+    w AS (
+      SELECT d.doc_id, p.pos,
+             substr(d.text, CAST(p.pos + 1 AS INTEGER), 32) AS win
+      FROM documents d JOIN p ON p.pos <= length(d.text) - 32
+    )
+    SELECT doc_id, pos FROM w
+    WHERE win IN (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
+"""
+
+
+def q_sample_per_group(sf_dir: str):
+    """Per-domain cap (stages/selection.py:sample_per_group): keep at
+    most 20 docs per source, chosen by a deterministic pseudo-random
+    priority on doc_id — the bound-any-one-domain step of a web-corpus
+    pipeline, as a two-level distributed top-k (partial head-n per
+    block crosses the shuffle, never the full table)."""
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+    from buteo_ray.stages.selection import sample_per_group
+
+    return sample_per_group(docs, key_col="source", n=20, id_col="doc_id")
+
+
+def sql_sample_per_group() -> str:
+    return """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id % 1048573) * 2654435761 + doc_id % 97,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -2064,6 +2118,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "predict_linear": q_predict_linear,
     "augment_rot_mirror": q_augment_rot_mirror,
     "raster_stack_extract": q_raster_stack_extract,
+    "dup_spans": q_dup_spans,
+    "sample_per_group": q_sample_per_group,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2139,6 +2195,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "predict_linear": sql_predict_linear,
     "augment_rot_mirror": sql_augment_rot_mirror,
     "raster_stack_extract": sql_raster_stack_extract,
+    "dup_spans": sql_dup_spans,
+    "sample_per_group": sql_sample_per_group,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -792,3 +792,88 @@ def jaccard_pairs_brute(texts: List[str], ids: List[int], threshold: float) -> L
                 a, b = sorted((ids[i], ids[j]))
                 out.append((a, b, jac))
     return out
+
+
+def duplicate_spans(ds, window: int = 32, stride: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Duplicated-substring span detection: one output row per
+    (``id_col``, byte position) whose ``window``-byte text window occurs
+    at least twice anywhere in the corpus (same doc or another doc).
+
+    The fixed-window-at-a-stride formulation is the streaming-friendly
+    simplification of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    repeated passage of length >= window + stride - 1 is guaranteed to
+    contain at least one sampled window on both sides, so spans flagged
+    here are where a trimming pass would cut.
+
+    Plan (exact, collision-safe, one shuffle):
+      1. map_batches (Arrow, zero-copy buffer view): every window's
+         64-bit polynomial hash, vectorized — ``window`` fused numpy
+         passes per batch, no per-row Python.
+      2. groupby(hash) hash-partition shuffle. The window BYTES ride
+         along so step 3 can compare exactly; the 8-byte hash is the
+         shuffle key. (A probabilistic variant could drop the payload
+         and trust the hash — at 1e12 docs * ~64 windows each, 64-bit
+         collisions are expected, so exactness keeps the bytes.)
+      3. per-group: count identical byte windows, emit positions of
+         those seen >= 2 times.
+
+    At scale the exchange carries (id, pos, hash, window-bytes) per
+    sampled window — ~(window + 24) bytes per stride bytes of corpus,
+    i.e. ~3.5x lighter than the raw text for the defaults.
+    """
+    win_np = np.arange(window, dtype=np.int64)
+
+    def _windows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        data, starts, lens = _utf8_buffer_view(t[text_col])
+        counts = np.maximum((lens - window) // stride + 1, 0)
+        tot = int(counts.sum())
+        if tot == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.binary())})
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        rel = (np.arange(tot, dtype=np.int64)
+               - np.repeat(offs[:-1], counts)) * stride
+        abs0 = rel + np.repeat(starts, counts)
+        wb = data[abs0[:, None] + win_np]  # (tot, window) uint8
+        h = np.zeros(tot, dtype=np.uint64)
+        for j in range(window):
+            h = h * np.uint64(1099511628211) + wb[:, j]
+        h = _splitmix64(h)
+        buf = pa.py_buffer(np.ascontiguousarray(wb).tobytes())
+        win_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(window), tot, [None, buf]).cast(pa.binary())
+        return pa.table({id_col: pa.array(np.repeat(ids, counts)),
+                         "pos": pa.array(rel),
+                         "h": pa.array(h.view(np.int64)),
+                         "win": win_arr})
+
+    def _dups(g: pd.DataFrame) -> pd.DataFrame:
+        # All rows in g share a hash bucket; compare exact bytes.
+        vc = g["win"].value_counts()
+        keep = g[g["win"].map(vc) >= 2]
+        return keep[[id_col, "pos"]]
+
+    return (ds.map_batches(_windows, batch_format="pyarrow", batch_size=None)
+            .groupby("h")
+            .map_groups(_dups, batch_format="pandas"))
+
+
+def duplicate_spans_brute(texts: List[str], ids: List[int],
+                          window: int = 32, stride: int = 16) -> List[Tuple[int, int]]:
+    """Brute-force oracle for duplicate_spans (pytest-side)."""
+    from collections import Counter
+
+    occ = []
+    c: Counter = Counter()
+    for i, s in zip(ids, texts):
+        b = s.encode("utf-8")
+        for p in range(0, max(len(b) - window + 1, 0), stride):
+            w = b[p:p + window]
+            occ.append((i, p, w))
+            c[w] += 1
+    return sorted((i, p) for i, p, w in occ if c[w] >= 2)

@@ -121,3 +121,34 @@ def topk_per_group(ds, key_col: str, sort_cols: list, k: int,
 
     return (ds.map_batches(_block_partial, batch_format="pyarrow", batch_size=None)
             .groupby("__bucket").map_groups(_final, batch_format="pandas"))
+
+
+def sample_per_group(ds, key_col: str, n: int, id_col: str):
+    """Deterministic per-key cap: keep at most ``n`` rows per ``key_col``
+    value, chosen by a pseudo-random priority derived from ``id_col`` —
+    the per-domain cap step of a web-corpus pipeline (bound how much any
+    one domain contributes to the training set) as a distributed
+    operator rather than a driver-side sample.
+
+    The priority is ``(id % 1048573) * 2654435761 + id % 97`` — overflow-
+    free in int64 for any non-negative id and reproducible in ANSI SQL
+    (the driver oracle recomputes it in a window function), unlike a
+    splitmix-style avalanche which SQL can't express. Ties (same
+    priority) break by id, so the result is block-layout independent.
+
+    Plan: one vectorized priority column + the two-level
+    ``topk_per_group`` exchange (per-block partial head-n keeps at most
+    n rows per key per block in the shuffle).
+    """
+    def _prio(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        prio = (ids % 1048573) * 2654435761 + ids % 97
+        return t.append_column("__prio", pa.array(prio.astype(np.int64)))
+
+    def _drop(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__prio"])
+
+    out = topk_per_group(
+        ds.map_batches(_prio, batch_format="pyarrow", batch_size=None),
+        key_col, ["__prio", id_col], n, ascending=True)
+    return out.map_batches(_drop, batch_format="pyarrow", batch_size=None)

@@ -542,3 +542,56 @@ def test_minhash_lsh_pairs_match_per_band_reference(ray_session, monkeypatch):
                                             max_bucket=max_bucket)
         assert got_set == exp, (max_bucket, chunk,
                                 len(got_set), len(exp))
+
+
+def test_duplicate_spans_matches_brute(ray_session_module):
+    """duplicate_spans == brute-force window counting, including a doc
+    shorter than the window (no rows), an in-doc repeat, and multibyte
+    UTF-8 (byte positions on both sides)."""
+    import ray.data as rd
+    from buteo_ray.stages.dedup import duplicate_spans, duplicate_spans_brute
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "zeta"]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    texts += [texts[0], "short", texts[3] + " tail " + texts[3],
+              "héllo wörld " * 6]  # multibyte
+    ids = list(range(len(texts)))
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})).repartition(5)
+    got = duplicate_spans(ds, window=24, stride=8).to_pandas()
+    got_pairs = sorted(map(tuple, got[["doc_id", "pos"]].to_numpy()))
+    want = duplicate_spans_brute(texts, ids, window=24, stride=8)
+    assert got_pairs == want
+    assert len(want) > 0
+
+
+def test_sample_per_group_cap_and_determinism(ray_session_module):
+    """sample_per_group keeps <= n per key, exactly n where the key has
+    >= n rows, and the selected ids are independent of block layout."""
+    import ray.data as rd
+    from buteo_ray.stages.selection import sample_per_group
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "grp": np.repeat([f"g{i}" for i in range(8)], 25),
+    })
+    df = pd.concat([df, pd.DataFrame({"doc_id": [900, 901], "grp": ["tiny", "tiny"]})])
+
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = sample_per_group(ds, key_col="grp", n=10, id_col="doc_id").to_pandas()
+        outs.append(out.sort_values(["grp", "doc_id"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+
+    sizes = outs[0].groupby("grp").size()
+    assert (sizes[sizes.index != "tiny"] == 10).all()
+    assert sizes["tiny"] == 2
+
+    # Matches the SQL-window-function definition of the same priority.
+    prio = (df["doc_id"] % 1048573) * 2654435761 + df["doc_id"] % 97
+    want = (df.assign(__p=prio).sort_values(["__p", "doc_id"])
+            .groupby("grp").head(10)[["doc_id", "grp"]]
+            .sort_values(["grp", "doc_id"]).reset_index(drop=True))
+    assert outs[0][["doc_id", "grp"]].reset_index(drop=True).equals(want)
