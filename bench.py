@@ -38,6 +38,22 @@ PAGES_DIR = f"/tmp/buteo_ray_bench/pages_{N_PAGES}"
 OUT_DIR = "/dev/shm/buteo_ray_bench/headline_out"
 
 
+def bandwidth_probe() -> float:
+    """Single-thread 23M-element gather, seconds. This box's memory
+    bandwidth oscillates on minute timescales (healthy ≈0.5 s, degraded
+    2-10 s) and a degraded window can inflate every number 5-10× —
+    recording the probe beside each measurement makes its validity
+    auditable (see BASELINE.md sessions A-K)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random(23_000_000)
+    idx = rng.integers(0, a.size, a.size)
+    t0 = time.perf_counter()
+    a[idx]
+    return round(time.perf_counter() - t0, 2)
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -132,6 +148,7 @@ def run_queries() -> dict:
 
 
 def main():
+    probe_before = bandwidth_probe()
     ray = _init_ray(NUM_CPUS)
     headline = run_headline()
     mode = os.environ.get("GRAFT_BENCH_MODE", "full")
@@ -146,6 +163,9 @@ def main():
         "num_cpus": NUM_CPUS,
         "pages": headline["pages"],
         "pages_per_sec": round(headline["pages_per_sec"], 1),
+        # Host-health context: healthy ≈0.5 s; >1 s means this run landed
+        # in a degraded window and its times are NOT comparable.
+        "bandwidth_probe_sec": [probe_before, bandwidth_probe()],
     }))
 
 
@@ -158,21 +178,6 @@ def scaling():
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
-
-    def bandwidth_probe() -> float:
-        """Single-thread 23M-element gather, seconds. This box's memory
-        bandwidth oscillates on minute timescales (healthy ≈0.5 s,
-        degraded 2-10 s) and a degraded window invalidates the high-CPU
-        level far more than the low one — recording the probe beside
-        each level makes the measurement's validity auditable."""
-        import numpy as np
-
-        rng = np.random.default_rng(0)
-        a = rng.random(23_000_000)
-        idx = rng.integers(0, a.size, a.size)
-        t0 = time.perf_counter()
-        a[idx]
-        return round(time.perf_counter() - t0, 2)
 
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
