@@ -38,6 +38,7 @@ def training_data_pipeline(
     val_frac: float = 0.05,
     write_to: Optional[str] = None,
     lang_concurrency: Optional[int] = None,
+    drop_broadcast_threshold: int = 64 << 20,
 ):
     """Run the chain over a page Dataset; returns the final Dataset (or
     lineage rows when ``write_to`` is set).
@@ -120,7 +121,32 @@ def training_data_pipeline(
                                  id_col=id_col, emb_col=emb_col)
     drops = pairs.select_columns(["id_b"]).materialize()
     n_drops = drops.count()
-    if n_drops > 0:
+    if n_drops > 0 and n_drops * 8 < drop_broadcast_threshold:
+        # Typical corpora: the drop-set is a few percent of the rows —
+        # 8 bytes/id, exact size known post-count. Broadcast it once
+        # (`ray.put`) and anti-filter with a vectorized searchsorted
+        # probe: zero shuffles, no Acero, nested payload columns stream
+        # untouched. The gate (8M ids = 64 MB per worker heap) sends
+        # duplicate-saturated corpora to the partitioned join below.
+        import ray as _ray
+
+        # map_groups leaves SCHEMALESS empty blocks for empty sort
+        # partitions (no id_b column at all) — skip them; only typed
+        # blocks carry ids.
+        tbls = [_ray.get(r) for r in drops.to_arrow_refs()]
+        keys = np.unique(np.concatenate(
+            [t["id_b"].to_numpy() for t in tbls if "id_b" in t.column_names]
+            or [np.array([], dtype=np.int64)]))
+        kref = _ray.put(keys)
+
+        def _anti(t: pa.Table) -> pa.Table:
+            k = _ray.get(kref)
+            ids = t[id_col].to_numpy()
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            return t.filter(pa.array(k[pos] != ids))
+
+        ds = ds.map_batches(_anti, batch_format="pyarrow", batch_size=None)
+    elif n_drops > 0:
         # Ray's map_groups emits SCHEMALESS empty blocks for empty sort
         # partitions (the per-group UDF is never invoked, and map_batches
         # passes empty blocks through without running the UDF either);

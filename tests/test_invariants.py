@@ -155,3 +155,29 @@ def test_training_data_pipeline_alt_near_dup_methods(ray_session):
         training_data_pipeline(rd.from_pandas(df), near_dup_method="bogus")
     with _pytest.raises(ValueError, match="emb_col"):
         training_data_pipeline(rd.from_pandas(df), near_dup_method="embedding")
+
+
+def test_training_pipeline_anti_paths_agree(ray_session):
+    """The size-gated broadcast anti-filter and the partitioned Acero
+    left-anti join drop exactly the same near-dup victims."""
+    import pandas as pd
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    rows = []
+    base = "the cat and the dog sat in the house with the mouse " * 3
+    for i in range(40):
+        rows.append({"page_id": i, "text": base + f"variant {i % 8}"})
+    df = pd.DataFrame(rows)
+
+    outs = []
+    for thresh in ((64 << 20), 0):  # broadcast path, then forced Acero path
+        out = training_data_pipeline(
+            rd.from_pandas(df), keep_langs={"en"}, min_tokens=10,
+            near_dup_threshold=0.9, drop_broadcast_threshold=thresh,
+        ).to_pandas()
+        outs.append(out.sort_values("page_id")[["page_id", "split"]]
+                    .reset_index(drop=True))
+    assert len(outs[0]) < len(df)  # near-dups were actually dropped
+    assert outs[0].equals(outs[1])
