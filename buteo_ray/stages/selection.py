@@ -142,6 +142,12 @@ def sample_per_group(ds, key_col: str, n: int, id_col: str):
     """
     def _prio(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
+        if len(ids) and ids.min() < 0:
+            # numpy % is always non-negative, SQL % keeps the dividend's
+            # sign — a negative id would silently diverge from the
+            # documented (oracle-reproducible) priority. Fail loudly.
+            raise ValueError(
+                f"sample_per_group: id_col '{id_col}' must be non-negative")
         prio = (ids % 1048573) * 2654435761 + ids % 97
         return t.append_column("__prio", pa.array(prio.astype(np.int64)))
 
