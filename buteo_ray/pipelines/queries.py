@@ -2056,11 +2056,12 @@ def sql_sample_per_group() -> str:
       SELECT doc_id, source,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY (doc_id % 1048573) * 2654435761 + doc_id % 97,
+               ORDER BY (doc_id % 1048573) * 2654435761 % 1048573,
+                        (doc_id % 999983) * 97003 % 999983,
                         doc_id) AS rn
       FROM documents)
     WHERE rn <= 20
-    """
+"""
 
 
 # ---------------------------------------------------------------- registry

@@ -132,8 +132,8 @@ def training_data_pipeline(
 
         # map_groups leaves SCHEMALESS empty blocks for empty sort
         # partitions (no id_b column at all) — skip them; only typed
-        # blocks carry ids.
-        tbls = [_ray.get(r) for r in drops.to_arrow_refs()]
+        # blocks carry ids. One batched get: blocks fetch in parallel.
+        tbls = _ray.get(drops.to_arrow_refs())
         keys = np.unique(np.concatenate(
             [t["id_b"].to_numpy() for t in tbls if "id_b" in t.column_names]
             or [np.array([], dtype=np.int64)]))

@@ -810,36 +810,45 @@ def duplicate_spans(ds, window: int = 32, stride: int = 16,
     Plan (exact, collision-safe, one shuffle):
       1. map_batches (Arrow, zero-copy buffer view): every window's
          64-bit polynomial hash, vectorized — ``window`` fused numpy
-         passes per batch, no per-row Python.
-      2. groupby(hash) hash-partition shuffle. The window BYTES ride
-         along so step 3 can compare exactly; the 8-byte hash is the
-         shuffle key. (A probabilistic variant could drop the payload
-         and trust the hash — at 1e12 docs * ~64 windows each, 64-bit
-         collisions are expected, so exactness keeps the bytes.)
-      3. per-group: count identical byte windows, emit positions of
-         those seen >= 2 times.
+         passes over a strided window view per batch, no per-row Python.
+      2. groupby(hash % B) hash-BUCKET shuffle (size-derived B, like
+         exact_dedup — one pandas call per ~64 MB bucket, not one per
+         distinct window). The window BYTES ride along so step 3 can
+         compare exactly. (A probabilistic variant could drop the
+         payload and trust the hash — at 1e12 docs * ~64 windows each,
+         64-bit collisions are expected, so exactness keeps the bytes.)
+      3. per-bucket: count identical byte windows (equal windows share a
+         hash, hence a bucket), emit positions of those seen >= 2 times.
 
-    At scale the exchange carries (id, pos, hash, window-bytes) per
-    sampled window — ~(window + 24) bytes per stride bytes of corpus,
-    i.e. ~3.5x lighter than the raw text for the defaults.
+    At scale the exchange carries (id, pos, bucket, window-bytes) per
+    sampled window — (window + 24) bytes per ``stride`` text bytes, i.e.
+    ~3.5x the raw text bytes at the 32/16 defaults. That is the price of
+    exact output (suffix arrays pay ~8x in memory instead); widening
+    stride to 64 with window 64 brings it to ~1.4x and still catches
+    any repeated passage >= 127 bytes.
     """
-    win_np = np.arange(window, dtype=np.int64)
+    from buteo_ray.state.skew import derive_num_partitions
+
+    n_buckets = derive_num_partitions(ds)
 
     def _windows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
+        id_type = t.schema.field(id_col).type
         data, starts, lens = _utf8_buffer_view(t[text_col])
         counts = np.maximum((lens - window) // stride + 1, 0)
         tot = int(counts.sum())
         if tot == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], id_type),
                              "pos": pa.array([], pa.int64()),
-                             "h": pa.array([], pa.int64()),
+                             "__bucket": pa.array([], pa.int64()),
                              "win": pa.array([], pa.binary())})
         offs = np.concatenate([[0], np.cumsum(counts)])
         rel = (np.arange(tot, dtype=np.int64)
                - np.repeat(offs[:-1], counts)) * stride
         abs0 = rel + np.repeat(starts, counts)
-        wb = data[abs0[:, None] + win_np]  # (tot, window) uint8
+        # One gather of the actual window bytes (tot, window) — index
+        # vector + strided view, no (tot, window) int64 index matrix.
+        wb = np.lib.stride_tricks.sliding_window_view(data, window)[abs0]
         h = np.zeros(tot, dtype=np.uint64)
         for j in range(window):
             h = h * np.uint64(1099511628211) + wb[:, j]
@@ -847,19 +856,19 @@ def duplicate_spans(ds, window: int = 32, stride: int = 16,
         buf = pa.py_buffer(np.ascontiguousarray(wb).tobytes())
         win_arr = pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(window), tot, [None, buf]).cast(pa.binary())
-        return pa.table({id_col: pa.array(np.repeat(ids, counts)),
+        return pa.table({id_col: pa.array(np.repeat(ids, counts)).cast(id_type),
                          "pos": pa.array(rel),
-                         "h": pa.array(h.view(np.int64)),
+                         "__bucket": pa.array((h % np.uint64(n_buckets)).view(np.int64)),
                          "win": win_arr})
 
     def _dups(g: pd.DataFrame) -> pd.DataFrame:
-        # All rows in g share a hash bucket; compare exact bytes.
+        # Rows in g share a hash bucket; count and compare exact bytes.
         vc = g["win"].value_counts()
         keep = g[g["win"].map(vc) >= 2]
         return keep[[id_col, "pos"]]
 
     return (ds.map_batches(_windows, batch_format="pyarrow", batch_size=None)
-            .groupby("h")
+            .groupby("__bucket")
             .map_groups(_dups, batch_format="pandas"))
 
 

@@ -95,15 +95,27 @@ def topk_per_group(ds, key_col: str, sort_cols: list, k: int,
     pandas sort+head per bucket finalizes every key in it (per-raw-key
     map_groups paid one Python call per key).
 
-    Ties beyond ``sort_cols`` are broken by the remaining columns so the
-    result is deterministic regardless of block layout."""
+    Ties beyond ``sort_cols`` are broken by the remaining ORDERABLE
+    columns so the result is deterministic regardless of block layout;
+    nested columns (list/tensor embeddings, WKB payload structs) are
+    excluded from the tie-break — pandas cannot sort them — so rows that
+    differ only in a nested payload need a unique id in ``sort_cols``
+    for full determinism."""
     from buteo_ray.state.skew import derive_num_partitions
 
     n_buckets = derive_num_partitions(ds)
     asc = [ascending] * len(sort_cols)
 
+    def _orderable(g: pd.DataFrame, c) -> bool:
+        s = g[c]
+        if s.dtype != object:
+            return True
+        v = s.iloc[0] if len(s) else None
+        return not isinstance(v, (list, np.ndarray, dict))
+
     def _partial(g: pd.DataFrame) -> pd.DataFrame:
-        other = [c for c in g.columns if c not in sort_cols and c != "__bucket"]
+        other = [c for c in g.columns
+                 if c not in sort_cols and c != "__bucket" and _orderable(g, c)]
         out = (g.sort_values(sort_cols + other, ascending=asc + [ascending] * len(other),
                              kind="stable")
                .groupby(key_col, sort=False).head(k))
@@ -130,11 +142,17 @@ def sample_per_group(ds, key_col: str, n: int, id_col: str):
     one domain contributes to the training set) as a distributed
     operator rather than a driver-side sample.
 
-    The priority is ``(id % 1048573) * 2654435761 + id % 97`` — overflow-
-    free in int64 for any non-negative id and reproducible in ANSI SQL
-    (the driver oracle recomputes it in a window function), unlike a
-    splitmix-style avalanche which SQL can't express. Ties (same
-    priority) break by id, so the result is block-layout independent.
+    The priority is the pair ``((id % p1) * m1 % p1, (id % p2) * m2 % p2)``
+    with primes p1=1048573, p2=999983 and multipliers coprime to them:
+    each component is a multiplicative permutation of the id's residue
+    (multiply BEFORE reducing — a mod-then-multiply form would be
+    monotone in id and silently degrade to head-n-by-id), and by CRT the
+    pair is collision-free for ids below p1·p2 ≈ 1.05e12. Overflow-free
+    in int64 for any non-negative id and reproducible in ANSI SQL (the
+    driver oracle recomputes it in a window function), unlike a
+    splitmix-style avalanche which SQL can't express. Remaining ties
+    (ids ≥ p1·p2 sharing both residues) break by id, so the result is
+    block-layout independent.
 
     Plan: one vectorized priority column + the two-level
     ``topk_per_group`` exchange (per-block partial head-n keeps at most
@@ -148,13 +166,15 @@ def sample_per_group(ds, key_col: str, n: int, id_col: str):
             # documented (oracle-reproducible) priority. Fail loudly.
             raise ValueError(
                 f"sample_per_group: id_col '{id_col}' must be non-negative")
-        prio = (ids % 1048573) * 2654435761 + ids % 97
-        return t.append_column("__prio", pa.array(prio.astype(np.int64)))
+        p1 = (ids % 1048573) * 2654435761 % 1048573
+        p2 = (ids % 999983) * 97003 % 999983
+        t = t.append_column("__prio1", pa.array(p1.astype(np.int64)))
+        return t.append_column("__prio2", pa.array(p2.astype(np.int64)))
 
     def _drop(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["__prio"])
+        return t.drop_columns(["__prio1", "__prio2"])
 
     out = topk_per_group(
         ds.map_batches(_prio, batch_format="pyarrow", batch_size=None),
-        key_col, ["__prio", id_col], n, ascending=True)
+        key_col, ["__prio1", "__prio2", id_col], n, ascending=True)
     return out.map_batches(_drop, batch_format="pyarrow", batch_size=None)

@@ -590,8 +590,33 @@ def test_sample_per_group_cap_and_determinism(ray_session_module):
     assert sizes["tiny"] == 2
 
     # Matches the SQL-window-function definition of the same priority.
-    prio = (df["doc_id"] % 1048573) * 2654435761 + df["doc_id"] % 97
-    want = (df.assign(__p=prio).sort_values(["__p", "doc_id"])
+    p1 = (df["doc_id"] % 1048573) * 2654435761 % 1048573
+    p2 = (df["doc_id"] % 999983) * 97003 % 999983
+    want = (df.assign(__p1=p1, __p2=p2).sort_values(["__p1", "__p2", "doc_id"])
             .groupby("grp").head(10)[["doc_id", "grp"]]
             .sort_values(["grp", "doc_id"]).reset_index(drop=True))
     assert outs[0][["doc_id", "grp"]].reset_index(drop=True).equals(want)
+
+    # The selection is NOT head-n-by-id (the priority actually mixes):
+    # sequential ids per group must not all come from the id prefix.
+    first_grp = outs[0][outs[0]["grp"] == "g0"]["doc_id"].to_numpy()
+    assert not np.array_equal(np.sort(first_grp), np.arange(10))
+
+
+def test_sample_per_group_ignores_nested_columns(ray_session_module):
+    """A nested (list) payload column must stream through sample_per_group
+    untouched — it is excluded from the tie-break sort."""
+    import ray.data as rd
+    from buteo_ray.stages.selection import sample_per_group
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "grp": np.repeat(["a", "b", "c"], 20),
+        "emb": [list(np.arange(4) + i) for i in range(60)],
+    })
+    out = sample_per_group(rd.from_pandas(df).repartition(4),
+                           key_col="grp", n=5, id_col="doc_id").to_pandas()
+    assert out.groupby("grp").size().eq(5).all()
+    got = out.sort_values("doc_id")
+    want = df.set_index("doc_id").loc[got["doc_id"]]
+    assert all(list(a) == list(b) for a, b in zip(got["emb"], want["emb"]))
