@@ -620,3 +620,31 @@ def test_sample_per_group_ignores_nested_columns(ray_session_module):
     got = out.sort_values("doc_id")
     want = df.set_index("doc_id").loc[got["doc_id"]]
     assert all(list(a) == list(b) for a, b in zip(got["emb"], want["emb"]))
+
+
+def test_duplicate_spans_fuzz_configs(ray_session_module):
+    """Window/stride sweep over a mixed fuzz corpus (tiny alphabet to
+    force repeats, unicode, empties, exact-window-length docs, nulls)
+    must match the brute counter for every config."""
+    import ray.data as rd
+    from buteo_ray.stages.dedup import duplicate_spans, duplicate_spans_brute
+
+    rng = np.random.default_rng(123)
+    alpha = list("abc ")
+    texts = ["".join(rng.choice(alpha, size=int(n)))
+             for n in rng.integers(0, 120, size=80)]
+    texts += ["", "x" * 16, "x" * 17, "ü" * 20, "héllo wörld" * 4,
+              texts[0], texts[1]]
+    ids = list(range(len(texts)))
+
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    df.loc[len(df)] = {"doc_id": 999, "text": None}  # null → empty string
+    ds = rd.from_pandas(df).repartition(6)
+
+    for window, stride in [(16, 16), (16, 4), (8, 8), (24, 16)]:
+        got = duplicate_spans(ds, window=window, stride=stride).to_pandas()
+        got_pairs = sorted(map(tuple, got[["doc_id", "pos"]].to_numpy()))
+        want = duplicate_spans_brute(
+            [t or "" for t in df["text"]], list(df["doc_id"]),
+            window=window, stride=stride)
+        assert got_pairs == want, (window, stride)
