@@ -2038,6 +2038,28 @@ def sql_dup_spans() -> str:
 """
 
 
+def q_doc_freq(sf_dir: str):
+    """Top-50 tokens by document frequency (stages/text.py:doc_freq —
+    distinct-doc counts, partial+final: only (token, partial n) rows
+    cross the shuffle)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    from buteo_ray.stages.text import doc_freq
+
+    return doc_freq(docs, k=50)
+
+
+def sql_doc_freq() -> str:
+    return """
+    SELECT token, n_docs FROM (
+      SELECT token, count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token)
+    ORDER BY n_docs DESC, token
+    LIMIT 50
+    """
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2121,6 +2143,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "raster_stack_extract": q_raster_stack_extract,
     "dup_spans": q_dup_spans,
     "sample_per_group": q_sample_per_group,
+    "doc_freq": q_doc_freq,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2198,6 +2221,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "raster_stack_extract": sql_raster_stack_extract,
     "dup_spans": sql_dup_spans,
     "sample_per_group": sql_sample_per_group,
+    "doc_freq": sql_doc_freq,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -135,3 +135,36 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
         return _set_col(batch, out_col, pa.array(h))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def doc_freq(ds, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 50):
+    """Document frequency: for every token, the number of DISTINCT
+    documents containing it; returns the top-``k`` by (n_docs desc,
+    token asc) — corpus vocabulary statistics for web-text curation
+    (stopword discovery, boilerplate detection, IDF weighting).
+
+    Partial+final plan: a document's text lives in exactly one row,
+    hence one block, so deduping (doc, token) pairs WITHIN a block and
+    collapsing to per-token partial counts is globally exact — only
+    (token, partial n) rows cross the shuffle, never token occurrences.
+    The final is a token-keyed sum + a k-row sort (the grouped table is
+    vocabulary-sized, orders of magnitude below corpus size). Ties are
+    impossible across the limit boundary: (n_docs, token) is a total
+    order.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        pairs = pd.DataFrame({"d": parents.to_numpy(),
+                              "token": flat.to_pandas()}).drop_duplicates()
+        vc = pairs["token"].value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(), pa.string()),
+                         "n_docs": pa.array(vc.to_numpy().astype(np.int64))})
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+           .groupby("token").aggregate(Sum("n_docs", alias_name="n_docs")))
+    return agg.sort(["n_docs", "token"], descending=[True, False]).limit(k)

@@ -648,3 +648,26 @@ def test_duplicate_spans_fuzz_configs(ray_session_module):
             [t or "" for t in df["text"]], list(df["doc_id"]),
             window=window, stride=stride)
         assert got_pairs == want, (window, stride)
+
+
+def test_doc_freq_matches_brute(ray_session_module):
+    """doc_freq == pandas brute distinct-doc counts, with the limit
+    binding (k < vocab) and repeated tokens inside one doc counted once."""
+    import ray.data as rd
+    from buteo_ray.stages.text import doc_freq
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "text": [f"common tok{i % 7} tok{i % 7} rare{i}" for i in range(30)],
+    })
+    out = doc_freq(rd.from_pandas(df).repartition(5), k=5).to_pandas()
+
+    pairs = (df.assign(token=df["text"].str.split(" ")).explode("token")
+             [["doc_id", "token"]].drop_duplicates())
+    want = (pairs.groupby("token").size().rename("n_docs").reset_index()
+            .sort_values(["n_docs", "token"], ascending=[False, True])
+            .head(5).reset_index(drop=True))
+    got = out.sort_values(["n_docs", "token"], ascending=[False, True]).reset_index(drop=True)
+    assert got[["token", "n_docs"]].astype({"n_docs": "int64"}).equals(
+        want[["token", "n_docs"]].astype({"n_docs": "int64"}))
+    assert got["n_docs"].iloc[0] == 30  # 'common' in every doc, once each
