@@ -2060,6 +2060,51 @@ def sql_doc_freq() -> str:
     """
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (stages/text.py:pii_scrub — email/IPv4/phone spans
+    → placeholders, RE2 on both engine and oracle). The corpus has no
+    PII, so both sides first append a deterministic synthetic address +
+    IP per doc; the scrub must then find exactly those spans."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.text import pii_scrub
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _aug(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        octet = pc.cast(pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 256), 256)),
+            pa.string())
+        n = len(t)
+        aug = pc.binary_join_element_wise(
+            t["text"], pa.array([" contact user"] * n), ids,
+            pa.array(["@example.com from 192.168.0."] * n), octet, "")
+        return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+    return pii_scrub(ds.map_batches(_aug, batch_format="pyarrow",
+                                    batch_size=None))
+
+
+def sql_pii_scrub() -> str:
+    from buteo_ray.stages.text import PII_PATTERNS
+
+    # Counting every pattern against the ORIGINAL text would differ from
+    # the engine when a later pattern matches inside an earlier
+    # redaction's span; mirror the engine exactly — count pattern i on
+    # the text after scrubs < i by nesting replace inside the running
+    # expression.
+    exprs = []
+    running = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+               "'@example.com from 192.168.0.' || CAST(doc_id % 256 AS VARCHAR)")
+    for _, pat, repl in PII_PATTERNS:
+        exprs.append(f"len(regexp_extract_all({running}, '{pat}'))")
+        running = f"regexp_replace({running}, '{pat}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {running} AS text, "
+            f"CAST({' + '.join(exprs)} AS BIGINT) AS n_redactions "
+            "FROM documents")
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2144,6 +2189,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dup_spans": q_dup_spans,
     "sample_per_group": q_sample_per_group,
     "doc_freq": q_doc_freq,
+    "pii_scrub": q_pii_scrub,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2222,6 +2268,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "dup_spans": sql_dup_spans,
     "sample_per_group": sql_sample_per_group,
     "doc_freq": sql_doc_freq,
+    "pii_scrub": sql_pii_scrub,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -671,3 +671,29 @@ def test_doc_freq_matches_brute(ray_session_module):
     assert got[["token", "n_docs"]].astype({"n_docs": "int64"}).equals(
         want[["token", "n_docs"]].astype({"n_docs": "int64"}))
     assert got["n_docs"].iloc[0] == 30  # 'common' in every doc, once each
+
+
+def test_pii_scrub_patterns(ray_session_module):
+    """pii_scrub redacts email/IPv4/phone spans, counts per row, and
+    leaves clean rows untouched."""
+    import ray.data as rd
+    from buteo_ray.stages.text import pii_scrub
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "write a.b-c_9@exa-mple.co.uk or ping 10.0.0.1 today",
+            "call +1(555)123-4567 and 555.123.4567 now",
+            "clean row with no sensitive spans at all",
+            "two mails x@y.io z@w.dev one ip 8.8.8.8",
+        ],
+    })
+    out = (pii_scrub(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["text"].tolist() == [
+        "write <EMAIL> or ping <IP> today",
+        "call <PHONE> and <PHONE> now",
+        "clean row with no sensitive spans at all",
+        "two mails <EMAIL> <EMAIL> one ip <IP>",
+    ]
+    assert out["n_redactions"].tolist() == [2, 2, 0, 3]
