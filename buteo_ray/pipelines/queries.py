@@ -2105,6 +2105,36 @@ def sql_pii_scrub() -> str:
             "FROM documents")
 
 
+def q_rep_ngrams(sf_dir: str):
+    """Per-document repetition stats (stages/text.py:rep_ngrams): total
+    vs distinct adjacent-token bigrams — the Gopher-style duplicate-
+    n-gram quality signal."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    from buteo_ray.stages.text import rep_ngrams
+
+    return rep_ngrams(docs)
+
+
+def sql_rep_ngrams() -> str:
+    return """
+    -- constant positions table (this DuckDB rejects lateral column args
+    -- to range/generate_series); 4096 covers any sf's max token count.
+    WITH p AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 4096)),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id,
+             toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)] AS bg
+      FROM t JOIN p ON p.i <= len(toks) - 1
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n, 0) AS n_bigrams,
+           COALESCE(c.nd, 0) AS n_distinct_bigrams
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, count(*) AS n, count(DISTINCT bg) AS nd
+      FROM b GROUP BY doc_id) c USING (doc_id)
+    """
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2190,6 +2220,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "sample_per_group": q_sample_per_group,
     "doc_freq": q_doc_freq,
     "pii_scrub": q_pii_scrub,
+    "rep_ngrams": q_rep_ngrams,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2269,6 +2300,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "sample_per_group": sql_sample_per_group,
     "doc_freq": sql_doc_freq,
     "pii_scrub": sql_pii_scrub,
+    "rep_ngrams": sql_rep_ngrams,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

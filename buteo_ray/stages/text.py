@@ -199,3 +199,40 @@ def pii_scrub(ds, text_col: str = "text", out_col: str = "text",
         return _set_col(out, count_col, pa.array(n))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def rep_ngrams(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition statistics: total and distinct bigram
+    counts per document (the Gopher-style duplicate-n-gram quality
+    signal — a high ``n_bigrams - n_distinct_bigrams`` gap marks
+    boilerplate/spam). Stateless zero-copy Arrow stage: adjacent-token
+    bigrams built by one masked vectorized join over the flattened token
+    stream (bigrams never cross document boundaries), per-doc counts via
+    a grouped nunique. Docs with < 2 tokens report (0, 0)."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) > 1:
+            same = parents[1:] == parents[:-1]
+            a = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+            b = flat.slice(1).filter(pa.array(same))
+            bg = pc.binary_join_element_wise(a, b, " ")
+            par = parents[:-1][same]
+            g = pd.DataFrame({"p": par, "bg": bg.to_pandas()}).groupby("p")["bg"]
+            n = g.size()
+            nd = g.nunique()
+        else:
+            n = pd.Series(dtype="int64")
+            nd = pd.Series(dtype="int64")
+        rows = np.arange(len(t))
+        out_n = pd.Series(0, index=rows, dtype="int64")
+        out_nd = pd.Series(0, index=rows, dtype="int64")
+        out_n.loc[n.index] = n
+        out_nd.loc[nd.index] = nd
+        return pa.table({id_col: t[id_col],
+                         "n_bigrams": pa.array(out_n.to_numpy()),
+                         "n_distinct_bigrams": pa.array(out_nd.to_numpy())})
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

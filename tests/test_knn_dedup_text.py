@@ -697,3 +697,30 @@ def test_pii_scrub_patterns(ray_session_module):
         "two mails <EMAIL> <EMAIL> one ip <IP>",
     ]
     assert out["n_redactions"].tolist() == [2, 2, 0, 3]
+
+
+def test_rep_ngrams_matches_brute(ray_session_module):
+    """rep_ngrams == per-doc brute bigram counting, including boilerplate
+    (high repetition), a 1-token doc and an empty-ish doc."""
+    import ray.data as rd
+    from buteo_ray.stages.text import rep_ngrams
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["buy now buy now buy now buy now",
+                 "all tokens here are fully distinct words",
+                 "single",
+                 "a b a b c"],
+    })
+    out = (rep_ngrams(rd.from_pandas(df).repartition(3)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    def brute(s):
+        t = s.split(" ")
+        bgs = [f"{x} {y}" for x, y in zip(t, t[1:])]
+        return len(bgs), len(set(bgs))
+
+    want = [brute(s) for s in df["text"]]
+    assert list(zip(out["n_bigrams"], out["n_distinct_bigrams"])) == want
+    assert want[0] == (7, 2)   # boilerplate: huge dup gap
+    assert want[2] == (0, 0)   # single token → no bigrams
