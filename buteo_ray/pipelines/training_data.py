@@ -39,6 +39,8 @@ def training_data_pipeline(
     write_to: Optional[str] = None,
     lang_concurrency: Optional[int] = None,
     drop_broadcast_threshold: int = 64 << 20,
+    scrub_pii: bool = False,
+    max_dup_bigram_frac: Optional[float] = None,
 ):
     """Run the chain over a page Dataset; returns the final Dataset (or
     lineage rows when ``write_to`` is set).
@@ -92,6 +94,28 @@ def training_data_pipeline(
         return t.filter(pa.array(n >= min_tokens))
 
     ds = ds.map_batches(_quality_filter, batch_format="pyarrow", batch_size=None)
+
+    if max_dup_bigram_frac is not None:
+        # Gopher-style repetition gate: drop docs whose duplicate-bigram
+        # share exceeds the cap. Computed inline per batch (stateless,
+        # vectorized) — NOT a join against a rep_ngrams() Dataset, which
+        # would re-read the corpus and shuffle it once more.
+        from buteo_ray.stages.text import bigram_counts
+
+        def _rep_filter(t: pa.Table) -> pa.Table:
+            n, nd = bigram_counts(t[text_col])
+            dup_frac = np.where(n > 0, (n - nd) / np.maximum(n, 1), 0.0)
+            return t.filter(pa.array(dup_frac <= max_dup_bigram_frac))
+
+        ds = ds.map_batches(_rep_filter, batch_format="pyarrow", batch_size=None)
+
+    if scrub_pii:
+        from buteo_ray.stages.text import pii_scrub
+
+        # Scrub BEFORE dedup: two docs identical except for distinct
+        # emails become exact duplicates post-redaction (the curation
+        # order the public CC recipes use).
+        ds = pii_scrub(ds, text_col=text_col, out_col=text_col)
 
     # Exact dedup (min-id row per identical text). Materialize here: the
     # deduped set is consumed TWICE (LSH pair mining + final output) and

@@ -211,28 +211,33 @@ def rep_ngrams(ds, text_col: str = "text", id_col: str = "doc_id"):
     a grouped nunique. Docs with < 2 tokens report (0, 0)."""
 
     def _fn(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t[text_col], " ")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        if len(flat) > 1:
-            same = parents[1:] == parents[:-1]
-            a = flat.slice(0, len(flat) - 1).filter(pa.array(same))
-            b = flat.slice(1).filter(pa.array(same))
-            bg = pc.binary_join_element_wise(a, b, " ")
-            par = parents[:-1][same]
-            g = pd.DataFrame({"p": par, "bg": bg.to_pandas()}).groupby("p")["bg"]
-            n = g.size()
-            nd = g.nunique()
-        else:
-            n = pd.Series(dtype="int64")
-            nd = pd.Series(dtype="int64")
-        rows = np.arange(len(t))
-        out_n = pd.Series(0, index=rows, dtype="int64")
-        out_nd = pd.Series(0, index=rows, dtype="int64")
-        out_n.loc[n.index] = n
-        out_nd.loc[nd.index] = nd
+        n, nd = bigram_counts(t[text_col])
         return pa.table({id_col: t[id_col],
-                         "n_bigrams": pa.array(out_n.to_numpy()),
-                         "n_distinct_bigrams": pa.array(out_nd.to_numpy())})
+                         "n_bigrams": pa.array(n),
+                         "n_distinct_bigrams": pa.array(nd)})
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def bigram_counts(text_arr) -> "tuple[np.ndarray, np.ndarray]":
+    """(total, distinct) adjacent-token bigram counts per row of an
+    Arrow string column — the shared kernel behind :func:`rep_ngrams`
+    and the training pipeline's repetition gate."""
+    toks = pc.split_pattern(text_arr, " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n_rows = len(text_arr)
+    out_n = np.zeros(n_rows, dtype=np.int64)
+    out_nd = np.zeros(n_rows, dtype=np.int64)
+    if len(flat) > 1:
+        same = parents[1:] == parents[:-1]
+        a = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        b = flat.slice(1).filter(pa.array(same))
+        bg = pc.binary_join_element_wise(a, b, " ")
+        par = parents[:-1][same]
+        g = pd.DataFrame({"p": par, "bg": bg.to_pandas()}).groupby("p")["bg"]
+        n = g.size()
+        nd = g.nunique()
+        out_n[n.index.to_numpy()] = n.to_numpy()
+        out_nd[nd.index.to_numpy()] = nd.to_numpy()
+    return out_n, out_nd

@@ -181,3 +181,31 @@ def test_training_pipeline_anti_paths_agree(ray_session):
                     .reset_index(drop=True))
     assert len(outs[0]) < len(df)  # near-dups were actually dropped
     assert outs[0].equals(outs[1])
+
+
+def test_training_pipeline_scrub_and_repetition_gate(ray_session):
+    """scrub_pii collapses docs differing only in an email into one exact
+    duplicate, and max_dup_bigram_frac drops boilerplate rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    base = "the cat and the dog sat in the house with the mouse today fine"
+    rows = [
+        {"page_id": 1, "text": base + " mail alice@example.com"},
+        {"page_id": 2, "text": base + " mail bob@other.org"},     # dup after scrub
+        {"page_id": 3, "text": "buy now " * 12 + "only the best deal today"},
+        {"page_id": 4, "text": "the quick brown fox jumps over the lazy dog and sleeps well"},
+    ]
+    out = training_data_pipeline(
+        rd.from_pandas(pd.DataFrame(rows)), keep_langs={"en"}, min_tokens=5,
+        near_dup_threshold=0.99, scrub_pii=True, max_dup_bigram_frac=0.5,
+    ).to_pandas()
+
+    ids = set(out["page_id"])
+    assert 1 in ids and 2 not in ids      # exact dup post-scrub, min id kept
+    assert 3 not in ids                   # repetition gate
+    assert 4 in ids
+    assert out.loc[out["page_id"] == 1, "text"].iloc[0].endswith("mail <EMAIL>")
+    assert (out["n_redactions"] >= 0).all()
