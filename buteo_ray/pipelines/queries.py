@@ -2004,7 +2004,9 @@ def q_training_pipeline(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     out = training_data_pipeline(
         ds, id_col="doc_id",
-        keep_langs={"en", "de", "fr", "es", "zh"},
+        # Only languages the stopword lang-ID can predict ('zh' would be
+        # dead weight: Chinese scores 'und' and is already dropped).
+        keep_langs={"en", "de", "fr", "es"},
         min_tokens=5, near_dup_threshold=0.8)
     return out.select_columns(["doc_id", "lang_pred", "split"])
 
@@ -2118,8 +2120,10 @@ def q_rep_ngrams(sf_dir: str):
 def sql_rep_ngrams() -> str:
     return """
     -- constant positions table (this DuckDB rejects lateral column args
-    -- to range/generate_series); 4096 covers any sf's max token count.
-    WITH p AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 4096)),
+    -- to range/generate_series). 16384 bounds the oracle: docs with more
+    -- tokens would be silently undercounted here (not in the engine) —
+    -- tests/test_knn_dedup_text.py pins max tokens/doc far below it.
+    WITH p AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 16384)),
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     b AS (
       SELECT doc_id,

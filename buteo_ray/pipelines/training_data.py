@@ -104,7 +104,9 @@ def training_data_pipeline(
 
         def _rep_filter(t: pa.Table) -> pa.Table:
             n, nd = bigram_counts(t[text_col])
-            dup_frac = np.where(n > 0, (n - nd) / np.maximum(n, 1), 0.0)
+            # n == 0 implies nd == 0, so the maximum() guard alone
+            # yields dup_frac 0.0 for bigram-less docs.
+            dup_frac = (n - nd) / np.maximum(n, 1)
             return t.filter(pa.array(dup_frac <= max_dup_bigram_frac))
 
         ds = ds.map_batches(_rep_filter, batch_format="pyarrow", batch_size=None)

@@ -144,10 +144,12 @@ def doc_freq(ds, text_col: str = "text", id_col: str = "doc_id",
     token asc) — corpus vocabulary statistics for web-text curation
     (stopword discovery, boilerplate detection, IDF weighting).
 
-    Partial+final plan: a document's text lives in exactly one row,
-    hence one block, so deduping (doc, token) pairs WITHIN a block and
-    collapsing to per-token partial counts is globally exact — only
-    (token, partial n) rows cross the shuffle, never token occurrences.
+    Partial+final plan: all rows of one ``id_col`` value must live in
+    one block (true when ids are unique, the documents-table contract —
+    re-ingested shards must pre-dedup), so deduping (id, token) pairs
+    WITHIN a block and collapsing to per-token partial counts is
+    globally exact — only (token, partial n) rows cross the shuffle,
+    never token occurrences.
     The final is a token-keyed sum + a k-row sort (the grouped table is
     vocabulary-sized, orders of magnitude below corpus size). Ties are
     impossible across the limit boundary: (n_docs, token) is a total
@@ -158,8 +160,9 @@ def doc_freq(ds, text_col: str = "text", id_col: str = "doc_id",
     def _partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t[text_col], " ")
         flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks)
-        pairs = pd.DataFrame({"d": parents.to_numpy(),
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pairs = pd.DataFrame({"d": ids[parents],
                               "token": flat.to_pandas()}).drop_duplicates()
         vc = pairs["token"].value_counts()
         return pa.table({"token": pa.array(vc.index.to_numpy(), pa.string()),
@@ -193,7 +196,11 @@ def pii_scrub(ds, text_col: str = "text", out_col: str = "text",
         col = t[text_col]
         n = np.zeros(len(t), dtype=np.int64)
         for _, pat, repl in PII_PATTERNS:
-            n += pc.count_substring_regex(col, pat).to_numpy(zero_copy_only=False)
+            # fill_null: a null text row counts 0 redactions (and stays
+            # null through replace) instead of poisoning the int64
+            # accumulator with NaN.
+            c = pc.fill_null(pc.count_substring_regex(col, pat), 0)
+            n += c.cast(pa.int64()).to_numpy(zero_copy_only=False)
             col = pc.replace_substring_regex(col, pat, repl)
         out = _set_col(t, out_col, col)
         return _set_col(out, count_col, pa.array(n))

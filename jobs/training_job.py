@@ -33,10 +33,14 @@ def main() -> None:
     p.add_argument("--output", default="/tmp/buteo_ray_training_job",
                    help="resumable partitioned output directory")
     p.add_argument("--id-col", default="doc_id")
-    p.add_argument("--langs", default="en,de,fr,es,zh")
+    # The 5 languages the stopword lang-ID stage can actually predict;
+    # anything else scores 'und' and would be silently dropped.
+    p.add_argument("--langs", default="en,de,fr,es,da")
     p.add_argument("--min-tokens", type=int, default=5)
+    # 'embedding' needs an emb_col this text-only entrypoint doesn't
+    # read — not offered here rather than failing after the lang pass.
     p.add_argument("--near-dup", default="minhash",
-                   choices=["minhash", "simhash", "embedding"])
+                   choices=["minhash", "simhash"])
     p.add_argument("--near-dup-threshold", type=float, default=0.85)
     p.add_argument("--scrub-pii", action="store_true")
     p.add_argument("--max-dup-bigram-frac", type=float, default=None)

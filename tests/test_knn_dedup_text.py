@@ -724,3 +724,42 @@ def test_rep_ngrams_matches_brute(ray_session_module):
     assert list(zip(out["n_bigrams"], out["n_distinct_bigrams"])) == want
     assert want[0] == (7, 2)   # boilerplate: huge dup gap
     assert want[2] == (0, 0)   # single token → no bigrams
+
+
+def test_pii_scrub_null_text(ray_session_module):
+    """Null text rows count 0 redactions and stay null (no NaN poisoning
+    of the int64 accumulator)."""
+    import ray.data as rd
+    from buteo_ray.stages.text import pii_scrub
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["ping 10.0.0.1", None]})
+    out = (pii_scrub(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_redactions"].tolist() == [1, 0]
+    assert out["text"].iloc[0] == "ping <IP>"
+    assert out["text"].iloc[1] is None or pd.isna(out["text"].iloc[1])
+
+
+def test_rep_ngrams_oracle_position_cap(sf_dir_module):
+    """sql_rep_ngrams enumerates 16383 positions; a doc with more tokens
+    would make the ORACLE (not the engine) undercount. Pin the corpus
+    fact the oracle relies on, at the sf the driver compares at."""
+    import pyarrow.parquet as pq
+
+    for sf in (sf_dir_module, "/root/testdata/sf0.01"):
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        max_toks = max(len(s.split(" ")) for s in t["text"].to_pylist())
+        assert max_toks < 16383, f"{sf}: {max_toks}"
+
+
+def test_doc_freq_counts_ids_not_rows(ray_session_module):
+    """Document identity is id_col, not the physical row: a doc_id split
+    across two rows IN THE SAME BLOCK counts once per token."""
+    import ray.data as rd
+    from buteo_ray.stages.text import doc_freq
+
+    df = pd.DataFrame({"doc_id": [1, 1, 2],
+                       "text": ["alpha beta", "alpha gamma", "alpha"]})
+    out = doc_freq(rd.from_pandas(df), k=10).to_pandas()
+    got = dict(zip(out["token"], out["n_docs"]))
+    assert got["alpha"] == 2  # not 3: both id-1 rows share one block
