@@ -2139,6 +2139,31 @@ def sql_rep_ngrams() -> str:
     """
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context-packing chunker (stages/text.py:chunk_documents): 32-token
+    windows, 8-token overlap (stride 24) — streaming 1→N explosion, chunk
+    text built by one vectorized byte gather."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    from buteo_ray.stages.text import chunk_documents
+
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def sql_chunk_documents() -> str:
+    return """
+    -- constant chunk-start table (stride 24; 16384 >> any sf's tokens).
+    WITH p AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, 16384, 24)),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(p.s / 24 AS BIGINT) AS chunk_id,
+           array_to_string(
+             toks[CAST(p.s + 1 AS INTEGER):CAST(p.s + 32 AS INTEGER)],
+             ' ') AS chunk,
+           least(p.s + 32, len(toks)) - p.s AS n_tokens_chunk
+    FROM t JOIN p ON p.s < len(toks)
+    """
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2225,6 +2250,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "doc_freq": q_doc_freq,
     "pii_scrub": q_pii_scrub,
     "rep_ngrams": q_rep_ngrams,
+    "chunk_documents": q_chunk_documents,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2305,6 +2331,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "doc_freq": sql_doc_freq,
     "pii_scrub": sql_pii_scrub,
     "rep_ngrams": sql_rep_ngrams,
+    "chunk_documents": sql_chunk_documents,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -248,3 +248,76 @@ def bigram_counts(text_arr) -> "tuple[np.ndarray, np.ndarray]":
         out_n[n.index.to_numpy()] = n.to_numpy()
         out_nd[nd.index.to_numpy()] = nd.to_numpy()
     return out_n, out_nd
+
+
+def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-size token windows with overlap — the
+    context-packing step between curation and tokenization (every chunk
+    fits the model context; the overlap keeps boundary sentences learnable).
+    Emits (id, chunk_id, chunk, n_tokens_chunk); chunk starts step by
+    ``chunk_tokens - overlap`` and a start is emitted while it is < the
+    doc's token count, so the final chunk may be short.
+
+    Stateless 1→N row explosion inside ``map_batches`` (streams; no
+    shuffle). Chunk text is built by ONE vectorized byte gather over the
+    Arrow string buffer — token boundaries come from per-token lengths +
+    cumsum, never a per-row Python join. An empty text is one token ('')
+    and yields one empty chunk, matching SQL string_split semantics.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def _fn(t: pa.Table) -> pa.Table:
+        from buteo_ray.stages.dedup import _utf8_buffer_view
+
+        # fill_null mirrors _utf8_buffer_view (null → "" → one empty
+        # chunk) so the token math and the byte buffer agree.
+        text = pc.fill_null(t[text_col], "")
+        toks = pc.split_pattern(text, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        # Byte lengths, not codepoint counts: the gather below runs on
+        # the raw UTF-8 buffer.
+        tok_blens = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        data, doc_starts, _doc_lens = _utf8_buffer_view(text)
+
+        # Byte offset of each token within its doc: global cumsum of
+        # (token bytes + 1 separator) reset per doc.
+        tok_doc_offs = np.concatenate([[0], np.cumsum(n_tok)])
+        gl = np.concatenate([[0], np.cumsum(tok_blens + 1)])
+        doc_base = gl[tok_doc_offs[:-1]]
+        tok_start = gl[:-1] - np.repeat(doc_base, n_tok)       # per flat token
+        tok_end = tok_start + tok_blens
+
+        m = (np.maximum(n_tok - 1, 0) // step) + 1              # chunks per doc
+        total = int(m.sum())
+        coffs = np.concatenate([[0], np.cumsum(m)])
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(coffs[:-1], m)
+        s = chunk_id * step                                     # first token idx
+        e = np.minimum(s + chunk_tokens, np.repeat(n_tok, m))   # end token idx
+        first_flat = np.repeat(tok_doc_offs[:-1], m) + s
+        last_flat = np.repeat(tok_doc_offs[:-1], m) + e - 1
+        b_from = tok_start[first_flat] + np.repeat(doc_starts, m)
+        b_to = tok_end[last_flat] + np.repeat(doc_starts, m)
+
+        out_lens = b_to - b_from
+        tot_b = int(out_lens.sum())
+        lo = np.concatenate([[0], np.cumsum(out_lens)])
+        idx = (np.arange(tot_b, dtype=np.int64)
+               - np.repeat(lo[:-1], out_lens) + np.repeat(b_from, out_lens))
+        buf = pa.py_buffer(data[idx].tobytes())
+        offs = pa.py_buffer(lo.astype(np.int64))
+        chunks = pa.LargeStringArray.from_buffers(total, offs, buf)
+
+        return pa.table({
+            id_col: pa.array(np.repeat(
+                t[id_col].to_numpy(zero_copy_only=False), m)).cast(
+                    t.schema.field(id_col).type),
+            "chunk_id": pa.array(chunk_id),
+            "chunk": chunks.cast(pa.string()),
+            "n_tokens_chunk": pa.array(e - s),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

@@ -763,3 +763,46 @@ def test_doc_freq_counts_ids_not_rows(ray_session_module):
     out = doc_freq(rd.from_pandas(df), k=10).to_pandas()
     got = dict(zip(out["token"], out["n_docs"]))
     assert got["alpha"] == 2  # not 3: both id-1 rows share one block
+
+
+def test_chunk_documents_matches_brute(ray_session_module):
+    """chunk_documents == per-doc brute slicing: overlap windows, short
+    docs (one chunk), exact-boundary lengths, multibyte UTF-8, empty and
+    null texts (one empty chunk each)."""
+    import ray.data as rd
+    from buteo_ray.stages.text import chunk_documents
+
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "b", "cccc", "ü", "日本", "x"]
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(1, 40, size=30)]
+    texts += ["", " ".join(["t"] * 12), " ".join(["u"] * 13),
+              " ".join(["v"] * 11)]  # around the 12-token boundary
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    df.loc[len(df)] = {"doc_id": 900, "text": None}
+
+    out = (chunk_documents(rd.from_pandas(df).repartition(4),
+                           chunk_tokens=12, overlap=4).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+    want = []
+    for _, r in df.iterrows():
+        toks = (r["text"] or "").split(" ")
+        s, i = 0, 0
+        while s < len(toks):
+            w = toks[s:s + 12]
+            want.append((r["doc_id"], i, " ".join(w), len(w)))
+            s += 8
+            i += 1
+    got = list(map(tuple, out[["doc_id", "chunk_id", "chunk",
+                               "n_tokens_chunk"]].to_numpy()))
+    assert got == want
+    # Overlap invariant: consecutive chunks share their boundary tokens.
+    g0 = out[out["doc_id"] == 31]  # the 12-token doc
+    if len(g0) > 1:
+        first, second = g0["chunk"].iloc[0].split(" "), g0["chunk"].iloc[1].split(" ")
+        assert first[8:] == second[:len(first) - 8]
+
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(df), chunk_tokens=8, overlap=8)
