@@ -41,6 +41,8 @@ def training_data_pipeline(
     drop_broadcast_threshold: int = 64 << 20,
     scrub_pii: bool = False,
     max_dup_bigram_frac: Optional[float] = None,
+    chunk_tokens: Optional[int] = None,
+    chunk_overlap: int = 16,
 ):
     """Run the chain over a page Dataset; returns the final Dataset (or
     lineage rows when ``write_to`` is set).
@@ -196,6 +198,21 @@ def training_data_pipeline(
         ds = unpack_nested(ds, plan)
 
     ds = add_split_column(ds, id_col=id_col, val_frac=val_frac)
+
+    if chunk_tokens is not None:
+        # Chunk AFTER the split: every chunk inherits its document's
+        # train/val label, so one doc's overlapping windows can never
+        # straddle the split (val leakage). The chunk becomes the text.
+        from buteo_ray.stages.text import chunk_documents
+
+        ds = chunk_documents(ds, chunk_tokens=chunk_tokens,
+                             overlap=chunk_overlap, text_col=text_col)
+
+        def _rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [text_col if c == "chunk" else c for c in t.column_names])
+
+        ds = ds.map_batches(_rename, batch_format="pyarrow", batch_size=None)
 
     if write_to is not None:
         # 'split' has 2-3 values — without sharding the whole train split

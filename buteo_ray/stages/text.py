@@ -251,13 +251,15 @@ def bigram_counts(text_arr) -> "tuple[np.ndarray, np.ndarray]":
 
 
 def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
-                    text_col: str = "text", id_col: str = "doc_id"):
+                    text_col: str = "text"):
     """Split documents into fixed-size token windows with overlap — the
     context-packing step between curation and tokenization (every chunk
     fits the model context; the overlap keeps boundary sentences learnable).
-    Emits (id, chunk_id, chunk, n_tokens_chunk); chunk starts step by
-    ``chunk_tokens - overlap`` and a start is emitted while it is < the
-    doc's token count, so the final chunk may be short.
+    Emits every non-text input column (replicated per chunk — ids, lang,
+    split labels, scores ride along) plus (chunk_id, chunk,
+    n_tokens_chunk); chunk starts step by ``chunk_tokens - overlap`` and
+    a start is emitted while it is < the doc's token count, so the final
+    chunk may be short.
 
     Stateless 1→N row explosion inside ``map_batches`` (streams; no
     shuffle). Chunk text is built by ONE vectorized byte gather over the
@@ -311,13 +313,13 @@ def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
         offs = pa.py_buffer(lo.astype(np.int64))
         chunks = pa.LargeStringArray.from_buffers(total, offs, buf)
 
-        return pa.table({
-            id_col: pa.array(np.repeat(
-                t[id_col].to_numpy(zero_copy_only=False), m)).cast(
-                    t.schema.field(id_col).type),
-            "chunk_id": pa.array(chunk_id),
-            "chunk": chunks.cast(pa.string()),
-            "n_tokens_chunk": pa.array(e - s),
-        })
+        # Carry every non-text payload column (lang, split, scores, even
+        # nested types) via one Arrow take on repeated row indices —
+        # type-safe replication, no numpy object round-trip.
+        base = t.drop_columns([text_col]).take(
+            pa.array(np.repeat(np.arange(len(t), dtype=np.int64), m)))
+        base = base.append_column("chunk_id", pa.array(chunk_id))
+        base = base.append_column("chunk", chunks.cast(pa.string()))
+        return base.append_column("n_tokens_chunk", pa.array(e - s))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

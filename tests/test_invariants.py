@@ -209,3 +209,30 @@ def test_training_pipeline_scrub_and_repetition_gate(ray_session):
     assert 4 in ids
     assert out.loc[out["page_id"] == 1, "text"].iloc[0].endswith("mail <EMAIL>")
     assert (out["n_redactions"] >= 0).all()
+
+
+def test_training_pipeline_chunking(ray_session):
+    """chunk_tokens explodes docs into overlap windows AFTER the split:
+    every chunk of one doc carries the same split label, and the chunk
+    text column replaces the document text."""
+    import pandas as pd
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    rows = [{"page_id": i,
+             "text": " ".join(f"w{i}t{j}" for j in range(30)) +
+                     " the and of to in is that it was for"}
+            for i in range(12)]
+    out = training_data_pipeline(
+        rd.from_pandas(pd.DataFrame(rows)), keep_langs={"en"}, min_tokens=5,
+        near_dup_threshold=0.99, chunk_tokens=16, chunk_overlap=4,
+    ).to_pandas()
+
+    assert {"chunk_id", "n_tokens_chunk", "text", "split"} <= set(out.columns)
+    assert out.groupby("page_id")["chunk_id"].count().ge(2).all()  # 40 toks → 3 chunks
+    assert (out["n_tokens_chunk"] <= 16).all()
+    # split constant within a doc (chunked after the split)
+    assert (out.groupby("page_id")["split"].nunique() == 1).all()
+    # chunk text is at most 16 tokens of the original doc
+    assert (out["text"].str.split(" ").str.len() == out["n_tokens_chunk"]).all()
