@@ -44,6 +44,9 @@ def main() -> None:
     p.add_argument("--near-dup-threshold", type=float, default=0.85)
     p.add_argument("--scrub-pii", action="store_true")
     p.add_argument("--max-dup-bigram-frac", type=float, default=None)
+    p.add_argument("--chunk-tokens", type=int, default=None,
+                   help="emit overlap-window chunks instead of whole docs")
+    p.add_argument("--chunk-overlap", type=int, default=16)
     args = p.parse_args()
 
     import ray
@@ -70,6 +73,8 @@ def main() -> None:
         near_dup_threshold=args.near_dup_threshold,
         scrub_pii=args.scrub_pii,
         max_dup_bigram_frac=args.max_dup_bigram_frac,
+        chunk_tokens=args.chunk_tokens,
+        chunk_overlap=args.chunk_overlap,
         write_to=args.output,
     )
     sec = time.perf_counter() - t0
