@@ -2152,8 +2152,11 @@ def q_chunk_documents(sf_dir: str):
 def sql_chunk_documents() -> str:
     return """
     -- constant chunk-start table (stride 24; 16384 >> any sf's tokens).
+    -- coalesce matches the engine's null semantics (null text → one
+    -- empty chunk); string_split(NULL) would contribute zero rows.
     WITH p AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, 16384, 24)),
-    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+          FROM documents)
     SELECT doc_id,
            CAST(p.s / 24 AS BIGINT) AS chunk_id,
            array_to_string(

@@ -64,6 +64,11 @@ def training_data_pipeline(
             "(expected 'minhash', 'simhash', or 'embedding')")
     if near_dup_method == "embedding" and emb_col is None:
         raise ValueError("near_dup_method='embedding' needs emb_col")
+    if chunk_tokens is not None and (
+            chunk_tokens <= 0 or not (0 <= chunk_overlap < chunk_tokens)):
+        raise ValueError(
+            f"need chunk_tokens > 0 and 0 <= chunk_overlap < chunk_tokens "
+            f"(got {chunk_tokens}, {chunk_overlap})")
 
     sch = pages_ds.schema()  # ray Schema wrapper: parallel names/types
     id_type = dict(zip(sch.names, sch.types))[id_col]
@@ -209,6 +214,14 @@ def training_data_pipeline(
                              overlap=chunk_overlap, text_col=text_col)
 
         def _rename(t: pa.Table) -> pa.Table:
+            # The chunk becomes the text; the doc-level quality columns
+            # (n_tokens/n_chars_text/mean_token_len) describe the ORIGINAL
+            # document, which no longer exists as a row — drop them so no
+            # consumer mis-sizes packing from a stale n_tokens next to a
+            # 128-token text. n_tokens_chunk is the per-row truth.
+            stale = [c for c in ("n_tokens", "n_chars_text", "mean_token_len")
+                     if c in t.column_names]
+            t = t.drop_columns(stale)
             return t.rename_columns(
                 [text_col if c == "chunk" else c for c in t.column_names])
 

@@ -267,8 +267,12 @@ def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
     cumsum, never a per-row Python join. An empty text is one token ('')
     and yields one empty chunk, matching SQL string_split semantics.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if chunk_tokens <= 0 or not (0 <= overlap < chunk_tokens):
+        # A negative overlap would be accepted by the naive < check and
+        # silently SKIP tokens between windows — data loss, not an error.
+        raise ValueError(
+            f"need chunk_tokens > 0 and 0 <= overlap < chunk_tokens "
+            f"(got {chunk_tokens}, {overlap})")
     step = chunk_tokens - overlap
 
     def _fn(t: pa.Table) -> pa.Table:
@@ -309,7 +313,10 @@ def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
         lo = np.concatenate([[0], np.cumsum(out_lens)])
         idx = (np.arange(tot_b, dtype=np.int64)
                - np.repeat(lo[:-1], out_lens) + np.repeat(b_from, out_lens))
-        buf = pa.py_buffer(data[idx].tobytes())
+        # py_buffer wraps the gathered array zero-copy (and keeps it
+        # alive); .tobytes() here would memcpy the whole chunk payload
+        # a second time on this corpus-sized hot path.
+        buf = pa.py_buffer(np.ascontiguousarray(data[idx]))
         offs = pa.py_buffer(lo.astype(np.int64))
         chunks = pa.LargeStringArray.from_buffers(total, offs, buf)
 
@@ -318,8 +325,11 @@ def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
         # type-safe replication, no numpy object round-trip.
         base = t.drop_columns([text_col]).take(
             pa.array(np.repeat(np.arange(len(t), dtype=np.int64), m)))
-        base = base.append_column("chunk_id", pa.array(chunk_id))
-        base = base.append_column("chunk", chunks.cast(pa.string()))
-        return base.append_column("n_tokens_chunk", pa.array(e - s))
+        # _set_col (replace-or-append): re-chunking a corpus that already
+        # carries chunk_id/n_tokens_chunk must replace the stale columns,
+        # not produce duplicate field names.
+        base = _set_col(base, "chunk_id", pa.array(chunk_id))
+        base = _set_col(base, "chunk", chunks.cast(pa.string()))
+        return _set_col(base, "n_tokens_chunk", pa.array(e - s))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
