@@ -126,6 +126,10 @@ def run_headline() -> dict:
     t0 = time.perf_counter()
     ds.write_parquet(OUT_DIR)
     sec = time.perf_counter() - t0
+    if "--stats" in sys.argv:
+        # Per-stage executor breakdown (ds.stats() of the timed run) —
+        # the iterate-until-wall-time-is-useful-compute feedback loop.
+        print(ds.stats(), file=sys.stderr)
     # Don't leave multi-GB output resident in tmpfs after the bench.
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     return {"sec": sec, "pages": N_PAGES, "pages_per_sec": N_PAGES / sec}
