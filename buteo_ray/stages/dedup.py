@@ -795,7 +795,8 @@ def jaccard_pairs_brute(texts: List[str], ids: List[int], threshold: float) -> L
 
 
 def duplicate_spans(ds, window: int = 32, stride: int = 16,
-                    text_col: str = "text", id_col: str = "doc_id"):
+                    text_col: str = "text", id_col: str = "doc_id",
+                    exact: bool = True):
     """Duplicated-substring span detection: one output row per
     (``id_col``, byte position) whose ``window``-byte text window occurs
     at least twice anywhere in the corpus (same doc or another doc).
@@ -826,6 +827,15 @@ def duplicate_spans(ds, window: int = 32, stride: int = 16,
     exact output (suffix arrays pay ~8x in memory instead); widening
     stride to 64 with window 64 brings it to ~1.4x and still catches
     any repeated passage >= 127 bytes.
+
+    ``exact=False`` is the 100-TB knob: the window bytes are dropped
+    from the exchange (24 bytes per stride bytes, ~1.5x text) and two
+    windows are called equal when their 64-bit hashes collide — the
+    splitmix-finalized hash is uniform, so the expected number of FALSE
+    duplicate spans is ~W²/2⁶⁵ for W total windows (at 10¹² docs × 64
+    windows, ~100k spurious spans among 6.4e13 — a ~1e-9 rate; each
+    false span merely over-trims one window of text). Missed duplicates
+    cannot happen in either mode.
     """
     from buteo_ray.state.skew import derive_num_partitions
 
@@ -838,10 +848,12 @@ def duplicate_spans(ds, window: int = 32, stride: int = 16,
         counts = np.maximum((lens - window) // stride + 1, 0)
         tot = int(counts.sum())
         if tot == 0:
-            return pa.table({id_col: pa.array([], id_type),
-                             "pos": pa.array([], pa.int64()),
-                             "__bucket": pa.array([], pa.int64()),
-                             "win": pa.array([], pa.binary())})
+            cols = {id_col: pa.array([], id_type),
+                    "pos": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int64())}
+            cols["win" if exact else "h64"] = (
+                pa.array([], pa.binary()) if exact else pa.array([], pa.int64()))
+            return pa.table(cols)
         offs = np.concatenate([[0], np.cumsum(counts)])
         rel = (np.arange(tot, dtype=np.int64)
                - np.repeat(offs[:-1], counts)) * stride
@@ -853,18 +865,24 @@ def duplicate_spans(ds, window: int = 32, stride: int = 16,
         for j in range(window):
             h = h * np.uint64(1099511628211) + wb[:, j]
         h = _splitmix64(h)
-        buf = pa.py_buffer(np.ascontiguousarray(wb).tobytes())
-        win_arr = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(window), tot, [None, buf]).cast(pa.binary())
-        return pa.table({id_col: pa.array(np.repeat(ids, counts)).cast(id_type),
-                         "pos": pa.array(rel),
-                         "__bucket": pa.array((h % np.uint64(n_buckets)).view(np.int64)),
-                         "win": win_arr})
+        cols = {id_col: pa.array(np.repeat(ids, counts)).cast(id_type),
+                "pos": pa.array(rel),
+                "__bucket": pa.array((h % np.uint64(n_buckets)).view(np.int64))}
+        if exact:
+            buf = pa.py_buffer(np.ascontiguousarray(wb).tobytes())
+            cols["win"] = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(window), tot, [None, buf]).cast(pa.binary())
+        else:
+            cols["h64"] = pa.array(h.view(np.int64))
+        return pa.table(cols)
+
+    key = "win" if exact else "h64"
 
     def _dups(g: pd.DataFrame) -> pd.DataFrame:
-        # Rows in g share a hash bucket; count and compare exact bytes.
-        vc = g["win"].value_counts()
-        keep = g[g["win"].map(vc) >= 2]
+        # Rows in g share a hash bucket; count identical keys (exact
+        # window bytes, or the full 64-bit hash in hash-only mode).
+        vc = g[key].value_counts()
+        keep = g[g[key].map(vc) >= 2]
         return keep[[id_col, "pos"]]
 
     return (ds.map_batches(_windows, batch_format="pyarrow", batch_size=None)

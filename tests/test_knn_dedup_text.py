@@ -806,3 +806,27 @@ def test_chunk_documents_matches_brute(ray_session_module):
 
     with pytest.raises(ValueError):
         chunk_documents(rd.from_pandas(df), chunk_tokens=8, overlap=8)
+
+
+def test_duplicate_spans_hash_mode_matches_exact(ray_session_module):
+    """exact=False (hash-only exchange, the 100-TB knob) returns the
+    same spans as exact mode on a corpus where 64-bit collisions are
+    statistically impossible."""
+    import ray.data as rd
+    from buteo_ray.stages.dedup import duplicate_spans
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcd ")
+    texts = ["".join(rng.choice(alpha, size=int(n)))
+             for n in rng.integers(0, 150, size=60)]
+    texts += [texts[0], texts[5]]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64),
+         "text": texts})).repartition(5)
+
+    a = duplicate_spans(ds, window=16, stride=8, exact=True).to_pandas()
+    b = duplicate_spans(ds, window=16, stride=8, exact=False).to_pandas()
+    key = ["doc_id", "pos"]
+    assert (a[key].sort_values(key).reset_index(drop=True)
+            .equals(b[key].sort_values(key).reset_index(drop=True)))
+    assert len(a) > 0
