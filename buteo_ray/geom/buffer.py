@@ -1,0 +1,137 @@
+"""Geometry buffering (reference parity: ``vector/buffer.py:154-283``
+``vector_buffer`` — fixed-distance or per-feature-attribute buffer with
+round joins, force-multipolygon output).
+
+Construction (public recipe — Minkowski sum with a polygonized disc,
+expressed through the repo's exact boolean overlay engine):
+
+- point        → one disc (regular ``4·quad_segs``-gon, INSCRIBED in the
+                 true circle — same convention as OGR's segment
+                 approximation),
+- linestring   → union of per-edge rectangles (edge offset ±d along the
+                 edge normal) + per-vertex discs (round joins/caps),
+- polygon, d>0 → union of the polygon itself + boundary rectangles +
+                 vertex discs (dilation),
+- polygon, d<0 → polygon MINUS the boundary strip (erosion): difference
+                 of the polygon with the union of boundary rectangles +
+                 vertex discs at ``|d|``.
+
+Everything is per-feature independent → embarrassingly parallel inside
+``map_batches``; cost per feature is one overlay over O(V) small pieces.
+The polygonized disc is inscribed, so the buffered region covers every
+point within ``d·cos(pi/n)`` of the input and nothing beyond ``d``
+(the band in between is approximation — tests pin both sides).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from buteo_ray.geom.boolean import Polygon, polygon_boolean, polygon_union
+
+__all__ = ["disc_ring", "buffer_geometry", "buffer_parsed"]
+
+
+def disc_ring(cx: float, cy: float, r: float, n: int) -> np.ndarray:
+    """Closed CCW ring of the regular n-gon inscribed in the circle."""
+    th = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    ring = np.column_stack([cx + r * np.cos(th), cy + r * np.sin(th)])
+    return np.vstack([ring, ring[:1]])
+
+
+def _edge_rect(p0: np.ndarray, p1: np.ndarray, r: float) -> np.ndarray:
+    """Closed ring of the rectangle sweeping a disc of radius r along
+    the segment (the edge's contribution to the Minkowski sum)."""
+    d = p1 - p0
+    L = float(np.hypot(d[0], d[1]))
+    nx, ny = -d[1] / L, d[0] / L
+    ring = np.array([
+        [p0[0] + nx * r, p0[1] + ny * r],
+        [p1[0] + nx * r, p1[1] + ny * r],
+        [p1[0] - nx * r, p1[1] - ny * r],
+        [p0[0] - nx * r, p0[1] - ny * r],
+    ])
+    # CCW orientation regardless of edge direction.
+    area2 = np.sum((ring[[1, 2, 3, 0], 0] - ring[:, 0])
+                   * (ring[[1, 2, 3, 0], 1] + ring[:, 1]))
+    if area2 > 0:
+        ring = ring[::-1]
+    return np.vstack([ring, ring[:1]])
+
+
+def _boundary_pieces(rings: List[np.ndarray], r: float, n: int) -> List[Polygon]:
+    """Rectangles + vertex discs covering all ring boundaries at r."""
+    pieces: List[Polygon] = []
+    for ring in rings:
+        pts = np.asarray(ring, dtype=np.float64)[:, :2]
+        for i in range(len(pts) - 1):
+            p0, p1 = pts[i], pts[i + 1]
+            if np.hypot(*(p1 - p0)) > 0:
+                pieces.append([_edge_rect(p0, p1, r)])
+            pieces.append([disc_ring(pts[i][0], pts[i][1], r, n)])
+        # End cap: open polylines need the final vertex's disc (closed
+        # rings already covered it — last point == first point).
+        if len(pts) and not np.array_equal(pts[0], pts[-1]):
+            pieces.append([disc_ring(pts[-1][0], pts[-1][1], r, n)])
+    return pieces
+
+
+def buffer_parsed(kind: str, payload, distance: float,
+                  quad_segs: int = 8) -> List[Polygon]:
+    """Buffer a parsed geometry (wkb.parse_wkb output) → polygon list."""
+    n = max(4 * int(quad_segs), 8)
+    r = abs(float(distance))
+    if r == 0.0:
+        raise ValueError("buffer distance must be non-zero")
+
+    if kind == "point":
+        if distance < 0:
+            return []
+        x, y = float(payload[0]), float(payload[1])
+        return [[disc_ring(x, y, r, n)]]
+    if kind == "multipoint":
+        if distance < 0:
+            return []
+        return polygon_union(
+            [[disc_ring(float(p[0]), float(p[1]), r, n)] for p in payload])
+    if kind == "linestring":
+        if distance < 0:
+            return []
+        return polygon_union(_boundary_pieces([np.asarray(payload)], r, n))
+    if kind == "multilinestring":
+        if distance < 0:
+            return []
+        pieces: List[Polygon] = []
+        for line in payload:
+            pieces.extend(_boundary_pieces([np.asarray(line)], r, n))
+        return polygon_union(pieces)
+    if kind in ("polygon", "multipolygon"):
+        polys = [payload] if kind == "polygon" else list(payload)
+        pieces = []
+        all_rings: List[np.ndarray] = []
+        for rings in polys:
+            all_rings.extend(np.asarray(rg) for rg in rings)
+        pieces = _boundary_pieces(all_rings, r, n)
+        if distance > 0:
+            return polygon_union([[np.asarray(rg)[:, :2] for rg in rings]
+                                  for rings in polys] + pieces)
+        strip = polygon_union(pieces)
+        return polygon_boolean(
+            [[np.asarray(rg)[:, :2] for rg in rings] for rings in polys],
+            strip, op="difference")
+    raise ValueError(f"cannot buffer geometry kind {kind!r}")
+
+
+def buffer_geometry(wkb: bytes, distance: float, quad_segs: int = 8) -> List[Polygon]:
+    """Buffer a WKB geometry → polygon list ([exterior, holes...] each)."""
+    from buteo_ray.geom.wkb import parse_wkb
+
+    kind, payload = parse_wkb(wkb)
+    if kind == "geometrycollection":
+        out: List[Polygon] = []
+        for k2, p2 in payload:
+            out.extend(buffer_parsed(k2, p2, distance, quad_segs))
+        return polygon_union(out) if len(out) > 1 else out
+    return buffer_parsed(kind, payload, distance, quad_segs)

@@ -2167,6 +2167,66 @@ def sql_chunk_documents() -> str:
     """
 
 
+def q_buffer_points(sf_dir: str):
+    """Geometry buffer (stages/vector_ops.py:vector_buffer ≙ reference
+    vector/buffer.py:154): buffer each geocoded doc point by 0.25° with
+    quad_segs=8 (32-gon discs) and report the buffered feature's bbox +
+    area. The inscribed 32-gon hits all four axis vertices exactly, so
+    bbox = center ± r in exact float arithmetic on both sides; the area
+    is the closed-form regular-polygon area, rounded at 1e-6 (shoelace
+    vs formula agree to ~1e-15 relative)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.vector_ops import vector_buffer
+    from buteo_ray.geom.wkb import wkb_point
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    ds = geocode(ds)
+
+    def _mk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["geom_wkb"] = [wkb_point(x, y) for x, y in
+                             zip(batch["lon"], batch["lat"])]
+        return batch
+
+    pts = ds.map_batches(_mk, batch_format="pandas", batch_size=None)
+    buf = vector_buffer(pts, distance=0.25, quad_segs=8)
+
+    def _area(batch: pd.DataFrame) -> pd.DataFrame:
+        from buteo_ray.geom.boolean import union_area
+        from buteo_ray.geom.wkb import parse_wkb
+
+        areas = []
+        for w in batch["geom_wkb"]:
+            kind, payload = parse_wkb(w)
+            polys = list(payload) if kind == "multipolygon" else [payload]
+            areas.append(union_area(polys))
+        a = np.floor(np.asarray(areas) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "bbox_xmin": batch["bbox_xmin"], "bbox_xmax": batch["bbox_xmax"],
+            "bbox_ymin": batch["bbox_ymin"], "bbox_ymax": batch["bbox_ymax"],
+            "buf_area": a,
+        })
+
+    return buf.map_batches(_area, batch_format="pandas", batch_size=None)
+
+
+def sql_buffer_points() -> str:
+    # Regular 32-gon inscribed in the 0.25° circle: closed-form area,
+    # axis-exact bbox (vertices at 0/90/180/270° land on center ± r).
+    return f"""
+    SELECT doc_id,
+           {_LON_SQL} - 0.25 AS bbox_xmin,
+           {_LON_SQL} + 0.25 AS bbox_xmax,
+           {_LAT_SQL} - 0.25 AS bbox_ymin,
+           {_LAT_SQL} + 0.25 AS bbox_ymax,
+           floor(0.5 * 32 * 0.25 * 0.25 * sin(2 * pi() / 32) * 1e6 + 0.5)
+             / 1e6 AS buf_area
+    FROM documents
+    """
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2254,6 +2314,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pii_scrub": q_pii_scrub,
     "rep_ngrams": q_rep_ngrams,
     "chunk_documents": q_chunk_documents,
+    "buffer_points": q_buffer_points,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2335,6 +2396,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "pii_scrub": sql_pii_scrub,
     "rep_ngrams": sql_rep_ngrams,
     "chunk_documents": sql_chunk_documents,
+    "buffer_points": sql_buffer_points,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -559,3 +559,39 @@ def vector_change_dimensionality(ds, target: str, z_value: float = 0.0,
         return batch
 
     return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def vector_buffer(ds, distance, quad_segs: int = 8,
+                  force_multipolygon: bool = True):
+    """Buffer every feature (≙ reference ``vector_buffer``,
+    vector/buffer.py:154-283: fixed distance or attribute-driven, round
+    joins, multipolygon output). ``distance`` is a number, or a COLUMN
+    NAME whose per-row value buffers that feature (the reference's
+    attribute mode). Negative distances erode polygons (points/lines
+    vanish, as in OGR). Features whose buffer is empty are dropped.
+
+    Per-feature Minkowski construction through the exact boolean engine
+    (geom/buffer.py) — stateless, embarrassingly parallel, no shuffle.
+    """
+    from buteo_ray.geom.buffer import buffer_geometry
+    from buteo_ray.geom.wkb import wkb_multipolygon
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        dists = (batch[distance].to_numpy(dtype=np.float64)
+                 if isinstance(distance, str)
+                 else np.full(len(batch), float(distance)))
+        out_wkb, kept = [], []
+        for w, d in zip(batch["geom_wkb"], dists):
+            polys = buffer_geometry(w, float(d), quad_segs=quad_segs)
+            if polys:
+                out_wkb.append(wkb_multipolygon(polys) if force_multipolygon
+                               else _encode_polyset(polys))
+                kept.append(True)
+            else:
+                kept.append(False)
+        batch = batch[np.array(kept, dtype=bool)] if len(batch) else batch
+        batch = batch.copy()
+        batch["geom_wkb"] = out_wkb
+        return _rebuild_bbox_cols(batch)
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
