@@ -2227,6 +2227,25 @@ def sql_buffer_points() -> str:
     """
 
 
+def q_hex_grid(sf_dir: str):
+    """Hexagonal grid synthesis (grid/hexgrid.py — delivers the
+    reference's 'Not implemented yet' vector/grid.py:24 stub): flat-top
+    hex lattice over a fixed extent; the oracle regenerates hex_id /
+    centers / bboxes with bit-identical float expressions."""
+    import ray.data as rd
+
+    from buteo_ray.grid.hexgrid import create_hexagonal_grid
+
+    t = create_hexagonal_grid([-10.0, -10.0, 10.0, 10.0], 1.25)
+    return rd.from_arrow(t.drop_columns(["geom_wkb"]))
+
+
+def sql_hex_grid() -> str:
+    from buteo_ray.grid.hexgrid import hex_grid_sql_cte
+
+    return hex_grid_sql_cte([-10.0, -10.0, 10.0, 10.0], 1.25)
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2315,6 +2334,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "rep_ngrams": q_rep_ngrams,
     "chunk_documents": q_chunk_documents,
     "buffer_points": q_buffer_points,
+    "hex_grid": q_hex_grid,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2397,6 +2417,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "rep_ngrams": sql_rep_ngrams,
     "chunk_documents": sql_chunk_documents,
     "buffer_points": sql_buffer_points,
+    "hex_grid": sql_hex_grid,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -1,0 +1,150 @@
+"""WKT / GeoJSON codecs + vector constructors + split-by-attribute
+(reference parity: core_vector_write.py:354 vector_create_from_wkt /
+from_geojson / from_points, core_vector_split.py:133)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from buteo_ray.geom.geojson import geojson_to_wkb, wkb_to_geojson
+from buteo_ray.geom.wkt import parse_wkt, wkb_to_wkt, wkt_to_wkb
+
+CASES = [
+    "POINT (1 2)",
+    "POINT Z (1 2 3)",
+    "LINESTRING (0 0, 1 1, 2 0)",
+    "LINESTRING ZM (1 2 3 4, 5 6 7 8)",
+    "MULTIPOINT ((1 2), (3 4))",
+    "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+    "POLYGON EMPTY",
+    "MULTIPOINT EMPTY",
+]
+
+
+@pytest.mark.parametrize("wkt", CASES)
+def test_wkt_wkb_roundtrip(wkt):
+    b = wkt_to_wkb(wkt)
+    back = wkb_to_wkt(b)
+    assert wkt_to_wkb(back) == b  # byte-stable through a full cycle
+
+
+def test_wkt_variants_and_errors():
+    # bare and parenthesized MULTIPOINT parse identically
+    assert wkt_to_wkb("MULTIPOINT (1 2, 3 4)") == wkt_to_wkb("MULTIPOINT ((1 2), (3 4))")
+    kind, payload, dims = parse_wkt("point(7 8)")  # case/space tolerant
+    assert kind == "point" and payload == (7.0, 8.0) and dims == "xy"
+    with pytest.raises(ValueError):
+        parse_wkt("POINT EMPTY")
+    with pytest.raises(ValueError):
+        parse_wkt("CIRCLE (0 0, 1)")
+    with pytest.raises(ValueError):
+        parse_wkt("POINT (1 2 3)")  # 3 coords without Z tag
+
+
+GJ_CASES = [
+    {"type": "Point", "coordinates": [1.0, 2.0]},
+    {"type": "Point", "coordinates": [1.0, 2.0, 3.0]},
+    {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+    {"type": "MultiPoint", "coordinates": [[1.0, 2.0], [3.0, 4.0]]},
+    {"type": "Polygon", "coordinates": [
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+        [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]]},
+    {"type": "MultiPolygon", "coordinates": [
+        [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]]},
+    {"type": "MultiLineString", "coordinates": [
+        [[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]]]},
+    {"type": "GeometryCollection", "geometries": [
+        {"type": "Point", "coordinates": [1.0, 2.0]},
+        {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]}]},
+]
+
+
+@pytest.mark.parametrize("gj", GJ_CASES)
+def test_geojson_wkb_roundtrip(gj):
+    b = geojson_to_wkb(gj)
+    assert wkb_to_geojson(b) == gj
+
+
+def test_geojson_rejects_m_and_4d():
+    with pytest.raises(ValueError):
+        geojson_to_wkb({"type": "Point", "coordinates": [1, 2, 3, 4]})
+    with pytest.raises(ValueError):
+        wkb_to_geojson(wkt_to_wkb("POINT M (1 2 3)"))
+
+
+def test_vector_constructors():
+    from buteo_ray.sources.vector_io import (vector_from_geojson,
+                                             vector_from_points,
+                                             vector_from_wkt)
+
+    t = vector_from_wkt(["POINT (1 2)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"],
+                        attrs={"name": ["a", "b"]})
+    assert t.column_names[:2] == ["fid", "geom_wkb"]
+    assert t["bbox_xmax"].to_pylist() == [1.0, 2.0]
+    assert t["name"].to_pylist() == ["a", "b"]
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"k": 7},
+         "geometry": {"type": "Point", "coordinates": [5.0, 6.0]}},
+        {"type": "Feature", "properties": {"k": 9},
+         "geometry": {"type": "Point", "coordinates": [7.0, 8.0]}}]}
+    t2 = vector_from_geojson(fc)
+    assert t2["k"].to_pylist() == [7, 9]
+    assert t2["bbox_ymin"].to_pylist() == [6.0, 8.0]
+
+    t3 = vector_from_points([0.0, 1.0], [2.0, 3.0])
+    assert t3.num_rows == 2 and t3["bbox_xmin"].to_pylist() == [0.0, 1.0]
+
+
+def test_vector_split_by_attribute(ray_session, tmp_path):
+    import ray.data as rd
+
+    from buteo_ray.sources.vector_io import (vector_from_points,
+                                             vector_split_by_attribute)
+    from buteo_ray.state.checkpoint import read_manifest
+
+    t = vector_from_points(np.arange(20, dtype=float),
+                           np.arange(20, dtype=float),
+                           attrs={"cls": ["a", "b"] * 10})
+    out = str(tmp_path / "split")
+    written = vector_split_by_attribute(rd.from_arrow(t), "cls", out)
+    assert {r["partition"] for r in written} == {"a", "b"}
+    # resume: nothing rewritten
+    again = vector_split_by_attribute(rd.from_arrow(t), "cls", out)
+    assert again == []
+    assert len(read_manifest(out)) == 2
+
+
+def test_hexagonal_grid_geometry():
+    """Hex lattice invariants: regular hexagon area, edge sharing between
+    neighbors, full coverage of interior sample points (every point in
+    the safe interior is inside >= 1 hex; lattice tiles the plane)."""
+    from buteo_ray.geom.predicates import points_in_polygon
+    from buteo_ray.geom.wkb import parse_wkb
+    from buteo_ray.grid.hexgrid import create_hexagonal_grid
+
+    s = 1.0
+    t = create_hexagonal_grid([0.0, 0.0, 8.0, 8.0], s)
+    polys = [parse_wkb(w)[1] for w in t["geom_wkb"].to_pylist()]
+
+    # regular flat-top hexagon area = 3*sqrt(3)/2 * s^2
+    from buteo_ray.geom.boolean import union_area
+    want = 1.5 * np.sqrt(3.0)
+    for rings in polys[:5]:
+        area = union_area([rings])
+        assert abs(area - want) < 1e-12
+
+    # plane tiling: interior sample points covered exactly once
+    rng = np.random.default_rng(3)
+    P = rng.uniform(1.5, 6.5, size=(1500, 2))
+    hits = np.zeros(len(P), dtype=np.int64)
+    for rings in polys:
+        hits += points_in_polygon(P[:, 0], P[:, 1], rings).astype(np.int64)
+    # (boundary points could double-count; random floats never land there)
+    assert np.all(hits == 1)
+
+    with pytest.raises(ValueError):
+        create_hexagonal_grid([0, 0, -1, 1], 1.0)
