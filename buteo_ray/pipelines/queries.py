@@ -2246,6 +2246,62 @@ def sql_hex_grid() -> str:
     return hex_grid_sql_cte([-10.0, -10.0, 10.0, 10.0], 1.25)
 
 
+def q_vector_shapes(sf_dir: str):
+    """Shape characteristics (stages/vector_ops.py:vector_add_shapes ≙
+    reference vector_add_shapes_in_place): area / perimeter / ipq /
+    centroid / compactness over the SQL-reproducible rectangle layer.
+    Rectangles make every metric closed-form in SQL (hull == rect →
+    hull_ratio 1, compactness = sqrt(ipq)); floats rounded at 1e-6 on
+    both sides (shoelace vs w·h agree to ~1e-13)."""
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import wkb_polygon
+    from buteo_ray.stages.vector_ops import vector_add_shapes
+
+    rects = synth_aoi_rects(200).to_pandas()
+
+    def _ring(r):
+        return np.array([[r.bbox_xmin, r.bbox_ymin], [r.bbox_xmax, r.bbox_ymin],
+                         [r.bbox_xmax, r.bbox_ymax], [r.bbox_xmin, r.bbox_ymax],
+                         [r.bbox_xmin, r.bbox_ymin]])
+
+    rects["geom_wkb"] = [wkb_polygon([_ring(r)]) for r in rects.itertuples()]
+    out = vector_add_shapes(rd.from_pandas(rects))
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = ["area", "perimeter", "ipq", "centroid_x", "centroid_y",
+                "hull_ratio", "compactness"]
+        res = {"aoi_id": batch["aoi_id"]}
+        for c in cols:
+            res[c] = np.floor(batch[c].to_numpy() * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(res)
+
+    return out.map_batches(_round, batch_format="pandas", batch_size=None)
+
+
+def sql_vector_shapes() -> str:
+    return f"""
+    WITH r AS ({aoi_rect_sql_cte(200)}),
+    m AS (
+      SELECT aoi_id,
+             (bbox_xmax - bbox_xmin) * (bbox_ymax - bbox_ymin) AS area,
+             2 * ((bbox_xmax - bbox_xmin) + (bbox_ymax - bbox_ymin)) AS peri,
+             (bbox_xmin + bbox_xmax) / 2 AS cx,
+             (bbox_ymin + bbox_ymax) / 2 AS cy
+      FROM r)
+    SELECT aoi_id,
+           floor(area * 1e6 + 0.5) / 1e6 AS area,
+           floor(peri * 1e6 + 0.5) / 1e6 AS perimeter,
+           floor((4 * pi() * area) / (peri * peri) * 1e6 + 0.5) / 1e6 AS ipq,
+           floor(cx * 1e6 + 0.5) / 1e6 AS centroid_x,
+           floor(cy * 1e6 + 0.5) / 1e6 AS centroid_y,
+           1.0 AS hull_ratio,
+           floor(sqrt((4 * pi() * area) / (peri * peri)) * 1e6 + 0.5) / 1e6
+             AS compactness
+    FROM m
+    """
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2335,6 +2391,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "chunk_documents": q_chunk_documents,
     "buffer_points": q_buffer_points,
     "hex_grid": q_hex_grid,
+    "vector_shapes": q_vector_shapes,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2418,6 +2475,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "chunk_documents": sql_chunk_documents,
     "buffer_points": sql_buffer_points,
     "hex_grid": sql_hex_grid,
+    "vector_shapes": sql_vector_shapes,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

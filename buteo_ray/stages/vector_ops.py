@@ -595,3 +595,79 @@ def vector_buffer(ds, distance, quad_segs: int = 8,
         return _rebuild_bbox_cols(batch)
 
     return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+_SHAPES_ALL = ("area", "perimeter", "ipq", "centroid", "hull", "compact")
+
+
+def vector_add_shapes(ds, shapes=None, prefix: str = ""):
+    """Add shape-characteristic columns (≙ reference
+    ``vector_add_shapes_in_place``, core_vector_characteristics.py:152):
+    area, perimeter, ipq = 4πA/P² (isoperimetric quotient), centroid_x/y
+    (area-weighted), hull_area / hull_peri / hull_ratio = A/A_hull, and
+    compactness = sqrt(hull_ratio · ipq). Multi-geometries aggregate
+    members (summed areas/perimeters, like OGR's GetArea/Length on a
+    multipolygon). Stateless vectorized-per-feature Arrow→pandas stage —
+    no shuffle."""
+    from buteo_ray.geom.predicates import polygon_area, polygon_centroid
+
+    shapes = list(shapes) if shapes is not None else list(_SHAPES_ALL)
+    bad = set(shapes) - set(_SHAPES_ALL)
+    if bad:
+        raise ValueError(f"unknown shapes {sorted(bad)}; valid: {_SHAPES_ALL}")
+
+    def _perimeter(rings) -> float:
+        total = 0.0
+        for ring in rings:
+            d = np.diff(np.asarray(ring)[:, :2], axis=0)
+            total += float(np.hypot(d[:, 0], d[:, 1]).sum())
+        return total
+
+    def _polys_of(wkb: bytes):
+        kind, payload = parse_wkb(wkb)
+        if kind == "polygon":
+            return [payload]
+        if kind == "multipolygon":
+            return list(payload)
+        raise ValueError(f"vector_add_shapes needs polygonal input, got {kind}")
+
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {s: [] for s in ("area", "perimeter", "ipq", "centroid_x",
+                               "centroid_y", "hull_area", "hull_peri",
+                               "hull_ratio", "compactness")}
+        for w in batch["geom_wkb"]:
+            polys = _polys_of(w)
+            area = float(sum(polygon_area(p) for p in polys))
+            peri = float(sum(_perimeter(p) for p in polys))
+            ipq = (4.0 * np.pi * area) / peri ** 2 if peri != 0 else 0.0
+            cx, cy = polygon_centroid(polys[0])
+            verts = np.vstack([r[:, :2] for p in polys for r in p])
+            hull = _convex_hull(verts)
+            h_area = polygon_area([hull])
+            h_peri = _perimeter([hull])
+            h_ratio = area / h_area if h_area else 0.0
+            out["area"].append(area); out["perimeter"].append(peri)
+            out["ipq"].append(ipq)
+            out["centroid_x"].append(cx); out["centroid_y"].append(cy)
+            out["hull_area"].append(h_area); out["hull_peri"].append(h_peri)
+            out["hull_ratio"].append(h_ratio)
+            out["compactness"].append(float(np.sqrt(h_ratio * ipq)))
+        batch = batch.copy()
+        if "area" in shapes:
+            batch[f"{prefix}area"] = out["area"]
+        if "perimeter" in shapes:
+            batch[f"{prefix}perimeter"] = out["perimeter"]
+        if "ipq" in shapes:
+            batch[f"{prefix}ipq"] = out["ipq"]
+        if "centroid" in shapes:
+            batch[f"{prefix}centroid_x"] = out["centroid_x"]
+            batch[f"{prefix}centroid_y"] = out["centroid_y"]
+        if "hull" in shapes:
+            batch[f"{prefix}hull_area"] = out["hull_area"]
+            batch[f"{prefix}hull_peri"] = out["hull_peri"]
+            batch[f"{prefix}hull_ratio"] = out["hull_ratio"]
+        if "compact" in shapes:
+            batch[f"{prefix}compactness"] = out["compactness"]
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)

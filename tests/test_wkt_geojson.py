@@ -148,3 +148,42 @@ def test_hexagonal_grid_geometry():
 
     with pytest.raises(ValueError):
         create_hexagonal_grid([0, 0, -1, 1], 1.0)
+
+
+def test_vector_add_shapes_values(ray_session):
+    """Shape metrics on known figures: unit square (ipq = pi/4,
+    compactness = sqrt(pi/4)), an L-shape (hull_ratio = 3/4.5), a
+    multipolygon (summed areas/perimeters), and input validation."""
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import wkb_multipolygon, wkb_point, wkb_polygon
+    from buteo_ray.stages.vector_ops import vector_add_shapes
+
+    sq = [np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)]
+    L = [np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]], float)]
+    two = [sq, [np.array([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]], float)]]
+    df = pd.DataFrame({
+        "fid": [1, 2, 3],
+        "geom_wkb": [wkb_polygon(sq), wkb_polygon(L), wkb_multipolygon(two)],
+    })
+    out = (vector_add_shapes(rd.from_pandas(df)).to_pandas()
+           .sort_values("fid").reset_index(drop=True))
+
+    assert out.loc[0, "area"] == 1.0 and out.loc[0, "perimeter"] == 4.0
+    np.testing.assert_allclose(out.loc[0, "ipq"], np.pi / 4)
+    np.testing.assert_allclose(out.loc[0, "compactness"], np.sqrt(np.pi / 4))
+    assert (out.loc[0, "centroid_x"], out.loc[0, "centroid_y"]) == (0.5, 0.5)
+
+    # L-shape: area 3, hull = 2x2 triangle-cut... hull area = 3.5
+    assert out.loc[1, "area"] == 3.0
+    np.testing.assert_allclose(out.loc[1, "hull_area"], 3.5)
+    np.testing.assert_allclose(out.loc[1, "hull_ratio"], 3.0 / 3.5)
+
+    # multipolygon sums members
+    assert out.loc[2, "area"] == 2.0 and out.loc[2, "perimeter"] == 8.0
+
+    with pytest.raises(Exception):
+        vector_add_shapes(rd.from_pandas(pd.DataFrame(
+            {"fid": [1], "geom_wkb": [wkb_point(0.0, 0.0)]}))).to_pandas()
+    with pytest.raises(ValueError):
+        vector_add_shapes(rd.from_pandas(df), shapes=["bogus"])
