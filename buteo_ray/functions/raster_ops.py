@@ -249,6 +249,34 @@ def dem_aspect(arr: np.ndarray, degrees: bool = True) -> np.ndarray:
     return np.degrees(aspect) if degrees else aspect
 
 
+def dem_to_orientation(arr: np.ndarray, pixel_size: float = 1.0,
+                       include_height: bool = False,
+                       height_normalisation_value: float = 8849.0) -> np.ndarray:
+    """ML-ready terrain encoding (≙ reference raster_dem_to_orientation,
+    raster/dem.py:351-495): channels (H, W, 3|4) =
+
+    - ``(sin(2π·aspect/360) + 1) / 2`` — cyclical aspect, x component,
+    - ``(cos(2π·aspect/360) + 1) / 2`` — cyclical aspect, y component,
+    - ``clip(slope_percent / 90, 0, 1)``,
+    - optionally ``height / height_normalisation_value``.
+
+    Divergence note (documented, intentional): the reference's
+    ``np.divide(slope, 90.0, where=slope != 0)`` with no ``out=`` leaves
+    UNINITIALIZED memory where slope == 0; here flat cells encode 0
+    (the obviously intended value). Slope 'percent' = 100·tan(slope).
+    """
+    aspect = dem_aspect(arr, degrees=True)
+    slope_pct = 100.0 * np.tan(dem_slope(arr, pixel_size, degrees=False))
+    a = aspect / 360.0
+    enc_sin = (np.sin(2 * np.pi * a) + 1.0) / 2.0
+    enc_cos = (np.cos(2 * np.pi * a) + 1.0) / 2.0
+    enc_slope = np.clip(slope_pct / 90.0, 0.0, 1.0)
+    chans = [enc_sin, enc_cos, enc_slope]
+    if include_height:
+        chans.append(arr / float(height_normalisation_value))
+    return np.stack(chans, axis=-1).astype(np.float32)
+
+
 def dem_hillshade(arr: np.ndarray, azimuth: float = 315.0, altitude: float = 45.0,
                   pixel_size: float = 1.0) -> np.ndarray:
     """Hillshade 0-255 (standard GDAL-style formula)."""

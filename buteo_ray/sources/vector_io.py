@@ -83,6 +83,17 @@ def vector_from_points(xs, ys, attrs: Optional[dict] = None) -> pa.Table:
     return _layer_from_wkbs(wkbs, attrs)
 
 
+def vector_from_bbox(bbox, attrs: Optional[dict] = None) -> pa.Table:
+    """[xmin, xmax, ymin, ymax] → one rectangle feature (≙ reference
+    ``vector_create_from_bbox`` / ``raster_to_vector_extent``)."""
+    from buteo_ray.geom.wkb import wkb_polygon
+
+    xmin, xmax, ymin, ymax = (float(v) for v in bbox)
+    ring = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax],
+                     [xmin, ymax], [xmin, ymin]])
+    return _layer_from_wkbs([wkb_polygon([ring])], attrs)
+
+
 def vector_split_by_attribute(ds, attribute: str, out_dir: str,
                               op_version: str = "split-v1"):
     """Write one resumable parquet partition per ``attribute`` value (≙

@@ -520,3 +520,33 @@ def test_sigma_lee_and_count_occurances():
             expect = sigma_lee_ref(win, kn.ravel().copy())
             np.testing.assert_allclose(out[y, x], expect, rtol=1e-12,
                                        err_msg=f"({y},{x})")
+
+
+def test_dem_to_orientation_encoding():
+    """Orientation channels are bounded [0,1], cyclical-aspect encoding
+    matches sin/cos of the aspect, flat terrain encodes slope 0, and
+    include_height appends a normalized 4th channel."""
+    import numpy as np
+
+    from buteo_ray.functions.raster_ops import (dem_aspect,
+                                                dem_to_orientation)
+
+    rng = np.random.default_rng(0)
+    dem = np.cumsum(rng.normal(0, 1, (16, 16)), axis=0)
+    out = dem_to_orientation(dem)
+    assert out.shape == (16, 16, 3) and out.dtype == np.float32
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    a = dem_aspect(dem, degrees=True) / 360.0
+    np.testing.assert_allclose(out[:, :, 0],
+                               ((np.sin(2*np.pi*a)+1)/2).astype(np.float32),
+                               rtol=1e-6)
+
+    flat = np.ones((8, 8))
+    f = dem_to_orientation(flat)
+    np.testing.assert_allclose(f[:, :, 2], 0.0)
+
+    h = dem_to_orientation(dem, include_height=True,
+                           height_normalisation_value=2.0)
+    assert h.shape == (16, 16, 4)
+    np.testing.assert_allclose(h[:, :, 3], (dem / 2.0).astype(np.float32),
+                               rtol=1e-6)

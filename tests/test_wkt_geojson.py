@@ -187,3 +187,14 @@ def test_vector_add_shapes_values(ray_session):
             {"fid": [1], "geom_wkb": [wkb_point(0.0, 0.0)]}))).to_pandas()
     with pytest.raises(ValueError):
         vector_add_shapes(rd.from_pandas(df), shapes=["bogus"])
+
+
+def test_vector_from_bbox():
+    from buteo_ray.geom.wkb import parse_wkb
+    from buteo_ray.sources.vector_io import vector_from_bbox
+
+    t = vector_from_bbox([0.0, 4.0, 1.0, 3.0], attrs={"name": ["ext"]})
+    assert t.num_rows == 1
+    assert (t["bbox_xmin"][0].as_py(), t["bbox_xmax"][0].as_py()) == (0.0, 4.0)
+    kind, rings = parse_wkb(t["geom_wkb"][0].as_py())
+    assert kind == "polygon" and len(rings[0]) == 5
