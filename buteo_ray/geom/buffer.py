@@ -130,8 +130,9 @@ def buffer_geometry(wkb: bytes, distance: float, quad_segs: int = 8) -> List[Pol
 
     kind, payload = parse_wkb(wkb)
     if kind == "geometrycollection":
+        # Members are (kind, payload, dims) triples from the parser.
         out: List[Polygon] = []
-        for k2, p2 in payload:
+        for k2, p2, _d2 in payload:
             out.extend(buffer_parsed(k2, p2, distance, quad_segs))
         return polygon_union(out) if len(out) > 1 else out
     return buffer_parsed(kind, payload, distance, quad_segs)

@@ -73,7 +73,10 @@ def wkb_to_geojson(wkb: bytes) -> dict:
     cannot represent M)."""
     from buteo_ray.geom.wkb import parse_wkb_dims
 
-    kind, payload, dims = parse_wkb_dims(wkb)
+    return _parsed_to_geojson(*parse_wkb_dims(wkb))
+
+
+def _parsed_to_geojson(kind: str, payload, dims: str) -> dict:
     if dims in ("xym", "xyzm"):
         raise ValueError("GeoJSON cannot represent M coordinates")
     if kind == "point":
@@ -91,9 +94,9 @@ def wkb_to_geojson(wkb: bytes) -> dict:
         return {"type": "MultiPolygon",
                 "coordinates": [[_lol(r) for r in rings] for rings in payload]}
     if kind == "geometrycollection":
-        from buteo_ray.geom.wkt import emit_wkt, wkt_to_wkb
-
+        # Members are already (kind, payload, dims) triples — recurse
+        # directly, no codec round-trips.
         return {"type": "GeometryCollection",
-                "geometries": [wkb_to_geojson(wkt_to_wkb(emit_wkt(k2, p2, d2)))
+                "geometries": [_parsed_to_geojson(k2, p2, d2)
                                for k2, p2, d2 in payload]}
     raise ValueError(f"cannot convert kind {kind!r}")

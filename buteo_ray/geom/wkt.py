@@ -164,20 +164,12 @@ def emit_wkt(kind: str, payload, dims: str = "xy") -> str:
 
 
 def wkt_to_wkb(wkt: str) -> bytes:
-    from buteo_ray.geom import wkb as W
+    from buteo_ray.geom.wkb import encode_geom
 
     kind, payload, dims = parse_wkt(wkt)
-    enc = {"point": lambda p: W.wkb_point(*p, dims=dims),
-           "multipoint": lambda p: W.wkb_multipoint(p, dims=dims),
-           "linestring": lambda p: W.wkb_linestring(p, dims=dims),
-           "multilinestring": lambda p: W.wkb_multilinestring(p, dims=dims),
-           "polygon": lambda p: W.wkb_polygon(p, dims=dims),
-           "multipolygon": lambda p: W.wkb_multipolygon(p, dims=dims)}
-    if kind in enc:
-        return enc[kind](payload)
-    # collection: members encode recursively to WKB bytes.
-    return W.wkb_geometrycollection(
-        [wkt_to_wkb(emit_wkt(k2, p2, d2)) for k2, p2, d2 in payload])
+    # encode_geom handles every kind incl. collections (whose members
+    # are (kind, payload, dims) triples — the same shape parse_wkt emits).
+    return encode_geom(kind, payload, dims)
 
 
 def wkb_to_wkt(wkb: bytes) -> str:

@@ -35,6 +35,17 @@ _VX = np.array([1.0, 0.5, -0.5, -1.0, -0.5, 0.5])
 _VY = np.array([0.0, _SQRT3 / 2, _SQRT3 / 2, 0.0, -_SQRT3 / 2, -_SQRT3 / 2])
 
 
+def _grid_counts(xmin, ymin, xmax, ymax, s) -> tuple:
+    """Column/row counts that guarantee FULL extent coverage: columns
+    overlap (pitch 1.5s < hex width 2s) so reaching a last center ≥ xmax
+    suffices; rows tile y exactly (pitch √3·s = hex height), so the last
+    row's top edge must clear ymax. ceil, not floor — floor left an
+    uncovered band up to one cell wide inside the extent."""
+    ni = int(np.ceil((xmax - xmin) / (1.5 * s)))
+    nj = int(np.ceil((ymax - ymin) / (_SQRT3 * s)))
+    return ni, nj
+
+
 def create_hexagonal_grid(extent, cell_size: float) -> pa.Table:
     """Hexagon layer covering ``extent=[xmin, ymin, xmax, ymax]``:
     columns ``hex_id, i, j, cx, cy, geom_wkb, bbox_*``."""
@@ -42,8 +53,7 @@ def create_hexagonal_grid(extent, cell_size: float) -> pa.Table:
     s = float(cell_size)
     if s <= 0 or xmax <= xmin or ymax <= ymin:
         raise ValueError("need positive cell_size and a non-empty extent")
-    ni = int(np.floor((xmax - xmin) / (1.5 * s)))
-    nj = int(np.floor((ymax - ymin) / (_SQRT3 * s)))
+    ni, nj = _grid_counts(xmin, ymin, xmax, ymax, s)
     i = np.repeat(np.arange(ni + 1, dtype=np.int64), nj + 1)
     j = np.tile(np.arange(nj + 1, dtype=np.int64), ni + 1)
     cx = xmin + 1.5 * s * i
@@ -70,8 +80,7 @@ def hex_grid_sql_cte(extent, cell_size: float) -> str:
     float expressions of :func:`create_hexagonal_grid`."""
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
     s = float(cell_size)
-    ni = int(np.floor((xmax - xmin) / (1.5 * s)))
-    nj = int(np.floor((ymax - ymin) / (_SQRT3 * s)))
+    ni, nj = _grid_counts(xmin, ymin, xmax, ymax, s)
     return f"""
     SELECT CAST(i * {nj + 1} + j AS BIGINT) AS hex_id,
            CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,

@@ -2175,8 +2175,6 @@ def q_buffer_points(sf_dir: str):
     bbox = center ± r in exact float arithmetic on both sides; the area
     is the closed-form regular-polygon area, rounded at 1e-6 (shoelace
     vs formula agree to ~1e-15 relative)."""
-    import pyarrow.compute as pc
-
     from buteo_ray.stages.vector_ops import vector_buffer
     from buteo_ray.geom.wkb import wkb_point
 

@@ -128,7 +128,7 @@ def _member_polys(w: bytes) -> list:
         return [payload]
     if kind == "multipolygon":
         return payload
-    raise ValueError(f"dissolve geometry='union' needs polygonal input, got {kind}")
+    raise ValueError(f"operation needs polygonal input, got {kind}")
 
 
 def _dissolve_reduce(wkbs, geometry: str):
@@ -623,24 +623,24 @@ def vector_add_shapes(ds, shapes=None, prefix: str = ""):
             total += float(np.hypot(d[:, 0], d[:, 1]).sum())
         return total
 
-    def _polys_of(wkb: bytes):
-        kind, payload = parse_wkb(wkb)
-        if kind == "polygon":
-            return [payload]
-        if kind == "multipolygon":
-            return list(payload)
-        raise ValueError(f"vector_add_shapes needs polygonal input, got {kind}")
-
     def _fn(batch: pd.DataFrame) -> pd.DataFrame:
         out = {s: [] for s in ("area", "perimeter", "ipq", "centroid_x",
                                "centroid_y", "hull_area", "hull_peri",
                                "hull_ratio", "compactness")}
         for w in batch["geom_wkb"]:
-            polys = _polys_of(w)
-            area = float(sum(polygon_area(p) for p in polys))
+            polys = _member_polys(w)
+            areas = [polygon_area(p) for p in polys]
+            area = float(sum(areas))
             peri = float(sum(_perimeter(p) for p in polys))
             ipq = (4.0 * np.pi * area) / peri ** 2 if peri != 0 else 0.0
-            cx, cy = polygon_centroid(polys[0])
+            # Area-weighted centroid over ALL members (OGR Centroid
+            # semantics on a multipolygon), not just the first.
+            cents = [polygon_centroid(p) for p in polys]
+            if area != 0.0:
+                cx = float(sum(a * c[0] for a, c in zip(areas, cents)) / area)
+                cy = float(sum(a * c[1] for a, c in zip(areas, cents)) / area)
+            else:
+                cx, cy = cents[0] if cents else (float("nan"), float("nan"))
             verts = np.vstack([r[:, :2] for p in polys for r in p])
             hull = _convex_hull(verts)
             h_area = polygon_area([hull])

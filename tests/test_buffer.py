@@ -73,6 +73,18 @@ def test_polygon_dilation_and_erosion_band_oracle():
     assert not np.any(ins2[in_sq & (db <= 0.8 * np.cos(np.pi / N) - 1e-9)])
 
 
+def test_buffer_geometrycollection():
+    """Collections buffer member-wise and union the results."""
+    from buteo_ray.geom.boolean import union_area
+    from buteo_ray.geom.buffer import buffer_geometry
+    from buteo_ray.geom.wkt import wkt_to_wkb
+
+    polys = buffer_geometry(
+        wkt_to_wkb("GEOMETRYCOLLECTION (POINT (0 0), POINT (10 0))"), 0.5)
+    want = 2 * 0.5 * N * 0.25 * np.sin(2 * np.pi / N)
+    assert abs(union_area(polys) - want) < 1e-12
+
+
 def test_negative_buffer_eats_small_polygon():
     tiny = [np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)]
     assert buffer_parsed("polygon", tiny, -0.8) == []

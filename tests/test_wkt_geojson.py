@@ -137,9 +137,10 @@ def test_hexagonal_grid_geometry():
         area = union_area([rings])
         assert abs(area - want) < 1e-12
 
-    # plane tiling: interior sample points covered exactly once
+    # plane tiling: EVERY extent point covered exactly once (the
+    # floor-based grid missed a band near xmax/ymax; regression)
     rng = np.random.default_rng(3)
-    P = rng.uniform(1.5, 6.5, size=(1500, 2))
+    P = rng.uniform(0.0, 8.0, size=(1500, 2))
     hits = np.zeros(len(P), dtype=np.int64)
     for rings in polys:
         hits += points_in_polygon(P[:, 0], P[:, 1], rings).astype(np.int64)
@@ -179,8 +180,11 @@ def test_vector_add_shapes_values(ray_session):
     np.testing.assert_allclose(out.loc[1, "hull_area"], 3.5)
     np.testing.assert_allclose(out.loc[1, "hull_ratio"], 3.0 / 3.5)
 
-    # multipolygon sums members
+    # multipolygon sums members; centroid is area-weighted over ALL
+    # members (two unit squares at (0.5,0.5) and (5.5,5.5) -> (3,3))
     assert out.loc[2, "area"] == 2.0 and out.loc[2, "perimeter"] == 8.0
+    np.testing.assert_allclose(
+        (out.loc[2, "centroid_x"], out.loc[2, "centroid_y"]), (3.0, 3.0))
 
     with pytest.raises(Exception):
         vector_add_shapes(rd.from_pandas(pd.DataFrame(
