@@ -191,3 +191,18 @@ def get_dither_offsets(tile_size: int, n_offsets: int) -> List[Tuple[int, int]]:
         offset = int(round(val * tile_size, 2))
         offsets.append((offset, offset))
     return offsets
+
+
+def split_number(num: int, parts: int):
+    """Split ``num`` into ``parts`` near-equal integers, remainder
+    distributed from the left (≙ reference utils_aux.py:190).
+
+    >>> split_number(10, 3)
+    [4, 3, 3]
+    >>> split_number(10, 4)
+    [3, 3, 2, 2]
+    """
+    if parts <= 0 or num < parts:
+        raise ValueError("need 0 < parts <= num")
+    base, rem = divmod(num, parts)
+    return [base + 1 if i < rem else base for i in range(parts)]

@@ -225,6 +225,10 @@ def raster_extract_bands(ds, bands):
             out.append(np.ascontiguousarray(arr).tobytes())
         pdf["data"] = out
         pdf["bands"] = len(bands)
+        if "band_descriptions" in pdf.columns:
+            # Keep name metadata in sync with the selected bands.
+            pdf["band_descriptions"] = [
+                [list(d)[b] for b in bands] for d in pdf["band_descriptions"]]
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

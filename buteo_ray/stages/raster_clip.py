@@ -107,3 +107,26 @@ def raster_clip(ds, clip_rings: Sequence[np.ndarray], grid: GridSpec,
         return batch.filter(pa.array(keep_rows, type=pa.bool_()))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def raster_set_band_descriptions(ds, descriptions):
+    """Attach band-name metadata to every tile row (≙ reference
+    ``raster_set_band_descriptions``, core_raster_write.py:353 — GDAL
+    SetDescription per band, here a ``band_descriptions`` list column
+    the sinks and stack/extract ops carry along). Zero-copy append."""
+    descriptions = [str(d) for d in descriptions]
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        nb = batch["bands"][0].as_py() if batch.num_rows else None
+        if batch.num_rows and nb != len(descriptions):
+            raise ValueError(
+                f"got {len(descriptions)} descriptions for {nb} bands")
+        col = pa.array([descriptions] * batch.num_rows,
+                       type=pa.list_(pa.string()))
+        if "band_descriptions" in batch.column_names:
+            return batch.set_column(
+                batch.schema.get_field_index("band_descriptions"),
+                "band_descriptions", col)
+        return batch.append_column("band_descriptions", col)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

@@ -550,3 +550,39 @@ def test_dem_to_orientation_encoding():
     assert h.shape == (16, 16, 4)
     np.testing.assert_allclose(h[:, :, 3], (dem / 2.0).astype(np.float32),
                                rtol=1e-6)
+
+
+def test_split_number_and_band_descriptions(ray_session):
+    import numpy as np
+
+    from buteo_ray.grid.offsets import split_number
+    from buteo_ray.sources.raster import raster_from_array
+    from buteo_ray.stages.raster_clip import raster_set_band_descriptions
+
+    assert split_number(10, 3) == [4, 3, 3]
+    assert split_number(10, 4) == [3, 3, 2, 2]
+    assert split_number(7, 7) == [1] * 7
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        split_number(3, 4)
+
+    tiles = raster_from_array(np.zeros((32, 32, 2), dtype=np.float32),
+                              tile_size=16)
+    out = raster_set_band_descriptions(tiles, ["red", "nir"]).to_pandas()
+    assert all(list(bd) == ["red", "nir"] for bd in out["band_descriptions"])
+    with _pt.raises(Exception):
+        raster_set_band_descriptions(tiles, ["only-one"]).to_pandas()
+
+
+def test_band_descriptions_follow_extract(ray_session):
+    import numpy as np
+
+    from buteo_ray.sources.raster import (raster_extract_bands,
+                                          raster_from_array)
+    from buteo_ray.stages.raster_clip import raster_set_band_descriptions
+
+    tiles = raster_from_array(np.zeros((16, 16, 3), dtype=np.float32),
+                              tile_size=16)
+    named = raster_set_band_descriptions(tiles, ["r", "g", "b"])
+    out = raster_extract_bands(named, [2, 0]).to_pandas()
+    assert all(list(d) == ["b", "r"] for d in out["band_descriptions"])
