@@ -202,3 +202,49 @@ def test_vector_from_bbox():
     assert (t["bbox_xmin"][0].as_py(), t["bbox_xmax"][0].as_py()) == (0.0, 4.0)
     kind, rings = parse_wkb(t["geom_wkb"][0].as_py())
     assert kind == "polygon" and len(rings[0]) == 5
+
+
+def test_vector_checks(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import wkb_linestring, wkb_point, wkb_polygon
+    from buteo_ray.sources.vector_io import vector_from_points
+    from buteo_ray.stages.vector_checks import (
+        check_vector_has_attributes, check_vector_has_geometry,
+        check_vector_is_line_type, check_vector_is_multipart,
+        check_vector_is_point_type, check_vector_is_polygon_type,
+        check_vector_is_valid, invalid_geometry_count)
+
+    pts = rd.from_arrow(vector_from_points([0.0, 1.0], [0.0, 1.0],
+                                           attrs={"name": ["a", "b"]}))
+    assert check_vector_has_geometry(pts)
+    assert check_vector_is_point_type(pts)
+    assert not check_vector_is_line_type(pts)
+    assert not check_vector_is_multipart(pts)
+    assert check_vector_has_attributes(pts)
+    assert check_vector_has_attributes(pts, ["name"])
+    assert not check_vector_has_attributes(pts, ["missing"])
+    assert check_vector_is_valid(pts)
+
+    lines = rd.from_pandas(pd.DataFrame({
+        "fid": [1], "geom_wkb": [wkb_linestring(np.array([[0, 0], [1, 1.]]))]}))
+    assert check_vector_is_line_type(lines)
+
+    # invalid geometries can't be built through the (validating) WKB
+    # encoder — hand-pack raw bytes: an unclosed 4-pt ring, a 3-pt ring,
+    # and garbage that fails to parse at all.
+    import struct as _s
+
+    def raw_poly(pts):
+        body = _s.pack("<BII", 1, 3, 1) + _s.pack("<I", len(pts))
+        for x, y in pts:
+            body += _s.pack("<dd", x, y)
+        return body
+
+    unclosed = raw_poly([(0, 0), (1, 0), (1, 1), (0, 1)])
+    tri = raw_poly([(0, 0), (1, 0), (0, 0)])
+    mixed = rd.from_pandas(pd.DataFrame({
+        "fid": [1, 2, 3, 4],
+        "geom_wkb": [unclosed, tri, wkb_point(0.0, 0.0), b"\x01garbage"]}))
+    assert invalid_geometry_count(mixed) == 3
+    assert not check_vector_is_valid(mixed)
