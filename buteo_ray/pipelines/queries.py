@@ -2300,6 +2300,49 @@ def sql_vector_shapes() -> str:
     """
 
 
+def q_url_canon(sf_dir: str):
+    """URL canonicalization (stages/text.py:canonicalize_urls): both
+    sides synthesize one deliberately-messy URL per doc (default port,
+    duplicate + trailing slashes, fragment) and normalize it through
+    the identical RE2 rule chain."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.text import canonicalize_urls
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        host = pc.cast(pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 7), 7)),
+            pa.string())
+        n = len(t)
+        url = pc.binary_join_element_wise(
+            pa.array(["http://site"] * n), host,
+            pa.array([".example:80//p"] * n), ids,
+            pa.array(["//x/#sec"] * n), "")
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    out = canonicalize_urls(ds.map_batches(_mk, batch_format="pyarrow",
+                                           batch_size=None))
+    return out.map_batches(lambda t: t.select(["doc_id", "url_canon"]),
+                           batch_format="pyarrow", batch_size=None)
+
+
+def sql_url_canon() -> str:
+    from buteo_ray.stages.text import URL_CANON_RULES
+
+    expr = ("'http://site' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example:80//p' || CAST(doc_id AS VARCHAR) || '//x/#sec'")
+    for pat, rep in URL_CANON_RULES:
+        # Standard-SQL string literals keep backslashes verbatim, so the
+        # RE2 \1 backreferences pass through undoubled.
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"SELECT doc_id, {expr} AS url_canon FROM documents"
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2390,6 +2433,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "buffer_points": q_buffer_points,
     "hex_grid": q_hex_grid,
     "vector_shapes": q_vector_shapes,
+    "url_canon": q_url_canon,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2474,6 +2518,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "buffer_points": sql_buffer_points,
     "hex_grid": sql_hex_grid,
     "vector_shapes": sql_vector_shapes,
+    "url_canon": sql_url_canon,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

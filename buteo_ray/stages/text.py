@@ -333,3 +333,32 @@ def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
         return _set_col(base, "n_tokens_chunk", pa.array(e - s))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+# Canonicalization rules (order matters; RE2 on both engine and oracle).
+# Scope is deliberately syntactic: fragment, default ports, trailing and
+# duplicate slashes — host lowercasing or query-param sorting would need
+# per-component parsing and is out of the regex-chain contract.
+URL_CANON_RULES = [
+    (r"#.*$", ""),                                   # fragment
+    (r"^(http://[^/?#]*?):80([/?]|$)", r"\1\2"),     # http default port
+    (r"^(https://[^/?#]*?):443([/?]|$)", r"\1\2"),   # https default port
+    (r"([^:/])/+$", r"\1"),                          # trailing slash(es)
+    (r"([^:])//+", r"\1/"),                          # duplicate slashes
+]
+
+
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "url_canon"):
+    """URL canonicalization (the dedup-key normalization step of a
+    web-crawl pipeline): strip fragments, default ports, trailing and
+    duplicate slashes via a fixed chain of vectorized RE2 replaces —
+    identical match semantics in the DuckDB oracle (both embed RE2).
+    Zero-copy Arrow stage; ~one regex pass per rule per batch."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = pc.cast(t[url_col], pa.string())
+        for pat, rep in URL_CANON_RULES:
+            col = pc.replace_substring_regex(col, pat, rep)
+        return _set_col(t, out_col, col)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

@@ -830,3 +830,29 @@ def test_duplicate_spans_hash_mode_matches_exact(ray_session_module):
     assert (a[key].sort_values(key).reset_index(drop=True)
             .equals(b[key].sort_values(key).reset_index(drop=True)))
     assert len(a) > 0
+
+
+def test_canonicalize_urls(ray_session_module):
+    """Rule-by-rule: fragments, http/https default ports (non-default
+    ports kept), trailing + duplicate slashes; null-safe."""
+    import ray.data as rd
+    from buteo_ray.stages.text import canonicalize_urls
+
+    df = pd.DataFrame({"doc_id": range(6), "url": [
+        "http://a.com:80/x#frag",
+        "https://a.com:443//b//c/",
+        "http://a.com:8080/keep",
+        "https://x.io/",
+        "http://a.b:80",
+        None,
+    ]})
+    out = (canonicalize_urls(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["url_canon"].tolist()[:5] == [
+        "http://a.com/x",
+        "https://a.com/b/c",
+        "http://a.com:8080/keep",
+        "https://x.io",
+        "http://a.b",
+    ]
+    assert out["url_canon"].iloc[5] is None or pd.isna(out["url_canon"].iloc[5])
