@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from buteo_ray.geom.wkb import wkb_polygon
 
-__all__ = ["create_hexagonal_grid", "hex_grid_sql_cte"]
+__all__ = ["create_hexagonal_grid", "hex_grid_sql_cte", "assign_hex"]
 
 _SQRT3 = np.sqrt(3.0)
 # Flat-top hex vertex offsets (angles 0°, 60°, ..., 300°): exact
@@ -95,3 +95,39 @@ def hex_grid_sql_cte(extent, cell_size: float) -> str:
     FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, {ni + 1})),
          (SELECT CAST(range AS BIGINT) AS j FROM range(0, {nj + 1}))
     """
+
+
+def assign_hex(xs, ys, extent, cell_size: float):
+    """Vectorized point→hexagon assignment for the
+    :func:`create_hexagonal_grid` lattice. A hex grid is its own centers'
+    Voronoi diagram, so nearest-center == point-in-polygon (boundary
+    ties broken toward the smaller (i, j) — measure-zero for real data).
+    Per point: 3 candidate columns × their nearest row, one argmin —
+    O(1) arithmetic, no index, no polygon test. Returns (i, j, hex_id)
+    arrays; points may fall in hexes outside the extent's grid range —
+    callers binning against a generated grid should filter on hex_id
+    bounds or rely on the grid's full-coverage guarantee.
+    """
+    xmin, ymin, xmax, ymax = (float(v) for v in extent)
+    s = float(cell_size)
+    _, nj = _grid_counts(xmin, ymin, xmax, ymax, s)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+
+    i0 = np.rint((xs - xmin) / (1.5 * s)).astype(np.int64)
+    best_d = np.full(xs.shape, np.inf)
+    best_i = np.zeros(xs.shape, dtype=np.int64)
+    best_j = np.zeros(xs.shape, dtype=np.int64)
+    for di in (-1, 0, 1):
+        i = i0 + di
+        off = _SQRT3 * s * 0.5 * (i % 2)
+        j = np.rint((ys - ymin - off) / (_SQRT3 * s)).astype(np.int64)
+        cx = xmin + 1.5 * s * i
+        cy = ymin + _SQRT3 * s * j + off
+        d = (xs - cx) ** 2 + (ys - cy) ** 2
+        # strict < keeps the earlier (smaller-i) candidate on exact ties
+        take = d < best_d
+        best_d = np.where(take, d, best_d)
+        best_i = np.where(take, i, best_i)
+        best_j = np.where(take, j, best_j)
+    return best_i, best_j, best_i * (nj + 1) + best_j

@@ -2343,6 +2343,27 @@ def sql_url_canon() -> str:
     return f"SELECT doc_id, {expr} AS url_canon FROM documents"
 
 
+def q_hex_bin_counts(sf_dir: str):
+    """Hex binning (grid/hexgrid.py:assign_hex — nearest-center, exact
+    by the Voronoi property, pytest-verified against PiP): geocoded docs
+    → hex cell → per-cell counts. Rows-only: the float argmin over
+    candidate centers is not reliably SQL-reproducible."""
+    from ray.data.aggregate import Count
+
+    from buteo_ray.grid.hexgrid import assign_hex
+
+    extent, s = [-180.0, -90.0, 180.0, 90.0], 15.0
+    ds = geocode(_docs(sf_dir, columns=["doc_id"]))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        _, _, hid = assign_hex(t["lon"].to_numpy(), t["lat"].to_numpy(),
+                               extent, s)
+        return pa.table({"hex_id": pa.array(hid)})
+
+    return (ds.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+            .groupby("hex_id").aggregate(Count(alias_name="n_docs")))
+
+
 def q_sample_per_group(sf_dir: str):
     """Per-domain cap (stages/selection.py:sample_per_group): keep at
     most 20 docs per source, chosen by a deterministic pseudo-random
@@ -2436,6 +2457,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "url_canon": q_url_canon,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
+    "hex_bin_counts": q_hex_bin_counts,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,

@@ -248,3 +248,24 @@ def test_vector_checks(ray_session):
         "geom_wkb": [unclosed, tri, wkb_point(0.0, 0.0), b"\x01garbage"]}))
     assert invalid_geometry_count(mixed) == 3
     assert not check_vector_is_valid(mixed)
+
+
+def test_assign_hex_matches_point_in_polygon():
+    """Nearest-center hex assignment == PiP against the generated grid
+    for every random point (hex lattice = its centers' Voronoi)."""
+    from buteo_ray.geom.predicates import points_in_polygon
+    from buteo_ray.geom.wkb import parse_wkb
+    from buteo_ray.grid.hexgrid import assign_hex, create_hexagonal_grid
+
+    extent, s = [0.0, 0.0, 8.0, 8.0], 1.0
+    t = create_hexagonal_grid(extent, s)
+    rng = np.random.default_rng(9)
+    P = rng.uniform(0, 8, size=(800, 2))
+    _, _, hid = assign_hex(P[:, 0], P[:, 1], extent, s)
+    id_to_poly = {int(h): parse_wkb(w)[1]
+                  for h, w in zip(t["hex_id"].to_pylist(),
+                                  t["geom_wkb"].to_pylist())}
+    for k in range(len(P)):
+        assert int(hid[k]) in id_to_poly
+        assert points_in_polygon(P[k:k+1, 0], P[k:k+1, 1],
+                                 id_to_poly[int(hid[k])])[0]
