@@ -103,14 +103,16 @@ def assign_hex(xs, ys, extent, cell_size: float):
     Voronoi diagram, so nearest-center == point-in-polygon (boundary
     ties broken toward the smaller (i, j) — measure-zero for real data).
     Per point: 3 candidate columns × their nearest row, one argmin —
-    O(1) arithmetic, no index, no polygon test. Returns (i, j, hex_id)
-    arrays; points may fall in hexes outside the extent's grid range —
-    callers binning against a generated grid should filter on hex_id
-    bounds or rely on the grid's full-coverage guarantee.
+    O(1) arithmetic, no index, no polygon test. Returns (i, j, hex_id);
+    a point whose nearest hex lies OUTSIDE the extent's grid range gets
+    ``hex_id = -1`` (the raw linear formula would alias such (i, j)
+    onto valid neighboring ids, silently mis-binning — filter on the
+    sentinel, or rely on in-extent inputs: the grid fully covers its
+    extent, so those always get a real id).
     """
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
     s = float(cell_size)
-    _, nj = _grid_counts(xmin, ymin, xmax, ymax, s)
+    ni, nj = _grid_counts(xmin, ymin, xmax, ymax, s)
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
 
@@ -130,4 +132,7 @@ def assign_hex(xs, ys, extent, cell_size: float):
         best_d = np.where(take, d, best_d)
         best_i = np.where(take, i, best_i)
         best_j = np.where(take, j, best_j)
-    return best_i, best_j, best_i * (nj + 1) + best_j
+    in_range = ((best_i >= 0) & (best_i <= ni)
+                & (best_j >= 0) & (best_j <= nj))
+    hex_id = np.where(in_range, best_i * (nj + 1) + best_j, -1)
+    return best_i, best_j, hex_id

@@ -265,6 +265,18 @@ def raster_stack(ds_a, ds_b):
         out["data"] = [np.ascontiguousarray(stacked).tobytes()]
         out["bands"] = stacked.shape[2]
         out["dtype"] = str(stacked.dtype)
+        if "band_descriptions" in g.columns:
+            # Concatenate names in stack order when BOTH sides carry
+            # them and the lengths match their band counts; otherwise a
+            # stale side-0 list (wrong length) would mislabel the stack.
+            descs = [list(d) if d is not None else None
+                     for d in g["band_descriptions"]]
+            lens = [a.shape[2] for a in arrs]
+            if all(d is not None and len(d) == n
+                   for d, n in zip(descs, lens)):
+                out["band_descriptions"] = [sum(descs, [])]
+            else:
+                out = out.drop(columns="band_descriptions")
         return out
 
     return both.groupby(["tile_x", "tile_y"]).map_groups(_merge, batch_format="pandas")

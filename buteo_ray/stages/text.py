@@ -339,13 +339,21 @@ def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
 # Scope is deliberately syntactic: fragment, default ports, trailing and
 # duplicate slashes — host lowercasing or query-param sorting would need
 # per-component parsing and is out of the regex-chain contract.
-URL_CANON_RULES = [
-    (r"#.*$", ""),                                   # fragment
-    (r"^(http://[^/?#]*?):80([/?]|$)", r"\1\2"),     # http default port
-    (r"^(https://[^/?#]*?):443([/?]|$)", r"\1\2"),   # https default port
-    (r"([^:/])/+$", r"\1"),                          # trailing slash(es)
-    (r"([^:])//+", r"\1/"),                          # duplicate slashes
-]
+# Slash rules touch only the PATH: slashes inside a query string are
+# significant data, so collapsing them would merge distinct resources
+# into one dedup key. RE2 has no lookbehind, so (a) the path-final
+# slash is matched in both its forms (before '?' and at end), and
+# (b) the duplicate-slash rule anchors at ^ through a query-free
+# prefix and is applied _URL_DUP_SLASH_PASSES times (each pass fixes
+# one run; runs beyond that are pathological and left as-is).
+_URL_DUP_SLASH_PASSES = 8
+URL_CANON_RULES = (
+    [(r"#.*$", ""),                                   # fragment
+     (r"^(http://[^/?#]*?):80([/?]|$)", r"\1\2"),     # http default port
+     (r"^(https://[^/?#]*?):443([/?]|$)", r"\1\2"),   # https default port
+     (r"^([^?]*?[^:/?])/+(\?|$)", r"\1\2")]           # path-final slash(es)
+    + [(r"^([^?]*?[^:?])//+", r"\1/")] * _URL_DUP_SLASH_PASSES
+)
 
 
 def canonicalize_urls(ds, url_col: str = "url", out_col: str = "url_canon"):

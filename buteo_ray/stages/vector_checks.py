@@ -26,9 +26,22 @@ _LINE_KINDS = {2, 5}         # linestring, multilinestring
 _POLY_KINDS = {3, 6}         # polygon, multipolygon
 
 
-def _wkb_kind_code(w: bytes) -> int:
-    """Base geometry code from the WKB header (mod 1000 strips Z/M)."""
-    (code,) = struct.unpack_from("<I", w, 1)
+def _wkb_kind_code(w) -> int:
+    """Base geometry code from the WKB header (mod 1000 strips ISO
+    Z/M). Returns -1 for unreadable rows — null, truncated, unknown
+    byte order, or EWKB flag bits (geom/wkb.py rejects those loudly;
+    a type CHECK instead reports them as not-that-type) — so callers
+    never crash on the bad layers they exist to judge."""
+    if w is None or len(w) < 5:
+        return -1
+    if w[0] == 1:
+        (code,) = struct.unpack_from("<I", w, 1)
+    elif w[0] == 0:
+        (code,) = struct.unpack_from(">I", w, 1)
+    else:
+        return -1
+    if code & 0xE0000000:  # EWKB Z/M/SRID flags — not ISO WKB
+        return -1
     return code % 1000
 
 
@@ -40,9 +53,10 @@ def _count(ds, pred_fn) -> tuple:
                          "n": pa.array([t.num_rows])})
 
     agg = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    ok = agg.sum("ok")
-    n = agg.sum("n")
-    return int(ok or 0), int(n or 0)
+    # One action for both counters — separate .sum() calls would run
+    # the whole scan twice on the lazy dataset.
+    res = agg.sum(["ok", "n"]) or {}
+    return int(res.get("sum(ok)") or 0), int(res.get("sum(n)") or 0)
 
 
 def check_vector_has_geometry(ds, geom_col: str = "geom_wkb") -> bool:
@@ -67,7 +81,9 @@ def check_vector_has_attributes(ds, attributes: Optional[Iterable[str]] = None,
     non_geom = names - {geom_col, "bbox_xmin", "bbox_xmax",
                         "bbox_ymin", "bbox_ymax"}
     if attributes is not None:
-        return set(attributes) <= names
+        # Infra columns are not attributes — asking for geom_col or a
+        # bbox column must not satisfy the check.
+        return set(attributes) <= non_geom
     return len(non_geom) > 0
 
 
@@ -102,6 +118,20 @@ def check_vector_is_multipart(ds, geom_col: str = "geom_wkb") -> bool:
     return ok > 0
 
 
+def _polygon_members(kind, payload):
+    """Polygon members, walking into collections recursively."""
+    if kind == "polygon":
+        return [payload]
+    if kind == "multipolygon":
+        return list(payload)
+    if kind == "geometrycollection":
+        out = []
+        for k2, p2, _d2 in payload:
+            out.extend(_polygon_members(k2, p2))
+        return out
+    return []
+
+
 def invalid_geometry_count(ds, geom_col: str = "geom_wkb") -> int:
     """Rows whose geometry fails structural validity: unparseable WKB,
     unclosed polygon rings, or rings with < 4 points (≙ the reference's
@@ -116,8 +146,7 @@ def invalid_geometry_count(ds, geom_col: str = "geom_wkb") -> int:
                 out.append(True)
                 continue
             bad = False
-            polys = ([payload] if kind == "polygon"
-                     else payload if kind == "multipolygon" else [])
+            polys = _polygon_members(kind, payload)
             for rings in polys:
                 for ring in rings:
                     r = np.asarray(ring)

@@ -856,3 +856,23 @@ def test_canonicalize_urls(ray_session_module):
         "http://a.b",
     ]
     assert out["url_canon"].iloc[5] is None or pd.isna(out["url_canon"].iloc[5])
+
+
+def test_canonicalize_urls_preserves_query_strings(ray_session_module):
+    """Slash normalization must not touch query strings — slashes there
+    are significant, and collapsing them would merge distinct URLs."""
+    import ray.data as rd
+    from buteo_ray.stages.text import canonicalize_urls
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "url": [
+        "http://a.com/p?x=a//b",
+        "http://a.com/p?q=1/",
+        "http://a.com//p//q/?y=//z//",
+    ]})
+    out = (canonicalize_urls(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id"))
+    assert out["url_canon"].tolist() == [
+        "http://a.com/p?x=a//b",
+        "http://a.com/p?q=1/",
+        "http://a.com/p/q?y=//z//",
+    ]

@@ -574,6 +574,30 @@ def test_split_number_and_band_descriptions(ray_session):
         raster_set_band_descriptions(tiles, ["only-one"]).to_pandas()
 
 
+def test_band_descriptions_through_stack(ray_session):
+    """raster_stack concatenates names when both sides carry them and
+    drops the column when one side lacks it (a stale wrong-length list
+    would mislabel the stack)."""
+    import numpy as np
+
+    from buteo_ray.sources.raster import raster_from_array, raster_stack
+    from buteo_ray.stages.raster_clip import raster_set_band_descriptions
+
+    a = raster_set_band_descriptions(
+        raster_from_array(np.zeros((16, 16, 2), dtype=np.float32),
+                          raster_id="a", tile_size=16), ["r", "g"])
+    b3 = raster_from_array(np.zeros((16, 16, 3), dtype=np.float32),
+                           raster_id="b", tile_size=16)
+    b_named = raster_set_band_descriptions(b3, ["x", "y", "z"])
+
+    both = raster_stack(a, b_named).to_pandas()
+    assert all(list(d) == ["r", "g", "x", "y", "z"]
+               for d in both["band_descriptions"])
+
+    mixed = raster_stack(a, b3).to_pandas()
+    assert "band_descriptions" not in mixed.columns
+
+
 def test_band_descriptions_follow_extract(ray_session):
     import numpy as np
 

@@ -249,6 +249,23 @@ def test_vector_checks(ray_session):
     assert invalid_geometry_count(mixed) == 3
     assert not check_vector_is_valid(mixed)
 
+    # kind checks judge (not crash on) null / truncated / non-ISO blobs
+    dirty = rd.from_pandas(pd.DataFrame({
+        "fid": [1, 2, 3],
+        "geom_wkb": [wkb_point(0.0, 0.0), None, b"\x01\x01"]}))
+    assert not check_vector_is_point_type(dirty)
+    assert not check_vector_is_multipart(dirty)
+
+    # infra columns are not attributes
+    assert not check_vector_has_attributes(pts, ["geom_wkb"])
+    assert not check_vector_has_attributes(pts, ["bbox_xmin"])
+
+    # invalid polygon INSIDE a collection is found
+    from buteo_ray.geom.wkb import wkb_geometrycollection
+    coll = wkb_geometrycollection([tri])
+    cds = rd.from_pandas(pd.DataFrame({"fid": [1], "geom_wkb": [coll]}))
+    assert invalid_geometry_count(cds) == 1
+
 
 def test_assign_hex_matches_point_in_polygon():
     """Nearest-center hex assignment == PiP against the generated grid
@@ -269,3 +286,8 @@ def test_assign_hex_matches_point_in_polygon():
         assert int(hid[k]) in id_to_poly
         assert points_in_polygon(P[k:k+1, 0], P[k:k+1, 1],
                                  id_to_poly[int(hid[k])])[0]
+
+    # out-of-extent points get the -1 sentinel, never an aliased id
+    _, _, far = assign_hex(np.array([1.6, 0.5, -5.0]),
+                           np.array([-1.0, 11.0, 4.0]), extent, s)
+    assert list(far) == [-1, -1, -1]
