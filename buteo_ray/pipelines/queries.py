@@ -2390,6 +2390,245 @@ def sql_sample_per_group() -> str:
 """
 
 
+# --------------------------------------------------- clip (concave, exact)
+
+# Concave L-shaped clip polygon, decomposable into two disjoint
+# axis-aligned rectangles (sharing the edge x=0, y∈[-50,10]) so area and
+# bbox of every clipped feature are closed-form in SQL:
+#   R_a: x∈[-100,0], y∈[-50,60]    R_b: x∈[0,100], y∈[-50,10]
+_CLIP_L_RING = np.array([
+    [-100.0, -50.0], [100.0, -50.0], [100.0, 10.0],
+    [0.0, 10.0], [0.0, 60.0], [-100.0, 60.0], [-100.0, -50.0],
+])
+
+
+def q_clip_concave(sf_dir: str):
+    """Exact concave clip (stages/vector_ops.py:vector_clip ≙ reference
+    vector/clip.py:24-151): 0.5°-side squares around every 10th doc's
+    hash coords clipped against the concave L polygon via the boolean
+    overlay engine; per surviving feature the clipped area (shoelace
+    over the overlay result) and clipped bbox, both rounded at 1e-6.
+    The L decomposes into two disjoint rectangles, so DuckDB reproduces
+    area as the sum of rectangle-overlap areas and bbox as their hull."""
+    from buteo_ray.geom.wkb import geom_bbox, wkb_polygon
+    from buteo_ray.stages.geocode import hash_coords_from_ids
+    from buteo_ray.stages.vector_ops import vector_add_shapes, vector_clip
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: t.filter(np.equal(t["doc_id"].to_numpy() % 10, 0)),
+        batch_format="pyarrow", batch_size=None)
+
+    def _squares(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = hash_coords_from_ids(ids)
+        half = 0.25
+        wkbs, boxes = [], []
+        for i in range(len(ids)):
+            x0, x1 = lon[i] - half, lon[i] + half
+            y0, y1 = lat[i] - half, lat[i] + half
+            ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+            wkbs.append(wkb_polygon([ring]))
+            boxes.append(geom_bbox(wkbs[-1]))
+        boxes = np.array(boxes) if boxes else np.zeros((0, 4))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "geom_wkb": pa.array(wkbs, type=pa.binary()),
+            "bbox_xmin": boxes[:, 0], "bbox_xmax": boxes[:, 1],
+            "bbox_ymin": boxes[:, 2], "bbox_ymax": boxes[:, 3],
+        })
+
+    squares = ds.map_batches(_squares, batch_format="pyarrow", batch_size=None)
+    clipped = vector_clip(squares, [[_CLIP_L_RING]])
+    shaped = vector_add_shapes(clipped, shapes=["area"])
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": batch["doc_id"]}
+        for c in ("clip_area", "bbox_xmin", "bbox_xmax", "bbox_ymin", "bbox_ymax"):
+            src = "area" if c == "clip_area" else c
+            out[c] = np.floor(batch[src].to_numpy(dtype=np.float64) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(out)
+
+    return shaped.map_batches(_round, batch_format="pandas", batch_size=None)
+
+
+def sql_clip_concave() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+      FROM documents WHERE doc_id % 10 = 0),
+    f AS (
+      SELECT doc_id, lon - 0.25 AS fx0, lon + 0.25 AS fx1,
+             lat - 0.25 AS fy0, lat + 0.25 AS fy1 FROM pts),
+    o AS (
+      SELECT doc_id,
+        GREATEST(fx0, -100.0) AS ax0, LEAST(fx1, 0.0) AS ax1,
+        GREATEST(fy0, -50.0) AS ay0, LEAST(fy1, 60.0) AS ay1,
+        GREATEST(fx0, 0.0) AS bx0, LEAST(fx1, 100.0) AS bx1,
+        GREATEST(fy0, -50.0) AS by0, LEAST(fy1, 10.0) AS by1
+      FROM f),
+    a AS (
+      SELECT doc_id,
+        CASE WHEN ax1 > ax0 AND ay1 > ay0
+             THEN (ax1 - ax0) * (ay1 - ay0) ELSE 0.0 END AS area_a,
+        CASE WHEN bx1 > bx0 AND by1 > by0
+             THEN (bx1 - bx0) * (by1 - by0) ELSE 0.0 END AS area_b,
+        ax0, ax1, ay0, ay1, bx0, bx1, by0, by1
+      FROM o)
+    SELECT doc_id,
+      FLOOR((area_a + area_b) * 1e6 + 0.5) / 1e6 AS clip_area,
+      FLOOR((CASE WHEN area_a > 0 AND area_b > 0 THEN LEAST(ax0, bx0)
+                  WHEN area_a > 0 THEN ax0 ELSE bx0 END) * 1e6 + 0.5) / 1e6
+        AS bbox_xmin,
+      FLOOR((CASE WHEN area_a > 0 AND area_b > 0 THEN GREATEST(ax1, bx1)
+                  WHEN area_a > 0 THEN ax1 ELSE bx1 END) * 1e6 + 0.5) / 1e6
+        AS bbox_xmax,
+      FLOOR((CASE WHEN area_a > 0 AND area_b > 0 THEN LEAST(ay0, by0)
+                  WHEN area_a > 0 THEN ay0 ELSE by0 END) * 1e6 + 0.5) / 1e6
+        AS bbox_ymin,
+      FLOOR((CASE WHEN area_a > 0 AND area_b > 0 THEN GREATEST(ay1, by1)
+                  WHEN area_a > 0 THEN ay1 ELSE by1 END) * 1e6 + 0.5) / 1e6
+        AS bbox_ymax
+    FROM a WHERE area_a + area_b > 0
+"""
+
+
+# ----------------------------------------------- vectorize (regions, exact)
+
+def q_vectorize_regions(sf_dir: str):
+    """Raster → vector connected components (functions/vectorize.py:
+    vectorize_array ≙ reference raster/vectorize.py:25-161
+    gdal.Polygonize): the 32×24 doc-count grid classified into
+    {1: 0<n≤4, 2: n>4} (0 = nodata) and vectorized with exact outlines;
+    one row per 4-connected region with its min-flat-index label, class
+    value, pixel count and bbox. label_regions min-propagates
+    np.arange(h*w), so region_id == MIN(py*32+px) — reproduced in DuckDB
+    by a recursive-CTE reachability labeling over same-value 4-adjacent
+    pixels. (The multi-tile cross-border weld path is pytest-verified in
+    tests/test_vectorize.py; this entry pins the labeling + region
+    emission on a single whole-grid tile so labels are SQL-derivable.)"""
+    from buteo_ray.functions.vectorize import vectorize_array
+    from buteo_ray.sources.raster import tile_to_ndarray
+
+    tiles = _dem_count_raster(sf_dir, halo=0, tile_size=64)
+
+    def _vectorize(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        out = []
+        for _, row in pdf.iterrows():
+            arr = tile_to_ndarray(row)[:, :, 0]
+            cls = (arr > 0).astype(np.float64) + (arr > 4).astype(np.float64)
+            regions = vectorize_array(cls, nodata=0.0, x_off=row["x_off"],
+                                      y_off=row["y_off"], exact=True)
+            out.append(regions.drop(columns=["geom_wkb"]))
+        res = (pd.concat(out, ignore_index=True) if out
+               else pd.DataFrame(columns=["region_id", "value", "n_pixels",
+                                          "bbox_xmin", "bbox_xmax",
+                                          "bbox_ymin", "bbox_ymax"]))
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    return tiles.map_batches(_vectorize, batch_format="pyarrow", batch_size=None)
+
+
+def sql_vectorize_regions() -> str:
+    e = tile_sql_exprs(_DEM_GRID, _LAT_SQL, _LON_SQL)
+    w = _DEM_GRID.width
+    return f"""
+    WITH RECURSIVE
+    cnt AS (SELECT {e['px']} AS px, {e['py']} AS py, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2),
+    gv AS (SELECT px, py, CASE WHEN n > 4 THEN 2.0 ELSE 1.0 END AS v
+           FROM cnt WHERE n > 0),
+    e AS (SELECT a.px AS ax, a.py AS ay, b.px AS bx, b.py AS by
+          FROM gv a JOIN gv b ON a.v = b.v
+           AND ((ABS(a.px - b.px) = 1 AND a.py = b.py)
+                OR (a.px = b.px AND ABS(a.py - b.py) = 1))),
+    reach AS (
+      SELECT px, py, py * {w} + px AS lbl FROM gv
+      UNION
+      SELECT e.bx, e.by, r.lbl FROM reach r
+      JOIN e ON e.ax = r.px AND e.ay = r.py),
+    lab AS (SELECT px, py, MIN(lbl) AS lbl FROM reach GROUP BY px, py),
+    regions AS (
+      SELECT l.lbl, MIN(g.v) AS value, COUNT(*) AS n_pixels,
+        CAST(MIN(g.px) AS DOUBLE) AS bbox_xmin,
+        CAST(MAX(g.px) + 1 AS DOUBLE) AS bbox_xmax,
+        CAST(MIN(g.py) AS DOUBLE) AS bbox_ymin,
+        CAST(MAX(g.py) + 1 AS DOUBLE) AS bbox_ymax
+      FROM lab l JOIN gv g ON g.px = l.px AND g.py = l.py
+      GROUP BY l.lbl)
+    -- label_regions compacts labels to 0..k-1 ordered by min flat index
+    SELECT ROW_NUMBER() OVER (ORDER BY lbl) - 1 AS region_id,
+           value, n_pixels, bbox_xmin, bbox_xmax, bbox_ymin, bbox_ymax
+    FROM regions
+"""
+
+
+# --------------------------------------------------- warp (nearest, tiled)
+
+# Destination grid for the warp query: 2× upsample of the 32×24 count
+# grid with a sub-pixel shift (origin 0.6/0.4 in source-pixel map units,
+# pixel size 0.5). Source index = rint(0.5·X + 0.35) — fractional parts
+# are always .35/.85, never .5, so numpy's half-to-even rint equals
+# SQL's FLOOR(x + 0.5). Extent (62×46) is chosen so every destination
+# pixel maps inside the source raster and within each tile's core+1-halo
+# window (right/bottom halo genuinely exercised on interior tiles).
+_WARP_DST = {"ox": 0.6, "oy": 0.4, "ps": 0.5, "w": 62, "h": 46}
+
+
+def q_warp_nearest(sf_dir: str):
+    """Tiled nearest warp (functions/warp.py:warp_array ≙ reference
+    raster/align.py:39-498 / warp.py:23-118 gdal.Warp nearest): each
+    halo-padded tile of the doc-count raster inverse-maps its share of
+    the destination grid (map CRS = global source-pixel coordinates)
+    and emits (px, py, warped) rows."""
+    from buteo_ray.functions.warp import warp_array
+    from buteo_ray.sources.raster import tile_to_ndarray
+
+    tiles = _dem_count_raster(sf_dir, halo=1)
+    d = _WARP_DST
+
+    def _warp(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        pxs, pys, vals = [], [], []
+        for _, row in pdf.iterrows():
+            a = tile_to_ndarray(row)
+            halo = row["halo"]
+            src_gt = (row["x_off"] - halo, 1.0, 0.0, row["y_off"] - halo, 0.0, 1.0)
+            x0 = max(2 * row["x_off"], 0)
+            x1 = min(2 * (row["x_off"] + row["width"]), d["w"])
+            y0 = max(2 * row["y_off"], 0)
+            y1 = min(2 * (row["y_off"] + row["height"]), d["h"])
+            if x1 <= x0 or y1 <= y0:
+                continue
+            dst_gt = (d["ox"] + d["ps"] * x0, d["ps"], 0.0,
+                      d["oy"] + d["ps"] * y0, 0.0, d["ps"])
+            out = warp_array(a, src_gt, dst_gt, (y1 - y0, x1 - x0),
+                             method="nearest", nodata=np.nan)[:, :, 0]
+            yy, xx = np.mgrid[0:y1 - y0, 0:x1 - x0]
+            pxs.append((xx + x0).ravel().astype(np.int64))
+            pys.append((yy + y0).ravel().astype(np.int64))
+            vals.append(out.ravel().astype(np.float64))
+        return pa.table({
+            "px": np.concatenate(pxs) if pxs else np.empty(0, np.int64),
+            "py": np.concatenate(pys) if pys else np.empty(0, np.int64),
+            "warped": np.concatenate(vals) if vals else np.empty(0, np.float64),
+        })
+
+    return tiles.map_batches(_warp, batch_format="pyarrow", batch_size=None)
+
+
+def sql_warp_nearest() -> str:
+    d = _WARP_DST
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        "SELECT xs.x AS px, ys.y AS py, g.z AS warped "
+        f"FROM (SELECT UNNEST(generate_series(0, {d['w'] - 1})) AS x) xs "
+        f"CROSS JOIN (SELECT UNNEST(generate_series(0, {d['h'] - 1})) AS y) ys "
+        "JOIN g ON g.px = CAST(FLOOR(0.5 * xs.x + 0.85) AS BIGINT) "
+        "AND g.py = CAST(FLOOR(0.5 * ys.y + 0.85) AS BIGINT)"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -2455,6 +2694,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "hex_grid": q_hex_grid,
     "vector_shapes": q_vector_shapes,
     "url_canon": q_url_canon,
+    "clip_concave": q_clip_concave,
+    "vectorize_regions": q_vectorize_regions,
+    "warp_nearest": q_warp_nearest,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "hex_bin_counts": q_hex_bin_counts,
@@ -2541,6 +2783,9 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "hex_grid": sql_hex_grid,
     "vector_shapes": sql_vector_shapes,
     "url_canon": sql_url_canon,
+    "clip_concave": sql_clip_concave,
+    "vectorize_regions": sql_vectorize_regions,
+    "warp_nearest": sql_warp_nearest,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
