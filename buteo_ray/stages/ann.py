@@ -220,51 +220,75 @@ def ann_lsh_topk(
     q = quantize(np.asarray(query_vecs)) if quantized else np.asarray(query_vecs, np.float64)
     qnorm = np.sqrt((q * q).sum(axis=1))
     tables = [_hyperplanes(q.shape[1], nbits, t) for t in range(n_tables)]
-    bucket_to_q: dict = {}
+    # Per table, a CSR probe index over the query set: sorted unique
+    # probe buckets `keys`, segment offsets `seg_off`, query indices
+    # `qidx` — so corpus batches match buckets with one searchsorted
+    # instead of Python dict/set churn on the probe hot path.
+    probe_tabs = []
     for t, planes in enumerate(tables):
         qbucket = _bucket_ids(q, planes)
-        for qi in range(q.shape[0]):
-            for bk in _probe_buckets(int(qbucket[qi]), nbits, probe_bits):
-                bucket_to_q.setdefault((t, bk), set()).add(qi)
-    state_ref = ray.put((qid, q, qnorm, tables, bucket_to_q))
+        bks = np.array([bk for qi in range(q.shape[0])
+                        for bk in _probe_buckets(int(qbucket[qi]), nbits, probe_bits)],
+                       dtype=np.int64)
+        qis = np.repeat(np.arange(q.shape[0], dtype=np.int64),
+                        len(bks) // max(q.shape[0], 1))
+        order = np.lexsort((qis, bks))
+        bks, qis = bks[order], qis[order]
+        keys, starts = np.unique(bks, return_index=True)
+        probe_tabs.append((keys, np.concatenate([starts, [len(bks)]]), qis))
+    state_ref = ray.put((qid, q, qnorm, tables, probe_tabs))
 
     def _partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(_EMPTY_TOPK)
-        qid_, q_, qnorm_, tables_, b2q = ray.get(state_ref)
+        qid_, q_, qnorm_, tables_, tabs_ = ray.get(state_ref)
         e = _emb_matrix(batch, emb_col)
         e = quantize(e) if quantized else e.astype(np.float64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        # Candidate union across tables: query qi × row r iff buckets
-        # match in any table. Accumulated as per-query row-index sets.
-        cand: dict = {}
+        n_rows = e.shape[0]
+        # Candidate union across tables: (query, row) pair arrays built
+        # by sorted-key intersection — no per-row Python objects.
+        pair_q, pair_r = [], []
         for t, planes in enumerate(tables_):
-            bucket = _bucket_ids(e, planes)
-            for bk in np.unique(bucket):
-                qis = b2q.get((t, int(bk)))
-                if not qis:
-                    continue
-                rows = np.nonzero(bucket == bk)[0]
-                for qi in qis:
-                    cand.setdefault(qi, set()).update(rows.tolist())
-        if not cand:
+            keys, seg_off, qidx = tabs_[t]
+            if len(keys) == 0:
+                continue
+            bucket = _bucket_ids(e, planes).astype(np.int64)
+            pos = np.searchsorted(keys, bucket)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = np.nonzero(keys[pos_c] == bucket)[0]
+            if hit.size == 0:
+                continue
+            ki = pos_c[hit]
+            counts = seg_off[ki + 1] - seg_off[ki]
+            total = int(counts.sum())
+            starts_rep = np.repeat(seg_off[ki], counts)
+            local = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            pair_q.append(qidx[starts_rep + local])
+            pair_r.append(np.repeat(hit, counts))
+        if not pair_q:
             return pa.table(_EMPTY_TOPK)
+        # Dedup pairs across tables via one packed-key unique.
+        packed = np.unique(np.concatenate(pair_q) * n_rows
+                           + np.concatenate(pair_r))
+        qi_u, row_u = np.divmod(packed, n_rows)
         enorm = np.sqrt((e * e).sum(axis=1))
-        out_q, out_n, out_s = [], [], []
-        for qi, rowset in cand.items():
-            rows = np.fromiter(rowset, dtype=np.int64, count=len(rowset))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (e[rows] @ q_[qi]) / (enorm[rows] * qnorm_[qi])
-            cos = np.where(ids[rows] == qid_[qi], -np.inf, cos)
-            qc, nc, sc = _partial_topk_arrays(
-                ids[rows], cos[:, None], qid_[[qi]], k)
-            out_q.append(qc)
-            out_n.append(nc)
-            out_s.append(sc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = ((e[row_u] * q_[qi_u]).sum(axis=1)
+                   / (enorm[row_u] * qnorm_[qi_u]))
+        cos = np.where(ids[row_u] == qid_[qi_u], -np.inf, cos)
+        # Per-query top-k over the sorted pair segments.
+        order = np.lexsort((-cos, qi_u))
+        qs, cs, rs = qi_u[order], cos[order], row_u[order]
+        seg_start = np.concatenate([[0], np.nonzero(np.diff(qs))[0] + 1])
+        seg_len = np.diff(np.concatenate([seg_start, [len(qs)]]))
+        rank = np.arange(len(qs), dtype=np.int64) - np.repeat(seg_start, seg_len)
+        keep = rank < k
         return pa.table({
-            "query_id": np.concatenate(out_q),
-            "neighbor_id": np.concatenate(out_n),
-            "cos_sim": np.concatenate(out_s),
+            "query_id": qid_[qs[keep]],
+            "neighbor_id": ids[rs[keep]],
+            "cos_sim": cs[keep],
         })
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:

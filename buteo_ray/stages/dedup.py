@@ -639,16 +639,40 @@ def exact_jaccard_for_pairs(corpus_ds, pairs_ds, text_col: str = "text",
             [c if c != text_col else "text_b" for c in t.column_names]),
         batch_format="pyarrow", batch_size=None)
 
+    def _uniq_per_doc(h: np.ndarray, off: np.ndarray):
+        """Per-doc unique shingle hashes: (doc_idx, hash) arrays, sorted."""
+        n = len(off) - 1
+        doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((h, doc))
+        d, hh = doc[order], h[order]
+        first = np.ones(len(hh), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        return d[first], hh[first]
+
     def _jac(t: pa.Table) -> pa.Table:
-        ta = t["text_a"].to_pylist()
-        tb = t["text_b"].to_pylist()
-        jac = np.array([
-            (lambda a, b: len(a & b) / len(a | b) if (a or b) else 0.0)(
-                ngram_set(x), ngram_set(y))
-            for x, y in zip(ta, tb)
-        ])
+        # Batch-vectorized byte-5-gram Jaccard via _shingle_hashes: the
+        # same rolling-hash machinery as the MinHash signatures (ngram_set
+        # semantics — UTF-8 byte windows — with 64-bit hashed shingles;
+        # collision odds ~|set|²/2⁶⁴). No per-pair Python sets.
+        n = t.num_rows
+        ha, offa = _shingle_hashes(t["text_a"])
+        hb, offb = _shingle_hashes(t["text_b"])
+        da, ua = _uniq_per_doc(ha, offa)
+        db, ub = _uniq_per_doc(hb, offb)
+        ca = np.bincount(da, minlength=n)
+        cb = np.bincount(db, minlength=n)
+        # Merge the two per-doc-unique lists: a (doc, hash) duplicate
+        # means the shingle is in BOTH docs of that pair.
+        dc = np.concatenate([da, db])
+        hc = np.concatenate([ua, ub])
+        order = np.lexsort((hc, dc))
+        d2, h2 = dc[order], hc[order]
+        dup = (d2[1:] == d2[:-1]) & (h2[1:] == h2[:-1])
+        inter = np.bincount(d2[1:][dup], minlength=n)
+        union = ca + cb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
-                         "jaccard": pa.array(jac)})
+                         "jaccard": pa.array(jac, type=pa.float64())})
 
     return both.map_batches(_jac, batch_format="pyarrow", batch_size=None)
 

@@ -132,26 +132,73 @@ def decode_media(ds, decoder: str = "fake", target: Optional[Tuple[int, int]] = 
     )
 
 
+def _binary_column_view(batch: pa.Table, name: str):
+    """(values: uint8 view over the Arrow data buffer, offsets: int64) —
+    zero-copy access to a binary column, no per-row ``.as_py()``."""
+    col = batch.column(name)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, off
+
+
 def extract_features(decoded_ds):
     """Per-image channel statistics (the feature-extraction stage shape:
-    swap the body for a model forward pass)."""
+    swap the body for a model forward pass). Uniform-dims batches take
+    the vectorized path: one zero-copy uint8 view reshaped (n, h·w, c)
+    with float64-accumulated mean/std — no per-row Python, no float64
+    pixel copy; mixed-dims batches fall back to the per-row loop."""
 
-    def _fn(batch: pa.Table) -> pa.Table:
+    def _stats_per_row(batch: pa.Table):
         means, stds = [], []
         for i in range(batch.num_rows):
             h = batch["dec_height"][i].as_py()
             w = batch["dec_width"][i].as_py()
             c = batch["dec_channels"][i].as_py()
             img = np.frombuffer(batch["pixels"][i].as_py(), dtype=np.uint8).reshape(h, w, c)
-            means.append(img.mean(axis=(0, 1)).tolist())
-            stds.append(img.std(axis=(0, 1)).tolist())
+            means.append(img.mean(axis=(0, 1)))
+            stds.append(img.std(axis=(0, 1)))
+        c_off = np.concatenate([[0], np.cumsum([len(m) for m in means])])
+        m = np.concatenate(means) if means else np.empty(0, np.float64)
+        s = np.concatenate(stds) if stds else np.empty(0, np.float64)
+        return m, s, c_off
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        h = batch["dec_height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["dec_width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["dec_channels"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniform = n > 0 and (h == h[0]).all() and (w == w[0]).all() and (c == c[0]).all()
+        if uniform:
+            data, off = _binary_column_view(batch, "pixels")
+            row_bytes = h[0] * w[0] * c[0]
+            if not (np.diff(off) == row_bytes).all():
+                raise ValueError("pixels byte length != dec_height*dec_width*dec_channels")
+            flat = data[off[0]:off[-1]].reshape(n, h[0] * w[0], c[0])
+            m = flat.mean(axis=1, dtype=np.float64)
+            # Two-pass population std — same op order as per-image
+            # img.std(axis=(0, 1)), so results are bit-identical. The
+            # float64 diff copy is bounded by this stage's batch_size.
+            d = flat - m[:, None, :]
+            s = np.sqrt((d * d).mean(axis=1))
+            mean_vals, std_vals = m.ravel(), s.ravel()
+            c_off = np.arange(n + 1, dtype=np.int64) * c[0]
+        else:
+            mean_vals, std_vals, c_off = _stats_per_row(batch)
+        offsets = pa.array(c_off, type=pa.int32())
         return pa.table({
             "media_id": batch["media_id"],
-            "channel_mean": pa.array(means, type=pa.list_(pa.float64())),
-            "channel_std": pa.array(stds, type=pa.list_(pa.float64())),
+            "channel_mean": pa.ListArray.from_arrays(
+                offsets, pa.array(mean_vals, type=pa.float64())),
+            "channel_std": pa.ListArray.from_arrays(
+                offsets, pa.array(std_vals, type=pa.float64())),
         })
 
-    return decoded_ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+    # Bounded batch: the vectorized path holds one float64 copy of the
+    # batch's pixels (~24 B/px at c=3) — 256 rows of 64×48×3 ≈ 19 MB.
+    return decoded_ds.map_batches(_fn, batch_format="pyarrow", batch_size=256)
 
 
 def sample_frames(ds, every_nth: int = 2):
@@ -159,13 +206,14 @@ def sample_frames(ds, every_nth: int = 2):
     n-th (the video-pipeline plumbing; frames share the payload stub)."""
 
     def _fn(batch: pa.Table) -> pa.Table:
-        ids, frame_idx = [], []
-        for i in range(batch.num_rows):
-            n = batch["n_frames"][i].as_py()
-            mid = batch["media_id"][i].as_py()
-            for f in range(0, n, every_nth):
-                ids.append(mid)
-                frame_idx.append(f)
+        n = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mids = batch["media_id"].to_numpy(zero_copy_only=False)
+        # len(range(0, n, k)) == ceil(n / k), 0 for n <= 0
+        counts = np.maximum(n, 0)
+        counts = (counts + every_nth - 1) // every_nth
+        ids = np.repeat(mids, counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        frame_idx = (np.arange(counts.sum(), dtype=np.int64) - starts) * every_nth
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "frame_idx": pa.array(frame_idx, type=pa.int64()),
