@@ -154,12 +154,15 @@ def training_data_pipeline(
                                  id_col=id_col, emb_col=emb_col)
     drops = pairs.select_columns(["id_b"]).materialize()
     n_drops = drops.count()
-    if n_drops > 0 and n_drops * 8 < drop_broadcast_threshold:
+    # Gate on the MATERIALIZED byte size, not a fixed 8 bytes/id —
+    # string id columns can be far larger than their row count implies.
+    drop_bytes = drops.size_bytes() or n_drops * 8
+    if n_drops > 0 and drop_bytes < drop_broadcast_threshold:
         # Typical corpora: the drop-set is a few percent of the rows —
-        # 8 bytes/id, exact size known post-count. Broadcast it once
+        # exact size known post-materialize. Broadcast it once
         # (`ray.put`) and anti-filter with a vectorized searchsorted
         # probe: zero shuffles, no Acero, nested payload columns stream
-        # untouched. The gate (8M ids = 64 MB per worker heap) sends
+        # untouched. The gate (64 MB per worker heap) sends
         # duplicate-saturated corpora to the partitioned join below.
         import ray as _ray
 

@@ -219,6 +219,7 @@ def raster_extract_bands(ds, bands):
 
     def _fn(batch: pa.Table) -> pa.Table:
         pdf = batch.to_pandas()
+        orig_bands = pdf["bands"].to_numpy().copy()
         out = []
         for _, row in pdf.iterrows():
             arr = tile_to_ndarray(row)[:, :, bands]
@@ -226,9 +227,15 @@ def raster_extract_bands(ds, bands):
         pdf["data"] = out
         pdf["bands"] = len(bands)
         if "band_descriptions" in pdf.columns:
-            # Keep name metadata in sync with the selected bands.
+            # Keep name metadata in sync with the selected bands; rows
+            # whose descriptions are absent or stale (None / wrong
+            # length vs the row's ORIGINAL band count) get None,
+            # mirroring raster_stack's guard, instead of raising or
+            # silently mislabeling from a stale list.
             pdf["band_descriptions"] = [
-                [list(d)[b] for b in bands] for d in pdf["band_descriptions"]]
+                ([list(d)[b] for b in bands]
+                 if d is not None and len(list(d)) == orig_bands[i] else None)
+                for i, d in enumerate(pdf["band_descriptions"])]
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

@@ -117,10 +117,17 @@ def raster_set_band_descriptions(ds, descriptions):
     descriptions = [str(d) for d in descriptions]
 
     def _fn(batch: pa.Table) -> pa.Table:
-        nb = batch["bands"][0].as_py() if batch.num_rows else None
-        if batch.num_rows and nb != len(descriptions):
-            raise ValueError(
-                f"got {len(descriptions)} descriptions for {nb} bands")
+        if batch.num_rows:
+            # Validate EVERY row's band count — a batch can mix tiles
+            # from rasters with different band counts.
+            import pyarrow.compute as pc
+
+            nbs = pc.unique(batch["bands"]).to_pylist()
+            bad = [nb for nb in nbs if nb != len(descriptions)]
+            if bad:
+                raise ValueError(
+                    f"got {len(descriptions)} descriptions for tiles "
+                    f"with band counts {sorted(set(bad))}")
         col = pa.array([descriptions] * batch.num_rows,
                        type=pa.list_(pa.string()))
         if "band_descriptions" in batch.column_names:

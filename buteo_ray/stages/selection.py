@@ -110,7 +110,10 @@ def topk_per_group(ds, key_col: str, sort_cols: list, k: int,
         s = g[c]
         if s.dtype != object:
             return True
-        v = s.iloc[0] if len(s) else None
+        # Probe the first NON-NULL value: row 0 may be None while later
+        # rows hold unsortable lists/arrays.
+        nn = s.dropna()
+        v = nn.iloc[0] if len(nn) else None
         return not isinstance(v, (list, np.ndarray, dict))
 
     def _partial(g: pd.DataFrame) -> pd.DataFrame:

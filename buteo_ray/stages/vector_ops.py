@@ -580,6 +580,14 @@ def vector_buffer(ds, distance, quad_segs: int = 8,
         dists = (batch[distance].to_numpy(dtype=np.float64)
                  if isinstance(distance, str)
                  else np.full(len(batch), float(distance)))
+        if np.isnan(dists).any():
+            # Loud failure (matching e.g. sample_per_group's negative-id
+            # check): a null/NaN attribute distance would otherwise flow
+            # into disc_ring and emit NaN-coordinate geometry.
+            bad = batch.index[np.isnan(dists)][:5].tolist()
+            raise ValueError(
+                f"vector_buffer: null/NaN buffer distance for rows {bad}"
+                + (f" (column {distance!r})" if isinstance(distance, str) else ""))
         out_wkb, kept = [], []
         for w, d in zip(batch["geom_wkb"], dists):
             polys = buffer_geometry(w, float(d), quad_segs=quad_segs)

@@ -110,23 +110,52 @@ def derive_num_partitions(*datasets, target_bytes: int = 64 << 20,
     return int(max(lo, min(hi, -(-total // max(target_bytes, 1)))))
 
 
-def key_counts(ds, key: str) -> pd.DataFrame:
+def key_counts(ds, key: str, top: Optional[int] = None) -> pd.DataFrame:
     """Per-key row counts (the skew probe — one cheap shuffle of
-    pre-aggregated partials)."""
+    pre-aggregated partials).
+
+    The default (``top=None``) drives the FULL counts table to the
+    driver — only safe for bounded-cardinality keys (cells, langs,
+    tile ids). For high-cardinality keys pass ``top``: the counts stay
+    distributed and only the ``top`` highest-count rows (a distributed
+    sort + limit over the already-aggregated table) reach the driver."""
     from ray.data.aggregate import Count
 
-    return ds.groupby(key).aggregate(Count(alias_name="n")).to_pandas()
+    agg = ds.groupby(key).aggregate(Count(alias_name="n"))
+    if top is not None:
+        agg = agg.sort("n", descending=True).limit(top)
+    return agg.to_pandas()
 
 
-def hot_keys(ds, key: str, threshold: Optional[int] = None) -> Dict:
+def hot_keys(ds, key: str, threshold: Optional[int] = None,
+             max_keys: int = 65536) -> Dict:
     """Keys whose count exceeds ``threshold`` (default: 10× the median
-    key count). Returns {key_value: count}."""
-    counts = key_counts(ds, key)
-    if len(counts) == 0:
-        return {}
+    key count). Returns {key_value: count}.
+
+    Driver-safe at any key cardinality: the counts table stays a
+    Dataset; the median (threshold=None) comes from a distributed sort
+    + single-row take at the midpoint, and at most ``max_keys`` hot
+    rows (the highest counts) are collected."""
+    from ray.data.aggregate import Count
+
+    counts_ds = ds.groupby(key).aggregate(Count(alias_name="n"))
     if threshold is None:
-        threshold = max(int(counts["n"].median()) * 10, 1000)
-    hot = counts[counts["n"] > threshold]
+        n_keys = counts_ds.count()
+        if n_keys == 0:
+            return {}
+        mid = (counts_ds.sort("n").split_at_indices([n_keys // 2])[1]
+               .limit(1).to_pandas())
+        threshold = max(int(mid["n"].iloc[0]) * 10, 1000)
+    thr = threshold
+
+    def _filter_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t["n"], thr))
+
+    hot = (counts_ds.map_batches(_filter_hot, batch_format="pyarrow",
+                                 batch_size=None)
+           .sort("n", descending=True).limit(max_keys).to_pandas())
     return dict(zip(hot[key], hot["n"]))
 
 

@@ -129,3 +129,31 @@ def test_partitioned_join_salted_same_result(ray_session):
     key = lambda d: set(zip(d["doc_id"], d["aoi_id"]))
     assert key(salted) == key(plain)
     assert len(salted) == len(plain)
+
+
+def test_hot_keys_high_cardinality(ray_session):
+    """The hot-key probe must not driver-materialize the full counts
+    table: 50k distinct keys (one row each) plus two hot keys; default
+    (median-derived) threshold still isolates the hot pair."""
+    import ray.data as rd
+
+    from buteo_ray.state.skew import hot_keys, key_counts
+
+    ks = np.concatenate([
+        np.arange(50_000),           # 50k singleton keys
+        np.full(3000, 1_000_001),    # hot
+        np.full(2500, 1_000_002),    # hot
+    ])
+    ds = rd.from_pandas(pd.DataFrame({"k": ks}))
+
+    hot = hot_keys(ds, "k")  # median=1 → threshold=max(10,1000)=1000
+    assert hot == {1_000_001: 3000, 1_000_002: 2500}
+
+    # top-N key_counts keeps only the heaviest keys on the driver.
+    top = key_counts(ds, "k", top=2)
+    assert len(top) == 2
+    assert set(top["k"]) == {1_000_001, 1_000_002}
+
+    # max_keys caps the collected hot set at the heaviest keys.
+    capped = hot_keys(ds, "k", threshold=2000, max_keys=1)
+    assert capped == {1_000_001: 3000}
