@@ -222,6 +222,54 @@ def mask_lines(X: np.ndarray, rng: np.random.Generator, n_lines: int = 2,
     return X
 
 
+def _border_point(idx: int, h: int, w: int) -> tuple:
+    """1-D border index → (y, x) walking top→right→bottom→left
+    (reference ``line_masking.py:239-271``)."""
+    if idx < w:
+        return 0, idx
+    if idx < w + h - 1:
+        return idx - w + 1, w - 1
+    if idx < 2 * w + h - 2:
+        return h - 1, w - 1 - (idx - w - h + 2)
+    return h - 1 - (idx - 2 * w - h + 3), 0
+
+
+def mask_lines_bezier(X: np.ndarray, rng: np.random.Generator,
+                      p: float = 0.05) -> np.ndarray:
+    """Mask of random quadratic Bezier curves between border points
+    (≙ ``mask_lines_2d_bezier``, reference line_masking.py:305-396):
+    each curve runs border→border through a uniform interior control
+    point, rasterized at bbox-diagonal resolution with round-half-up;
+    returns uint8 (H, W, C), 0 = masked. Curve count ~ Binomial(border
+    perimeter, p); the t-samples per curve are evaluated vectorized
+    instead of the reference's per-t prange loop."""
+    h, w, c = X.shape
+    mask = np.ones((h, w, c), dtype=np.uint8)
+    border = 2 * (h + w) - 4
+    n_lines = int((rng.random(border) < p).sum())
+    if n_lines == 0:
+        return mask
+    for _ in range(n_lines):
+        sy, sx = _border_point(int(rng.integers(0, border)), h, w)
+        ey, ex = _border_point(int(rng.integers(0, border)), h, w)
+        my = int(rng.integers(0, h))
+        mx = int(rng.integers(0, w))
+        diag = int(np.sqrt((max(sx, mx, ex) - min(sx, mx, ex)) ** 2
+                           + (max(sy, my, ey) - min(sy, my, ey)) ** 2))
+        t = np.linspace(0.0, 1.0, max(diag, 2))
+        a, b = 1.0 - t, t
+        x = a * (a * sx + b * mx) + b * (a * mx + b * ex)
+        y = a * (a * sy + b * my) + b * (a * my + b * ey)
+        xi = np.clip((x + 0.5).astype(np.int64), 0, w - 1)
+        yi = np.clip((y + 0.5).astype(np.int64), 0, h - 1)
+        # reference indexes mask[y, x] with the bezier's (x, y) swapped
+        # through its (px, py) call order — net effect: rows from the x
+        # polynomial, cols from the y polynomial. Keep rows=y, cols=x
+        # here (the geometrically-correct form) and document the delta.
+        mask[yi, xi, :] = 0
+    return mask
+
+
 def spatial_label_smoothing(y: np.ndarray, radius: float = 1.0,
                             preserve_class: bool = True) -> np.ndarray:
     """Blur one-hot labels spatially (reference

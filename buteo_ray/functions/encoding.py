@@ -69,6 +69,36 @@ def add_latlng_encoding(ds, lat_col: str = "lat", lon_col: str = "lon"):
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+def encode_width(lng, lng_max: float) -> np.ndarray:
+    """(…,) position → (…, 2) [sin01, cos01] over a cyclical width
+    ``lng_max`` (reference ``encoding.py:270-297``). Unlike
+    :func:`encode_longitude` there is no +half-range shift."""
+    lng = np.asarray(lng, dtype=np.float64)
+    frac = lng / float(lng_max)
+    s = (np.sin(2 * np.pi * frac) + 1.0) / 2.0
+    c = (np.cos(2 * np.pi * frac) + 1.0) / 2.0
+    return np.stack([s, c], axis=-1).astype(np.float32)
+
+
+def encode_arr_position(arr: np.ndarray) -> np.ndarray:
+    """(M, N) grid → (M, N, 3) positional encoding where axis 1 (the
+    "width") is cyclical and axis 0 is linear — channels are
+    [width_sin, width_cos, col_linear] (reference ``encoding.py:300-337``,
+    vectorized via broadcasting instead of the prange triple loop)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("encode_arr_position expects a 2D array")
+    m, n = arr.shape
+    if m < 2 or n < 2:
+        raise ValueError("encode_arr_position needs both dims >= 2")
+    row_enc = encode_width(np.arange(n, dtype=np.float32), n - 1)  # (N, 2)
+    col_enc = (np.arange(m, dtype=np.float32) / np.float32(m - 1))  # (M,)
+    out = np.empty((m, n, 3), dtype=np.float32)
+    out[:, :, 0:2] = row_enc[None, :, :]
+    out[:, :, 2] = col_enc[:, None]
+    return out
+
+
 def timeseries_least_square_slope(arr: np.ndarray) -> np.ndarray:
     """Per-pixel OLS slope along the last axis of an (H, W, T) stack.
     Reference ``array/timeseries.py:8-49`` (same vectorized formula)."""

@@ -359,6 +359,68 @@ def fill_nearest(arr: np.ndarray, nodata: float, max_iter: int = 100) -> np.ndar
     return arr
 
 
+def fill_nearest_classes(arr: np.ndarray, nodata, mask: np.ndarray | None = None,
+                         max_iter: int | None = None) -> np.ndarray:
+    """Fill nodata cells with the 1/d²-weight-majority CLASS of their 3×3
+    neighbours, iterating until stable (≙ ``convolve_fill_nearest_classes``,
+    reference array/fill.py:122-225). Vectorized: one padded shift + add
+    per (offset, class) instead of the reference's per-pixel prange loop;
+    weights are accumulated per class in the reference's sorted-by-distance
+    offset order so tie-breaks (np.argmax → first of the ascending-sorted
+    unique classes) match exactly.
+
+    ``arr``/``mask`` are 2D (single channel); ``mask==1`` marks cells that
+    both participate as neighbours and are eligible for filling."""
+    arr = np.asarray(arr)
+    out = arr.copy()
+    h, w = out.shape
+    if mask is None:
+        mask = np.ones((h, w), dtype=np.uint8)
+    mask = np.asarray(mask).astype(np.uint8)
+
+    classes = np.unique(out)
+    classes = classes[classes != nodata]
+    if classes.size == 0:
+        return out
+
+    # 8 neighbour offsets sorted by distance (orthogonal then diagonal),
+    # weights 1/d² normalized — same construction as the reference.
+    offs = np.array([(dc, dr) for dc in (-1, 0, 1) for dr in (-1, 0, 1)])
+    d = np.sqrt((offs ** 2).sum(axis=1))
+    order = np.argsort(d, kind="stable")[1:]
+    offs = offs[order]
+    wts = 1.0 / (d[order] ** 2)
+    wts = (wts / wts.sum()).astype(np.float32)
+
+    it = 0
+    while True:
+        hole = (out == nodata) & (mask == 1)
+        if not hole.any():
+            break
+        score = np.zeros((classes.size, h, w), dtype=np.float32)
+        valid = (out != nodata) & (mask == 1)
+        for (dc, dr), wt in zip(offs, wts):
+            # neighbour at (row+dr, col+dc) seen from each cell
+            src_r = slice(max(dr, 0), h + min(dr, 0))
+            src_c = slice(max(dc, 0), w + min(dc, 0))
+            dst_r = slice(max(-dr, 0), h + min(-dr, 0))
+            dst_c = slice(max(-dc, 0), w + min(-dc, 0))
+            v = valid[src_r, src_c]
+            vals = out[src_r, src_c]
+            for ci, cls in enumerate(classes):
+                score[ci][dst_r, dst_c] += wt * ((vals == cls) & v)
+        total = score.sum(axis=0)
+        winner = classes[np.argmax(score, axis=0)]
+        fillable = hole & (total > 0)
+        if not fillable.any():
+            break  # unreachable holes (all neighbours masked) — no progress
+        out[fillable] = winner[fillable]
+        it += 1
+        if max_iter is not None and it >= max_iter:
+            break
+    return out
+
+
 def add_border(arr: np.ndarray, border_size: int = 1, value: float = 0.0) -> np.ndarray:
     """Constant border padding (≙ ``raster_add_border``,
     reference raster/borders.py:30-226)."""

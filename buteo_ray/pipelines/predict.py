@@ -359,6 +359,53 @@ def predicted_tiles_to_array(tiles_df: pd.DataFrame, shape) -> np.ndarray:
     return out
 
 
+def predict_array_pixel(arr: np.ndarray, callback: Callable) -> np.ndarray:
+    """Per-pixel model scoring of one (H, W, C) array: flatten to
+    (H·W, C), score, reshape to (H, W, C_out) (≙ ``predict_array_pixel``,
+    reference array/patches/prediction.py:189-209)."""
+    if arr.ndim != 3:
+        raise ValueError("Array must be 3D")
+    flat = arr.reshape((arr.shape[0] * arr.shape[1], arr.shape[2]))
+    pred = callback(flat)
+    if pred.ndim == 1:
+        pred = pred[:, None]
+    return pred.reshape((arr.shape[0], arr.shape[1], pred.shape[-1]))
+
+
+class PixelScorer:
+    """Actor-pool stage: per-pixel model scoring over tile rows. The
+    model is built once per actor (``__init__``); each tile's pixels are
+    scored as one (h·w, C) batch — no patch extraction or merge kernel
+    needed because a pixel model has no spatial receptive field, so
+    tiles never interact and the stage is embarrassingly parallel."""
+
+    def __init__(self, model_builder: Callable):
+        self.model = model_builder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from buteo_ray.sources.raster import tile_to_ndarray
+
+        pdf = batch.to_pandas()
+        new_data, new_dtype, new_bands = [], [], []
+        for _, row in pdf.iterrows():
+            arr = tile_to_ndarray(row)
+            out = predict_array_pixel(arr, self.model).astype(np.float32)
+            new_data.append(np.ascontiguousarray(out).tobytes())
+            new_dtype.append(str(out.dtype))
+            new_bands.append(out.shape[2])
+        pdf["data"] = new_data
+        pdf["dtype"] = new_dtype
+        pdf["bands"] = new_bands
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def predict_dataset_pixel(ds, model_builder: Callable, concurrency: int = 4):
+    """Distributed per-pixel scoring over a tile-row Dataset."""
+    return ds.map_batches(PixelScorer, fn_constructor_args=(model_builder,),
+                          batch_format="pyarrow", batch_size=None,
+                          concurrency=concurrency)
+
+
 def predict_array_local(
     arr: np.ndarray,
     callback: Callable,

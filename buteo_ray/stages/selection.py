@@ -45,6 +45,47 @@ def split_train_val(ds, id_col: str, val_frac: float = 0.1, seed: int = 42):
     return train, val
 
 
+def split_train_val_test(ds, id_col: str, val_frac: float = 0.1,
+                         test_frac: float = 0.2, seed: int = 42):
+    """(train_ds, val_ds, test_ds) — 3-way hash split with the
+    reference's proportions (``ai/selection.py:71-140``: the test cut is
+    a fraction of the whole, the val cut a fraction of the remainder, so
+    P(val) = val_frac·(1−test_frac))."""
+    if not 0 < val_frac < 1 or not 0 < test_frac < 1:
+        raise ValueError("val_frac and test_frac must be in (0, 1)")
+    eff_val = val_frac * (1.0 - test_frac)
+    tagged = add_split_column(ds, id_col, val_frac=eff_val,
+                              test_frac=test_frac, seed=seed)
+    return (tagged.filter(expr="split == 'train'"),
+            tagged.filter(expr="split == 'val'"),
+            tagged.filter(expr="split == 'test'"))
+
+
+def split_train_val_test_arrays(
+    X: np.ndarray, y: np.ndarray, val_size: float = 0.1,
+    test_size: float = 0.2, random_state: Optional[int] = None,
+) -> Tuple[np.ndarray, ...]:
+    """Local-array 3-way split, bit-compatible with the reference
+    (``ai/selection.py:71-140``): seed → full shuffle → test cut at
+    ``(1−test)·n``, val cut at ``(1−val)`` of the remainder. Returns
+    (X_train, X_val, X_test, y_train, y_val, y_test)."""
+    X = np.asarray(X)
+    y = np.asarray(y)
+    if X.shape[0] != y.shape[0]:
+        raise ValueError("X and y must have the same number of rows")
+    if not 0 < val_size < 1 or not 0 < test_size < 1:
+        raise ValueError("val_size and test_size must be in (0, 1)")
+    if random_state is not None:
+        np.random.seed(random_state)
+    indices = np.arange(X.shape[0])
+    np.random.shuffle(indices)
+    test_split = int(X.shape[0] * (1 - test_size))
+    val_split = int((1 - val_size) * test_split)
+    return (X[indices[:val_split]], X[indices[val_split:test_split]],
+            X[indices[test_split:]], y[indices[:val_split]],
+            y[indices[val_split:test_split]], y[indices[test_split:]])
+
+
 def sampling_random(ds, fraction: float, id_col: str, seed: int = 42):
     """Seeded uniform sample (≙ ``sampling_random``, selection.py:200-240)
     — hash-based, so the same rows are kept on re-runs."""
