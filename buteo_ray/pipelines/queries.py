@@ -926,11 +926,94 @@ def q_dedup_minhash_pairs(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    """64-bit SimHash per document (rows-only check)."""
+    """64-bit SimHash per document, reported as two int64 halves so the
+    DuckDB oracle (which replays the FNV-polynomial + splitmix64 token
+    hashes bit-exactly in SQL) can hash-compare the values."""
     from buteo_ray.stages.dedup import simhash_signatures
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    return simhash_signatures(ds)
+
+    def _split(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sim_hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+            "sim_lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    return simhash_signatures(ds).map_batches(
+        _split, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_splitmix_ctes(src: str, col: str, prefix: str) -> str:
+    """CTE chain applying splitmix64 to UBIGINT column ``col`` of CTE
+    ``src`` (carrying doc_id, ti); final CTE is ``{prefix}6(doc_id, ti, h)``.
+    Multiplications run mod 2^64 via 32-bit-split HUGEINT products
+    (a full 64×64-bit product can exceed INT128 max, which DuckDB
+    raises on); constants are the public splitmix64 constants."""
+    m = "18446744073709551616"  # 2^64
+
+    def mulmod(c: int) -> str:
+        # h*c mod 2^64 = (lo(h)*c + ((hi(h)*lo(c)) mod 2^32)<<32) mod 2^64;
+        # every intermediate product stays below 2^96 < INT128 max.
+        return (f"CAST(((CAST(h % 4294967296 AS HUGEINT) * {c}) % {m} "
+                f"+ ((CAST(h // 4294967296 AS HUGEINT) * {c % 2**32}) "
+                f"% 4294967296) * 4294967296) % {m} AS UBIGINT)")
+
+    return (
+        f"{prefix}1 AS (SELECT doc_id, ti, CAST((CAST({col} AS HUGEINT) "
+        f"+ 11400714819323198485) % {m} AS UBIGINT) AS h FROM {src}), "
+        f"{prefix}2 AS (SELECT doc_id, ti, xor(h, h >> 30) AS h FROM {prefix}1), "
+        f"{prefix}3 AS (SELECT doc_id, ti, {mulmod(13787848793156543929)} "
+        f"AS h FROM {prefix}2), "
+        f"{prefix}4 AS (SELECT doc_id, ti, xor(h, h >> 27) AS h FROM {prefix}3), "
+        f"{prefix}5 AS (SELECT doc_id, ti, {mulmod(10723151780598845931)} "
+        f"AS h FROM {prefix}4), "
+        f"{prefix}6 AS (SELECT doc_id, ti, xor(h, h >> 31) AS h FROM {prefix}5)"
+    )
+
+
+def _sql_simhash_cte(max_token_len: int = 256) -> str:
+    """Shared CTE block ending in ``sim(doc_id, sim_hi, sim_lo)`` — the
+    engine's simhash64 replayed in SQL: single-space tokenization with
+    empties kept (== pandas ``str.split(' ')``), per-token FNV-prime
+    polynomial over the bytes via a powers literal table (ASCII corpus:
+    ord == byte), splitmix64 finalizer, per-bit ±1 vote over token
+    OCCURRENCES, bit set where the vote sum is positive."""
+    p = 1099511628211
+    pw_rows = ", ".join(f"({e}, CAST({pow(p, e, 2**64)} AS UBIGINT))"
+                        for e in range(max_token_len))
+    return (
+        f"pw(e, p) AS (VALUES {pw_rows}), "
+        "tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+        "toks AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(generate_series(1, len(l))) AS ti FROM tl), "
+        "chars AS (SELECT doc_id, ti, tok, "
+        "unnest(generate_series(1, length(tok))) AS j FROM toks), "
+        "psum AS (SELECT doc_id, ti, CAST(SUM(CAST(ord(substring(tok, "
+        "CAST(j AS INTEGER), 1)) AS HUGEINT) * CAST(p AS HUGEINT)) "
+        "% 18446744073709551616 AS UBIGINT) AS hraw "
+        "FROM chars JOIN pw ON pw.e = length(tok) - j GROUP BY doc_id, ti), "
+        "traw AS (SELECT t.doc_id, t.ti, "
+        "COALESCE(p.hraw, CAST(0 AS UBIGINT)) AS hraw "
+        "FROM toks t LEFT JOIN psum p ON p.doc_id = t.doc_id AND p.ti = t.ti), "
+        + _sql_splitmix_ctes("traw", "hraw", "sm") + ", "
+        "bitsum AS (SELECT doc_id, b, SUM(CASE WHEN "
+        "(h >> CAST(b AS INTEGER)) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT) "
+        "THEN 1 ELSE -1 END) AS s FROM sm6 CROSS JOIN "
+        "(SELECT unnest(generate_series(0, 63)) AS b) GROUP BY doc_id, b), "
+        "sim AS (SELECT doc_id, "
+        "SUM(CASE WHEN s > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << "
+        "CAST(b - 32 AS INTEGER)) ELSE 0 END) AS sim_hi, "
+        "SUM(CASE WHEN s > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << "
+        "CAST(b AS INTEGER)) ELSE 0 END) AS sim_lo FROM bitsum GROUP BY doc_id)"
+    )
+
+
+def sql_simhash() -> str:
+    return ("WITH " + _sql_simhash_cte()
+            + " SELECT doc_id, CAST(sim_hi AS BIGINT) AS sim_hi, "
+              "CAST(sim_lo AS BIGINT) AS sim_lo FROM sim")
 
 
 def q_lang_pred(sf_dir: str):
@@ -1228,10 +1311,9 @@ def q_ann_lsh_topk(sf_dir: str):
 
 def q_simhash_dup_pairs(sf_dir: str):
     """SimHash Hamming-radius near-dup pairs (pigeonhole banding —
-    exact wrt signatures, every qualifying pair found once). Rows-only:
-    the signature function (pd.util.hash_pandas_object token hashes)
-    has no SQL twin; exactness vs a brute-force all-pairs popcount is
-    pytest-verified (tests/test_knn_dedup_text.py)."""
+    exact wrt signatures, every qualifying pair found once; also
+    pytest-verified vs brute force). The DuckDB oracle recomputes the
+    signatures in SQL and brute-forces all pairs with bit_count."""
     import ray.data as rd
 
     from buteo_ray.stages.dedup import simhash_dup_pairs
@@ -1239,7 +1321,21 @@ def q_simhash_dup_pairs(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = simhash_dup_pairs(docs, max_hamming=6).to_pandas()
+    out["hamming"] = out["hamming"].astype(np.int64)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def sql_simhash_dup_pairs() -> str:
+    # hamming over int64 halves (halves < 2^32, so BIGINT bit_count is safe)
+    return (
+        "WITH " + _sql_simhash_cte() +
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "bit_count(xor(a.sim_hi, b.sim_hi)) "
+        "+ bit_count(xor(a.sim_lo, b.sim_lo)) AS hamming "
+        "FROM sim a JOIN sim b ON b.doc_id > a.doc_id "
+        "WHERE bit_count(xor(a.sim_hi, b.sim_hi)) "
+        "+ bit_count(xor(a.sim_lo, b.sim_lo)) <= 6"
+    )
 
 
 def q_ann_ivf_topk(sf_dir: str):
@@ -2786,6 +2882,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "clip_concave": sql_clip_concave,
     "vectorize_regions": sql_vectorize_regions,
     "warp_nearest": sql_warp_nearest,
+    "simhash": sql_simhash,
+    "simhash_dup_pairs": sql_simhash_dup_pairs,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -477,22 +477,56 @@ def minhash_lsh_pairs(
             .map_groups(_pairs_bucket, batch_format="pandas"))
 
 
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _token_polyhash(tokens) -> np.ndarray:
+    """SQL-reproducible per-token hash: FNV-prime polynomial over the
+    UTF-8 bytes (``h = Σ c_j·P^(L−1−j) mod 2^64``, the associative form
+    of ``h = h·P + c``) finished with splitmix64. Fully vectorized — the
+    segment sums use the wrap-around cumsum trick (uint64 cumsum is
+    already modular, so ``cs[end−1] − cs[start−1]`` is each token's sum)."""
+    arr = tokens if isinstance(tokens, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(tokens, type=pa.string())
+    data, starts, lens = _utf8_buffer_view(arr)
+    n = len(arr)
+    sums = np.zeros(n, dtype=np.uint64)
+    if data.shape[0]:
+        maxlen = int(lens.max())
+        pw = np.empty(maxlen, dtype=np.uint64)
+        pw[0] = 1
+        if maxlen > 1:  # modular: uint64 cumprod wraps mod 2^64
+            pw[1:] = np.cumprod(np.full(maxlen - 1, _FNV_PRIME, dtype=np.uint64))
+        pos = np.arange(data.shape[0], dtype=np.int64) - np.repeat(starts, lens)
+        expo = np.repeat(lens, lens) - 1 - pos
+        contrib = data.astype(np.uint64) * pw[expo]
+        cs = np.cumsum(contrib, dtype=np.uint64)
+        ends = starts + lens
+        hi = np.where(ends > 0, cs[np.maximum(ends - 1, 0)], np.uint64(0))
+        lo = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], np.uint64(0))
+        sums = np.where(lens > 0, hi - lo, np.uint64(0))
+    return _splitmix64(sums)
+
+
 def simhash64(texts: List[str]) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
+    """64-bit SimHash over single-space tokens (Charikar 2002). Token
+    hashes are FNV-polynomial + splitmix64 (:func:`_token_polyhash`) so
+    the DuckDB oracle replays them bit-exactly and signatures don't
+    depend on pandas' process-internal siphash."""
     n = len(texts)
-    out = np.zeros(n, dtype=np.uint64)
-    tokens = pd.Series(texts).str.split(" ")
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    tokens = pd.Series(texts, dtype=object).str.split(" ")
+    n_tok = tokens.str.len().to_numpy().astype(np.int64)  # ≥1 per doc
     flat = tokens.explode()
-    doc_of = flat.index.to_numpy().astype(np.int64)
-    th = pd.util.hash_pandas_object(flat.reset_index(drop=True), index=False).to_numpy()
-    acc = np.zeros((n, 64), dtype=np.int64)
-    for b in range(64):
-        bit = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
-        np.add.at(acc[:, b], doc_of, bit)
+    th = _token_polyhash(flat.to_numpy())
+    shifts = np.arange(64, dtype=np.uint64)
+    pm = (((th[:, None] >> shifts[None, :]) & np.uint64(1))
+          .astype(np.int64) * 2 - 1)
+    doc_starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    acc = np.add.reduceat(pm, doc_starts, axis=0)
     bits = (acc > 0).astype(np.uint64)
-    for b in range(64):
-        out |= bits[:, b] << np.uint64(b)
-    return out
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):

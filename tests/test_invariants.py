@@ -139,9 +139,11 @@ def test_training_data_pipeline_alt_near_dup_methods(ray_session):
     rows.append(twin)
     df = pd.DataFrame(rows)
 
+    # Twin sits at hamming 8 under the FNV-polynomial token hashes;
+    # nearest non-dup is at 24, so 10 stays selective.
     sim = training_data_pipeline(
         rd.from_pandas(df), min_tokens=5, near_dup_method="simhash",
-        near_dup_hamming=3).to_pandas()
+        near_dup_hamming=10).to_pandas()
     assert 3 in set(sim["page_id"]) and 500 not in set(sim["page_id"])
 
     emb = training_data_pipeline(
