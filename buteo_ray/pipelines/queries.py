@@ -917,12 +917,52 @@ def sql_asof_join() -> str:
 
 def q_dedup_minhash_pairs(sf_dir: str):
     """Near-dup candidate pairs via OPH-MinHash + banded LSH (estimated
-    Jaccard ≥ 0.5). Verified against a brute-force n-gram Jaccard oracle
-    in tests/test_dedup_text.py; no SQL equivalent."""
+    Jaccard ≥ 0.5). Also verified against a brute-force n-gram Jaccard
+    oracle in tests/test_dedup_text.py. The DuckDB oracle replays the
+    shingle → splitmix64 → OPH signature pipeline bit-exactly in SQL;
+    LSH banding/bucketing needs no SQL twin because the engine's
+    first-matching-band ownership rule emits exactly the pairs with ≥1
+    fully-equal signature band (hash-only bucket collisions are
+    dropped), a predicate the oracle applies directly over all pairs."""
     from buteo_ray.stages.dedup import minhash_lsh_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def sql_dedup_minhash_pairs() -> str:
+    p = 1099511628211  # FNV prime, the engine's shingle polynomial base
+    c = [pow(p, k, 2 ** 64) for k in range(5)]
+    terms = " + ".join(
+        f"ord(substring(text, CAST(i + {k} AS INTEGER), 1)) "
+        f"* CAST({c[4 - k]} AS HUGEINT)" for k in range(5))
+    return (
+        "WITH pos AS (SELECT doc_id, text, "
+        "unnest(generate_series(1, length(text) - 4)) AS i FROM documents), "
+        f"raw AS (SELECT doc_id, i AS ti, CAST(({terms}) "
+        "% 18446744073709551616 AS UBIGINT) AS hraw FROM pos), "
+        + _sql_splitmix_ctes("raw", "hraw", "mh") + ", "
+        "sigs AS (SELECT doc_id, CAST(h >> 58 AS BIGINT) AS bin, MIN(h) AS s "
+        "FROM mh6 GROUP BY 1, 2), "
+        "dmin AS (SELECT doc_id, MIN(s) AS m FROM sigs GROUP BY 1), "
+        "allb AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bin "
+        "FROM (SELECT DISTINCT doc_id FROM documents)), "
+        "sig AS (SELECT ab.doc_id, ab.bin, COALESCE(sg.s, dm.m) AS s "
+        "FROM allb ab LEFT JOIN sigs sg ON sg.doc_id = ab.doc_id "
+        "AND sg.bin = ab.bin JOIN dmin dm ON dm.doc_id = ab.doc_id), "
+        # per (pair, band): count of equal bins; band = bin // 4 (16
+        # bands × 4 rows). k=4 ⟺ that band's chunk matches exactly.
+        "bnd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.bin // 4 AS band, "
+        "SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS k "
+        "FROM sig a JOIN sig b ON b.doc_id > a.doc_id AND b.bin = a.bin "
+        "GROUP BY 1, 2, 3), "
+        "agg AS (SELECT id_a, id_b, SUM(k) / 64.0 AS est_jaccard, "
+        "MAX(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS hasband "
+        "FROM bnd GROUP BY 1, 2) "
+        "SELECT id_a, id_b, est_jaccard FROM agg "
+        "WHERE est_jaccard >= 0.5 AND hasband = 1"
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -945,9 +985,11 @@ def q_simhash(sf_dir: str):
         _split, batch_format="pyarrow", batch_size=None)
 
 
-def _sql_splitmix_ctes(src: str, col: str, prefix: str) -> str:
+def _sql_splitmix_ctes(src: str, col: str, prefix: str,
+                       carry: str = "doc_id, ti") -> str:
     """CTE chain applying splitmix64 to UBIGINT column ``col`` of CTE
-    ``src`` (carrying doc_id, ti); final CTE is ``{prefix}6(doc_id, ti, h)``.
+    ``src`` (carrying the ``carry`` columns); final CTE is
+    ``{prefix}6({carry}, h)``.
     Multiplications run mod 2^64 via 32-bit-split HUGEINT products
     (a full 64×64-bit product can exceed INT128 max, which DuckDB
     raises on); constants are the public splitmix64 constants."""
@@ -961,15 +1003,15 @@ def _sql_splitmix_ctes(src: str, col: str, prefix: str) -> str:
                 f"% 4294967296) * 4294967296) % {m} AS UBIGINT)")
 
     return (
-        f"{prefix}1 AS (SELECT doc_id, ti, CAST((CAST({col} AS HUGEINT) "
+        f"{prefix}1 AS (SELECT {carry}, CAST((CAST({col} AS HUGEINT) "
         f"+ 11400714819323198485) % {m} AS UBIGINT) AS h FROM {src}), "
-        f"{prefix}2 AS (SELECT doc_id, ti, xor(h, h >> 30) AS h FROM {prefix}1), "
-        f"{prefix}3 AS (SELECT doc_id, ti, {mulmod(13787848793156543929)} "
+        f"{prefix}2 AS (SELECT {carry}, xor(h, h >> 30) AS h FROM {prefix}1), "
+        f"{prefix}3 AS (SELECT {carry}, {mulmod(13787848793156543929)} "
         f"AS h FROM {prefix}2), "
-        f"{prefix}4 AS (SELECT doc_id, ti, xor(h, h >> 27) AS h FROM {prefix}3), "
-        f"{prefix}5 AS (SELECT doc_id, ti, {mulmod(10723151780598845931)} "
+        f"{prefix}4 AS (SELECT {carry}, xor(h, h >> 27) AS h FROM {prefix}3), "
+        f"{prefix}5 AS (SELECT {carry}, {mulmod(10723151780598845931)} "
         f"AS h FROM {prefix}4), "
-        f"{prefix}6 AS (SELECT doc_id, ti, xor(h, h >> 31) AS h FROM {prefix}5)"
+        f"{prefix}6 AS (SELECT {carry}, xor(h, h >> 31) AS h FROM {prefix}5)"
     )
 
 
@@ -1468,7 +1510,7 @@ _DEM_GRID = GridSpec(origin_x=-180.0, origin_y=90.0,
 
 
 def _dem_count_raster(sf_dir: str, halo: int = 1, tile_size: int = None,
-                      lang: str = None):
+                      lang: str = None, transform=None):
     """Documents → per-pixel counts on the fixed 32×24 grid → tile
     Dataset; ``lang`` optionally restricts to one language. The densify
     step collects the AGGREGATED counts (at most width×height = 768
@@ -1490,6 +1532,8 @@ def _dem_count_raster(sf_dir: str, halo: int = 1, tile_size: int = None,
     cnt = ds.groupby(["px", "py"]).aggregate(Count(alias_name="n")).to_pandas()
     z = np.zeros((_DEM_GRID.height, _DEM_GRID.width), dtype=np.float64)
     z[cnt["py"].to_numpy(), cnt["px"].to_numpy()] = cnt["n"].to_numpy()
+    if transform is not None:
+        z = transform(z)
     return raster_from_array(
         z, raster_id="demo",
         tile_size=_DEM_GRID.tile_size if tile_size is None else tile_size,
@@ -2486,6 +2530,207 @@ def sql_sample_per_group() -> str:
 """
 
 
+# ------------------------------------------- splits / sampling (splitmix)
+
+_GOLDEN32 = 0x9E3779B9  # _split_unit's per-seed offset multiplier
+
+
+def _sql_split_unit_cte(seed: int, prefix: str = "sm") -> str:
+    """CTE chain ending in ``u(doc_id, u)`` — selection.py's
+    ``_split_unit`` replayed in SQL: splitmix64(doc_id + seed·0x9E3779B9)
+    / 2^64, with the verified-identical UBIGINT→DOUBLE cast."""
+    base = seed * _GOLDEN32
+    return (
+        f"seeded AS (SELECT doc_id, 0 AS ti, CAST((CAST(doc_id AS HUGEINT) "
+        f"+ {base}) % 18446744073709551616 AS UBIGINT) AS sid FROM documents), "
+        + _sql_splitmix_ctes("seeded", "sid", prefix)
+        + f", u AS (SELECT doc_id, CAST(h AS DOUBLE) "
+          f"/ 18446744073709551616.0 AS u FROM {prefix}6)"
+    )
+
+
+def q_split_3way(sf_dir: str):
+    """3-way train/val/test hash split (stages/selection.py:
+    split_train_val_test ≙ reference ai/selection.py:71-140 proportions:
+    the test cut is a fraction of the whole, the val cut a fraction of
+    the remainder). Order-free and partitioning-free by construction —
+    the per-row label is a pure function of doc_id."""
+    from buteo_ray.stages.selection import split_train_val_test
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    tr, va, te = split_train_val_test(docs, "doc_id", val_frac=0.1,
+                                      test_frac=0.2, seed=42)
+
+    def _sel(d):
+        return d.select_columns(["doc_id", "split"])
+
+    return _sel(tr).union(_sel(va), _sel(te))
+
+
+def sql_split_3way() -> str:
+    t1 = 0.2                       # test_frac
+    t2 = 0.2 + 0.1 * (1.0 - 0.2)   # + eff val frac, same f64 op order
+    return (
+        "WITH " + _sql_split_unit_cte(seed=42) +
+        f" SELECT doc_id, CASE WHEN u < {t1!r} THEN 'test' "
+        f"WHEN u < {t2!r} THEN 'val' ELSE 'train' END AS split FROM u"
+    )
+
+
+def q_sample_random(sf_dir: str):
+    """Seeded uniform row sample (stages/selection.py:sampling_random ≙
+    reference ai/selection.py:200-240) — hash-based so re-runs keep the
+    same rows (the resumability contract), unlike np.random sampling."""
+    from buteo_ray.stages.selection import sampling_random
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    return sampling_random(docs, fraction=0.3, id_col="doc_id", seed=42)
+
+
+def sql_sample_random() -> str:
+    # sampling_random hashes with seed + 1
+    return ("WITH " + _sql_split_unit_cte(seed=43)
+            + " SELECT doc_id FROM u WHERE u < 0.3")
+
+
+# ------------------------------- positional encodings / class fill / pixel
+
+def q_encode_position(sf_dir: str):
+    """Per-patch positional encoding (functions/encoding.py:
+    encode_arr_position ≙ reference ai/encoding.py:300-337): every 8×8
+    tile of the DEM grid gets [width_sin, width_cos, col_linear]
+    channels — the AI-patch prep step that stamps cyclical width and
+    linear height positions onto training patches. Exact: sin/cos run
+    in f64 then cast f32 (identical libm on both sides); col_linear is
+    a correctly-rounded f32 division on both sides."""
+    from buteo_ray.functions.encoding import encode_arr_position
+    from buteo_ray.sources.raster import map_tiles, tile_to_ndarray
+
+    tiles = _dem_count_raster(sf_dir, halo=0)
+    out = map_tiles(tiles, lambda a, row: encode_arr_position(a[:, :, 0]))
+
+    def _explode(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        px, py, ws, wc, ln = [], [], [], [], []
+        for _, row in pdf.iterrows():
+            arr = tile_to_ndarray(row)  # (8, 8, 3) float32
+            yy, xx = np.mgrid[0:arr.shape[0], 0:arr.shape[1]]
+            px.append((xx + row["x_off"]).ravel().astype(np.int64))
+            py.append((yy + row["y_off"]).ravel().astype(np.int64))
+            ws.append(arr[:, :, 0].ravel())
+            wc.append(arr[:, :, 1].ravel())
+            ln.append(arr[:, :, 2].ravel())
+        return pa.table({
+            "px": np.concatenate(px), "py": np.concatenate(py),
+            "w_sin": np.concatenate(ws), "w_cos": np.concatenate(wc),
+            "lin": np.concatenate(ln),
+        })
+
+    return out.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+
+
+def sql_encode_position() -> str:
+    ts = _DEM_GRID.tile_size
+    frac = f"((px % {ts}) / {float(ts - 1)!r})"
+    return (
+        f"WITH {_sql_dem_grid_cte()} "
+        f"SELECT px, py, "
+        f"CAST((SIN(2 * PI() * {frac}) + 1.0) / 2.0 AS FLOAT) AS w_sin, "
+        f"CAST((COS(2 * PI() * {frac}) + 1.0) / 2.0 AS FLOAT) AS w_cos, "
+        f"CAST(py % {ts} AS FLOAT) / CAST({ts - 1} AS FLOAT) AS lin "
+        "FROM g"
+    )
+
+
+def q_fill_classes(sf_dir: str):
+    """Class-label nodata fill (functions/raster_ops.py:
+    fill_nearest_classes ≙ reference array/fill.py:122-225): 1/d²
+    weight-majority class of the 3×3 neighbours, ascending-class
+    tie-break. Classes = count % 3 + 1; holes punched at px%4==2 ∧
+    py%4==2 — isolated and border-free, so one iteration fills
+    everything and the tiled halo=1 result equals the whole-array
+    result (the partitioning assumption, documented here)."""
+    from buteo_ray.functions.raster_ops import fill_nearest_classes
+    from buteo_ray.sources.raster import map_tiles
+
+    def _to_classes(z: np.ndarray) -> np.ndarray:
+        cls = np.mod(z, 3.0) + 1.0
+        yy, xx = np.mgrid[0:z.shape[0], 0:z.shape[1]]
+        cls[(xx % 4 == 2) & (yy % 4 == 2)] = 0.0
+        return cls
+
+    tiles = _dem_count_raster(sf_dir, halo=1, transform=_to_classes)
+    out = map_tiles(tiles,
+                    lambda a, row: fill_nearest_classes(a[:, :, 0], nodata=0.0))
+    return _tiles_to_pixel_rows(out, "cls", round4=False)
+
+
+def sql_fill_classes() -> str:
+    # Integer votes: orthogonal=2, diagonal=1 — same ranking as the
+    # engine's normalized 1/6 / 1/12 f32 weights (scores are multiples
+    # of 1/12, gaps ≥ 1/12 >> f32 noise), ties to the smallest class.
+    return (
+        f"WITH {_sql_dem_grid_cte()}, "
+        "c AS (SELECT px, py, CASE WHEN px % 4 = 2 AND py % 4 = 2 THEN 0.0 "
+        "ELSE CAST(CAST(z AS BIGINT) % 3 AS DOUBLE) + 1.0 END AS cls FROM g), "
+        "offs(dc, dr, v) AS (VALUES (0,-1,2),(-1,0,2),(1,0,2),(0,1,2),"
+        "(-1,-1,1),(1,-1,1),(-1,1,1),(1,1,1)), "
+        "votes AS (SELECT h.px, h.py, CAST(n.cls AS BIGINT) AS ncls, "
+        "SUM(o.v) AS s FROM c h CROSS JOIN offs o "
+        "JOIN c n ON n.px = h.px + o.dc AND n.py = h.py + o.dr "
+        "AND n.cls <> 0.0 WHERE h.cls = 0.0 GROUP BY 1, 2, 3), "
+        "win AS (SELECT px, py, ncls FROM (SELECT px, py, ncls, "
+        "ROW_NUMBER() OVER (PARTITION BY px, py ORDER BY s DESC, ncls ASC) "
+        "AS rn FROM votes) WHERE rn = 1) "
+        "SELECT c.px, c.py, CAST(COALESCE(w.ncls, c.cls) AS DOUBLE) AS cls "
+        "FROM c LEFT JOIN win w ON w.px = c.px AND w.py = c.py"
+    )
+
+
+def q_predict_pixel(sf_dir: str):
+    """Per-pixel model scoring (pipelines/predict.py:predict_array_pixel
+    ≙ reference array/patches/prediction.py:189-209) through the
+    PixelScorer actor pool — the model is built once per actor, each
+    tile's pixels score as one (h·w, C) batch, and tiles never interact
+    (no merge kernel: a pixel model has no receptive field)."""
+    from buteo_ray.pipelines.predict import predict_dataset_pixel
+
+    tiles = _dem_count_raster(sf_dir, halo=0)
+
+    def _builder():
+        return lambda flat: flat * 2.5 + 1.0
+
+    out = predict_dataset_pixel(tiles, _builder, concurrency=2)
+    return _tiles_to_pixel_rows(out, "pred", round4=False)
+
+
+def sql_predict_pixel() -> str:
+    # f64 math then one f32 cast — counts are small ints, exact both ways
+    return (f"WITH {_sql_dem_grid_cte()} SELECT px, py, "
+            "CAST(CAST(z * 2.5 + 1.0 AS FLOAT) AS DOUBLE) AS pred FROM g")
+
+
+def q_mask_bezier(sf_dir: str):
+    """Bezier line masking (functions/augmentation.py:mask_lines_bezier
+    ≙ reference ai/masking/line_masking.py:305-396): per tile, a
+    tile-coordinate-seeded RNG draws border→border quadratic curves and
+    zeroes the covered pixels. Rows-only: the numpy Generator stream has
+    no SQL twin; curve rasterization parity is pytest-verified
+    (tests/test_parity_tail.py)."""
+    from buteo_ray.functions.augmentation import mask_lines_bezier
+    from buteo_ray.sources.raster import map_tiles
+
+    tiles = _dem_count_raster(sf_dir, halo=0)
+
+    def _mask(a: np.ndarray, row) -> np.ndarray:
+        rng = np.random.default_rng((int(row["tile_y"]), int(row["tile_x"]), 7))
+        m = mask_lines_bezier(a, rng, p=0.3)
+        return a * m
+
+    out = map_tiles(tiles, _mask)
+    return _tiles_to_pixel_rows(out, "masked", round4=False)
+
+
 # --------------------------------------------------- clip (concave, exact)
 
 # Concave L-shaped clip polygon, decomposable into two disjoint
@@ -2793,12 +3038,18 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "clip_concave": q_clip_concave,
     "vectorize_regions": q_vectorize_regions,
     "warp_nearest": q_warp_nearest,
-    # rows-only from here down (no ORACLE_SQL entry; each is
-    # pytest-verified against a brute-force/parity oracle instead)
-    "hex_bin_counts": q_hex_bin_counts,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
+    "split_3way": q_split_3way,
+    "sample_random": q_sample_random,
+    "encode_position": q_encode_position,
+    "fill_classes": q_fill_classes,
+    "predict_pixel": q_predict_pixel,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    # rows-only from here down (no ORACLE_SQL entry; each is
+    # pytest-verified against a brute-force/parity oracle instead)
+    "mask_bezier": q_mask_bezier,
+    "hex_bin_counts": q_hex_bin_counts,
     "embed_centroids": q_embed_centroids,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2884,6 +3135,12 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "warp_nearest": sql_warp_nearest,
     "simhash": sql_simhash,
     "simhash_dup_pairs": sql_simhash_dup_pairs,
+    "split_3way": sql_split_3way,
+    "sample_random": sql_sample_random,
+    "encode_position": sql_encode_position,
+    "fill_classes": sql_fill_classes,
+    "predict_pixel": sql_predict_pixel,
+    "dedup_minhash_pairs": sql_dedup_minhash_pairs,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
