@@ -918,15 +918,22 @@ def sql_asof_join() -> str:
 def q_dedup_minhash_pairs(sf_dir: str):
     """Near-dup candidate pairs via OPH-MinHash + banded LSH (estimated
     Jaccard ≥ 0.5). Also verified against a brute-force n-gram Jaccard
-    oracle in tests/test_dedup_text.py. The DuckDB oracle replays the
-    shingle → splitmix64 → OPH signature pipeline bit-exactly in SQL;
-    LSH banding/bucketing needs no SQL twin because the engine's
+    oracle in tests/test_knn_dedup_text.py. The DuckDB oracle replays
+    the shingle → splitmix64 → OPH signature pipeline bit-exactly in
+    SQL; LSH banding/bucketing needs no SQL twin because the engine's
     first-matching-band ownership rule emits exactly the pairs with ≥1
     fully-equal signature band (hash-only bucket collisions are
-    dropped), a predicate the oracle applies directly over all pairs."""
+    dropped), a predicate the oracle applies directly over all pairs.
+    Scope: both sides restrict to docs with ≥ _SHINGLE chars — the
+    engine's shingle-less fallback signature (full-content FNV,
+    pytest-covered) has no SQL twin."""
+    import pyarrow.compute as pc
+
     from buteo_ray.stages.dedup import minhash_lsh_pairs
 
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["text"]), 5)),
+        batch_format="pyarrow", batch_size=None)
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
@@ -937,8 +944,10 @@ def sql_dedup_minhash_pairs() -> str:
         f"ord(substring(text, CAST(i + {k} AS INTEGER), 1)) "
         f"* CAST({c[4 - k]} AS HUGEINT)" for k in range(5))
     return (
-        "WITH pos AS (SELECT doc_id, text, "
-        "unnest(generate_series(1, length(text) - 4)) AS i FROM documents), "
+        "WITH docs5 AS (SELECT doc_id, text FROM documents "
+        "WHERE length(text) >= 5), "
+        "pos AS (SELECT doc_id, text, "
+        "unnest(generate_series(1, length(text) - 4)) AS i FROM docs5), "
         f"raw AS (SELECT doc_id, i AS ti, CAST(({terms}) "
         "% 18446744073709551616 AS UBIGINT) AS hraw FROM pos), "
         + _sql_splitmix_ctes("raw", "hraw", "mh") + ", "
@@ -946,7 +955,7 @@ def sql_dedup_minhash_pairs() -> str:
         "FROM mh6 GROUP BY 1, 2), "
         "dmin AS (SELECT doc_id, MIN(s) AS m FROM sigs GROUP BY 1), "
         "allb AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bin "
-        "FROM (SELECT DISTINCT doc_id FROM documents)), "
+        "FROM (SELECT DISTINCT doc_id FROM docs5)), "
         "sig AS (SELECT ab.doc_id, ab.bin, COALESCE(sg.s, dm.m) AS s "
         "FROM allb ab LEFT JOIN sigs sg ON sg.doc_id = ab.doc_id "
         "AND sg.bin = ab.bin JOIN dmin dm ON dm.doc_id = ab.doc_id), "
@@ -1015,19 +1024,24 @@ def _sql_splitmix_ctes(src: str, col: str, prefix: str,
     )
 
 
-def _sql_simhash_cte(max_token_len: int = 256) -> str:
+def _sql_simhash_cte(max_token_len: int = 600) -> str:
     """Shared CTE block ending in ``sim(doc_id, sim_hi, sim_lo)`` — the
     engine's simhash64 replayed in SQL: single-space tokenization with
     empties kept (== pandas ``str.split(' ')``), per-token FNV-prime
     polynomial over the bytes via a powers literal table (ASCII corpus:
     ord == byte), splitmix64 finalizer, per-bit ±1 vote over token
-    OCCURRENCES, bit set where the vote sum is positive."""
+    OCCURRENCES, bit set where the vote sum is positive. Null texts
+    hash as '' (mirrors simhash64). ``max_token_len`` bounds the powers
+    table; it must cover the longest token (default covers the corpus's
+    max DOC length, 558) — a longer token would lose its leading chars
+    in the pw inner join."""
     p = 1099511628211
     pw_rows = ", ".join(f"({e}, CAST({pow(p, e, 2**64)} AS UBIGINT))"
                         for e in range(max_token_len))
     return (
         f"pw(e, p) AS (VALUES {pw_rows}), "
-        "tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+        "tl AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l "
+        "FROM documents), "
         "toks AS (SELECT doc_id, unnest(l) AS tok, "
         "unnest(generate_series(1, len(l))) AS ti FROM tl), "
         "chars AS (SELECT doc_id, ti, tok, "

@@ -51,7 +51,13 @@ def training_data_pipeline(
     hash split coerce ids to int64/uint64. A string id (URL, hex hash)
     would either crash deep inside the LSH stage or — for numeric
     strings — make the anti-join compare string vs int64 and silently
-    keep every near-dup. Checked loudly here instead."""
+    keep every near-dup. Checked loudly here instead.
+
+    ``near_dup_hamming`` is calibrated against the CURRENT simhash token
+    hash family (FNV-polynomial + splitmix64, dedup.py:simhash64); a
+    given near-dup pair's distance moves when the hash family changes,
+    so recalibrate the radius on a labelled sample after any such
+    change rather than assuming 3 transfers."""
     import pyarrow.compute as pc
     import pyarrow.types as pat
 

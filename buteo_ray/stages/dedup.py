@@ -512,21 +512,26 @@ def simhash64(texts: List[str]) -> np.ndarray:
     """64-bit SimHash over single-space tokens (Charikar 2002). Token
     hashes are FNV-polynomial + splitmix64 (:func:`_token_polyhash`) so
     the DuckDB oracle replays them bit-exactly and signatures don't
-    depend on pandas' process-internal siphash."""
+    depend on pandas' process-internal siphash. Null texts hash as "".
+
+    Memory: the ±1 votes are accumulated per BIT (peak O(n_tokens), the
+    64 iterations reuse one buffer) — a (n_tokens, 64) int64 vote matrix
+    would be 512 B/token, an OOM on whole-block text batches."""
     n = len(texts)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
-    tokens = pd.Series(texts, dtype=object).str.split(" ")
+    tokens = pd.Series(["" if t is None else t for t in texts],
+                       dtype=object).str.split(" ")
     n_tok = tokens.str.len().to_numpy().astype(np.int64)  # ≥1 per doc
     flat = tokens.explode()
     th = _token_polyhash(flat.to_numpy())
-    shifts = np.arange(64, dtype=np.uint64)
-    pm = (((th[:, None] >> shifts[None, :]) & np.uint64(1))
-          .astype(np.int64) * 2 - 1)
     doc_starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
-    acc = np.add.reduceat(pm, doc_starts, axis=0)
-    bits = (acc > 0).astype(np.uint64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat(
+            ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64), doc_starts)
+        out |= ((2 * ones - n_tok) > 0).astype(np.uint64) << np.uint64(b)
+    return out
 
 
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
