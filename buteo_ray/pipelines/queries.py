@@ -937,14 +937,18 @@ def q_dedup_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
-def sql_dedup_minhash_pairs() -> str:
+def _sql_minhash_pairs_cte(src: str, threshold: float) -> str:
+    """CTE block (no leading WITH) ending in ``mpairs(id_a, id_b,
+    est_jaccard)`` — the OPH-MinHash LSH pair set over relation ``src``
+    (must provide doc_id, text). Docs shorter than the 5-char shingle
+    are excluded (the engine's shingle-less fallback has no SQL twin)."""
     p = 1099511628211  # FNV prime, the engine's shingle polynomial base
     c = [pow(p, k, 2 ** 64) for k in range(5)]
     terms = " + ".join(
         f"ord(substring(text, CAST(i + {k} AS INTEGER), 1)) "
         f"* CAST({c[4 - k]} AS HUGEINT)" for k in range(5))
     return (
-        "WITH docs5 AS (SELECT doc_id, text FROM documents "
+        f"docs5 AS (SELECT doc_id, text FROM {src} "
         "WHERE length(text) >= 5), "
         "pos AS (SELECT doc_id, text, "
         "unnest(generate_series(1, length(text) - 4)) AS i FROM docs5), "
@@ -968,10 +972,15 @@ def sql_dedup_minhash_pairs() -> str:
         "GROUP BY 1, 2, 3), "
         "agg AS (SELECT id_a, id_b, SUM(k) / 64.0 AS est_jaccard, "
         "MAX(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS hasband "
-        "FROM bnd GROUP BY 1, 2) "
-        "SELECT id_a, id_b, est_jaccard FROM agg "
-        "WHERE est_jaccard >= 0.5 AND hasband = 1"
+        "FROM bnd GROUP BY 1, 2), "
+        "mpairs AS (SELECT id_a, id_b, est_jaccard FROM agg "
+        f"WHERE est_jaccard >= {threshold!r} AND hasband = 1)"
     )
+
+
+def sql_dedup_minhash_pairs() -> str:
+    return ("WITH " + _sql_minhash_pairs_cte("documents", 0.5)
+            + " SELECT id_a, id_b, est_jaccard FROM mpairs")
 
 
 def q_simhash(sf_dir: str):
@@ -1081,28 +1090,34 @@ def q_lang_pred(sf_dir: str):
     return add_lang_pred(ds).select_columns(["doc_id", "lang_pred"])
 
 
-def sql_lang_pred() -> str:
-    """DuckDB twin of the TextScorer heuristic: tokenize on single
-    spaces, count stopword hits per language (a word shared across
-    languages scores for each), argmax with tie/zero → 'und'."""
+def _sql_lang_pred_cte(src: str = "documents") -> str:
+    """DuckDB twin of the TextScorer heuristic as a reusable CTE block
+    ending in ``lp(doc_id, lang_pred)``: tokenize on single spaces,
+    count stopword hits per language (a word shared across languages
+    scores for each), argmax with tie/zero → 'und'."""
     from buteo_ray.stages.text import STOPWORDS
 
     vals = ", ".join(f"('{w}', '{lang}')"
                      for lang in sorted(STOPWORDS) for w in STOPWORDS[lang])
     return (
-        f"WITH sw(word, lang) AS (VALUES {vals}), "
-        "toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
-        "FROM documents), "
-        "hits AS (SELECT t.doc_id, s.lang, COUNT(*) AS n FROM toks t "
+        f"sw(word, lang) AS (VALUES {vals}), "
+        "ltoks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        f"FROM {src}), "
+        "lhits AS (SELECT t.doc_id, s.lang, COUNT(*) AS n FROM ltoks t "
         "JOIN sw s ON t.w = s.word GROUP BY 1, 2), "
-        "ranked AS (SELECT doc_id, lang, n, MAX(n) OVER (PARTITION BY doc_id) AS top "
-        "FROM hits), "
-        "best AS (SELECT doc_id, MAX(CASE WHEN n = top THEN lang END) AS best_lang, "
-        "COUNT(*) FILTER (WHERE n = top) AS n_top FROM ranked GROUP BY doc_id) "
-        "SELECT d.doc_id, CASE WHEN b.doc_id IS NULL OR b.n_top > 1 "
+        "lranked AS (SELECT doc_id, lang, n, MAX(n) OVER (PARTITION BY doc_id) AS top "
+        "FROM lhits), "
+        "lbest AS (SELECT doc_id, MAX(CASE WHEN n = top THEN lang END) AS best_lang, "
+        "COUNT(*) FILTER (WHERE n = top) AS n_top FROM lranked GROUP BY doc_id), "
+        f"lp AS (SELECT d.doc_id, CASE WHEN b.doc_id IS NULL OR b.n_top > 1 "
         "THEN 'und' ELSE b.best_lang END AS lang_pred "
-        "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id"
+        f"FROM {src} d LEFT JOIN lbest b ON d.doc_id = b.doc_id)"
     )
+
+
+def sql_lang_pred() -> str:
+    return ("WITH " + _sql_lang_pred_cte()
+            + " SELECT doc_id, lang_pred FROM lp")
 
 
 def q_pip_join_poly(sf_dir: str):
@@ -2150,9 +2165,10 @@ def q_training_pipeline(sf_dir: str):
     """End-to-end training-data pipeline (pipelines/training_data.py):
     lang-ID actor pool → quality/token filters → exact dedup → MinHash
     LSH near-dup anti-join → seeded hash train/val split, over the
-    documents table. Rows-only (stateful multi-stage chain, not
-    SQL-expressible); each stage is pytest- or oracle-verified on its
-    own, and the chain in tests/test_checkpoint_skew.py."""
+    documents table. The DuckDB oracle composes the per-stage CTE twins
+    (lang-pred heuristic, token-count filter, min-id-per-text dedup,
+    bit-exact MinHash pair replay, splitmix split) into the whole chain;
+    the chain is also pytest-verified in tests/test_checkpoint_skew.py."""
     from buteo_ray.pipelines.training_data import training_data_pipeline
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
@@ -2163,6 +2179,28 @@ def q_training_pipeline(sf_dir: str):
         keep_langs={"en", "de", "fr", "es"},
         min_tokens=5, near_dup_threshold=0.8)
     return out.select_columns(["doc_id", "lang_pred", "split"])
+
+
+def sql_training_pipeline() -> str:
+    """The whole curation chain in one statement, stage CTEs composed in
+    the engine's order. Near-dup drop set = id_b of every emitted pair
+    (the engine's anti-join on the larger id)."""
+    return (
+        "WITH " + _sql_lang_pred_cte("documents") + ", "
+        "keep1 AS (SELECT d.doc_id, d.text, l.lang_pred FROM documents d "
+        "JOIN lp l ON l.doc_id = d.doc_id "
+        "WHERE l.lang_pred IN ('de', 'en', 'es', 'fr') "
+        "AND len(string_split(d.text, ' ')) >= 5), "
+        "dd AS (SELECT MIN(doc_id) AS doc_id, text FROM keep1 GROUP BY text), "
+        + _sql_minhash_pairs_cte("dd", 0.8) + ", "
+        "kept AS (SELECT doc_id FROM dd WHERE doc_id NOT IN "
+        "(SELECT id_b FROM mpairs)), "
+        + _sql_split_unit_cte(seed=42, src="kept") + " "
+        "SELECT k.doc_id, l.lang_pred, "
+        "CASE WHEN u.u < 0.05 THEN 'val' ELSE 'train' END AS split "
+        "FROM kept k JOIN lp l ON l.doc_id = k.doc_id "
+        "JOIN u ON u.doc_id = k.doc_id"
+    )
 
 
 def q_dup_spans(sf_dir: str):
@@ -2549,14 +2587,15 @@ def sql_sample_per_group() -> str:
 _GOLDEN32 = 0x9E3779B9  # _split_unit's per-seed offset multiplier
 
 
-def _sql_split_unit_cte(seed: int, prefix: str = "sm") -> str:
+def _sql_split_unit_cte(seed: int, prefix: str = "sm",
+                        src: str = "documents") -> str:
     """CTE chain ending in ``u(doc_id, u)`` — selection.py's
     ``_split_unit`` replayed in SQL: splitmix64(doc_id + seed·0x9E3779B9)
     / 2^64, with the verified-identical UBIGINT→DOUBLE cast."""
     base = seed * _GOLDEN32
     return (
         f"seeded AS (SELECT doc_id, 0 AS ti, CAST((CAST(doc_id AS HUGEINT) "
-        f"+ {base}) % 18446744073709551616 AS UBIGINT) AS sid FROM documents), "
+        f"+ {base}) % 18446744073709551616 AS UBIGINT) AS sid FROM {src}), "
         + _sql_splitmix_ctes("seeded", "sid", prefix)
         + f", u AS (SELECT doc_id, CAST(h AS DOUBLE) "
           f"/ 18446744073709551616.0 AS u FROM {prefix}6)"
@@ -3060,6 +3099,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "fill_classes": q_fill_classes,
     "predict_pixel": q_predict_pixel,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "training_pipeline": q_training_pipeline,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "mask_bezier": q_mask_bezier,
@@ -3070,7 +3110,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "coregister": q_coregister,
     "multimodal_features": q_multimodal_features,
-    "training_pipeline": q_training_pipeline,
 }
 
 # Builders, not strings: sql_pip_join_poly() alone synthesises 1000
@@ -3155,6 +3194,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "fill_classes": sql_fill_classes,
     "predict_pixel": sql_predict_pixel,
     "dedup_minhash_pairs": sql_dedup_minhash_pairs,
+    "training_pipeline": sql_training_pipeline,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
