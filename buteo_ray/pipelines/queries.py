@@ -2537,9 +2537,11 @@ def sql_url_canon() -> str:
 
 def q_hex_bin_counts(sf_dir: str):
     """Hex binning (grid/hexgrid.py:assign_hex — nearest-center, exact
-    by the Voronoi property, pytest-verified against PiP): geocoded docs
-    → hex cell → per-cell counts. Rows-only: the float argmin over
-    candidate centers is not reliably SQL-reproducible."""
+    by the Voronoi property, also pytest-verified against PiP): geocoded
+    docs → hex cell → per-cell counts. The DuckDB oracle replays the
+    assignment arithmetic bit-exactly: same f64 op order, round_even ==
+    np.rint, strict-< argmin == ORDER BY (d, i) over the 3 column
+    candidates."""
     from ray.data.aggregate import Count
 
     from buteo_ray.grid.hexgrid import assign_hex
@@ -2554,6 +2556,39 @@ def q_hex_bin_counts(sf_dir: str):
 
     return (ds.map_batches(_assign, batch_format="pyarrow", batch_size=None)
             .groupby("hex_id").aggregate(Count(alias_name="n_docs")))
+
+
+def sql_hex_bin_counts() -> str:
+    from buteo_ray.grid.hexgrid import _SQRT3, _grid_counts
+
+    xmin, ymin, xmax, ymax, s = -180.0, -90.0, 180.0, 90.0, 15.0
+    ni, nj = _grid_counts(xmin, ymin, xmax, ymax, s)
+    c_i = 1.5 * s                      # column pitch
+    c_j = float(_SQRT3 * s)            # row pitch
+    c_off = float(_SQRT3 * s * 0.5)    # odd-column y offset
+    # dx*dx instead of POW: numpy x**2 is the correctly-rounded square.
+    d = (f"((x - ({xmin!r} + {c_i!r} * i)) * (x - ({xmin!r} + {c_i!r} * i)) "
+         f"+ (y - (({ymin!r} + {c_j!r} * j) + off)) "
+         f"* (y - (({ymin!r} + {c_j!r} * j) + off)))")
+    return (
+        f"WITH pts AS (SELECT doc_id, {_LON_SQL} AS x, {_LAT_SQL} AS y "
+        "FROM documents), "
+        f"base AS (SELECT doc_id, x, y, CAST(round_even((x - {xmin!r}) "
+        f"/ {c_i!r}, 0) AS BIGINT) AS i0 FROM pts), "
+        # numpy's (i % 2) is non-negative for negative i; DuckDB's isn't
+        "cand AS (SELECT doc_id, x, y, i0 + di AS i, "
+        f"{c_off!r} * CAST(((i0 + di) % 2 + 2) % 2 AS DOUBLE) AS off "
+        "FROM base CROSS JOIN (VALUES (-1), (0), (1)) AS dis(di)), "
+        "cj AS (SELECT doc_id, x, y, i, off, "
+        f"CAST(round_even(((y - {ymin!r}) - off) / {c_j!r}, 0) AS BIGINT) "
+        "AS j FROM cand), "
+        f"ranked AS (SELECT doc_id, i, j, ROW_NUMBER() OVER "
+        f"(PARTITION BY doc_id ORDER BY {d} ASC, i ASC) AS rn FROM cj), "
+        "assigned AS (SELECT doc_id, CASE WHEN i >= 0 AND i <= "
+        f"{ni} AND j >= 0 AND j <= {nj} THEN i * {nj + 1} + j "
+        "ELSE -1 END AS hex_id FROM ranked WHERE rn = 1) "
+        "SELECT hex_id, COUNT(*) AS n_docs FROM assigned GROUP BY hex_id"
+    )
 
 
 def q_sample_per_group(sf_dir: str):
@@ -3100,10 +3135,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "predict_pixel": q_predict_pixel,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "training_pipeline": q_training_pipeline,
+    "hex_bin_counts": q_hex_bin_counts,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "mask_bezier": q_mask_bezier,
-    "hex_bin_counts": q_hex_bin_counts,
     "embed_centroids": q_embed_centroids,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -3195,6 +3230,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "predict_pixel": sql_predict_pixel,
     "dedup_minhash_pairs": sql_dedup_minhash_pairs,
     "training_pipeline": sql_training_pipeline,
+    "hex_bin_counts": sql_hex_bin_counts,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None
