@@ -2617,6 +2617,48 @@ def sql_sample_per_group() -> str:
 """
 
 
+# ----------------------------------------------- char-n-gram LM scoring
+
+def q_lm_score(sf_dir: str):
+    """CCNet-style LM quality signal (stages/text.py:train_char_lm +
+    add_lm_score): distributed char-trigram count model (partial counts
+    per block → groupby-sum → small broadcast table) then per-doc mean
+    log2 Laplace-smoothed trigram probability — perplexity bucketing
+    for web-corpus curation without an external model artifact."""
+    import ray as _ray
+
+    from buteo_ray.stages.text import add_lm_score, train_char_lm
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    model = train_char_lm(docs)
+    out = add_lm_score(_docs(sf_dir, columns=["doc_id", "text"]),
+                       _ray.put(model))
+    return out.select_columns(["doc_id", "lm_logp"])
+
+
+def sql_lm_score() -> str:
+    # packed 3-byte trigram code — injective, so COUNT per code == the
+    # engine's model exactly; 1e-6 floor-rounding absorbs AVG-order f64
+    # noise (the established convention for reduction-order mismatches)
+    return (
+        "WITH tri AS (SELECT doc_id, "
+        "ord(substring(text, CAST(i AS INTEGER), 1)) * 65536 "
+        "+ ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 256 "
+        "+ ord(substring(text, CAST(i + 2 AS INTEGER), 1)) AS code "
+        "FROM (SELECT doc_id, text, "
+        "unnest(generate_series(1, length(text) - 2)) AS i FROM documents)), "
+        "cnt AS (SELECT code, COUNT(*) AS n FROM tri GROUP BY code), "
+        "tot AS (SELECT SUM(n) AS t FROM cnt), "
+        "sc AS (SELECT tri.doc_id, "
+        "AVG(LOG2((cnt.n + 1.0) / (tot.t + 16777216.0))) AS lm "
+        "FROM tri JOIN cnt USING (code) CROSS JOIN tot "
+        "GROUP BY tri.doc_id) "
+        "SELECT d.doc_id, "
+        "COALESCE(FLOOR(sc.lm * 1000000.0 + 0.5) / 1000000.0, 0.0) "
+        "AS lm_logp FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
+    )
+
+
 # ------------------------------------------- splits / sampling (splitmix)
 
 _GOLDEN32 = 0x9E3779B9  # _split_unit's per-seed offset multiplier
@@ -3136,6 +3178,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "training_pipeline": q_training_pipeline,
     "hex_bin_counts": q_hex_bin_counts,
+    "lm_score": q_lm_score,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "mask_bezier": q_mask_bezier,
@@ -3231,6 +3274,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "dedup_minhash_pairs": sql_dedup_minhash_pairs,
     "training_pipeline": sql_training_pipeline,
     "hex_bin_counts": sql_hex_bin_counts,
+    "lm_score": sql_lm_score,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -370,3 +370,103 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "url_canon"):
         return _set_col(t, out_col, col)
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+# -------------------------------------------------- char-n-gram LM scoring
+
+_LM_V = float(1 << 24)  # Laplace vocab: all possible packed 3-byte codes
+
+
+def _char_trigram_codes(texts) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-text packed char-trigram codes (b0<<16 | b1<<8 | b2 — injective
+    over the UTF-8 bytes, so no hash collisions and a trivially
+    SQL-replayable code). Returns (codes, doc_offsets): codes concatenated
+    per doc, ``doc_offsets[i]:doc_offsets[i+1]`` slicing doc i's windows.
+    Fully vectorized via a sliding window over the concatenated buffer
+    with doc-boundary masking (same machinery as dedup._shingle_hashes)."""
+    from buteo_ray.stages.dedup import _utf8_buffer_view
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(["" if t is None else t for t in texts],
+                      type=pa.string())
+    data, starts, lens = _utf8_buffer_view(arr)
+    n = len(arr)
+    n_win = np.maximum(lens - 2, 0)
+    offsets = np.concatenate([[0], np.cumsum(n_win)])
+    if data.shape[0] < 3 or offsets[-1] == 0:
+        return np.empty(0, dtype=np.int64), offsets
+    win = np.lib.stride_tricks.sliding_window_view(data, 3).astype(np.int64)
+    code = (win[:, 0] << 16) | (win[:, 1] << 8) | win[:, 2]
+    rel = (np.arange(int(offsets[-1]), dtype=np.int64)
+           - np.repeat(offsets[:-1], n_win))
+    idx = rel + np.repeat(starts, n_win)
+    return code[idx], offsets
+
+
+def train_char_lm(ds, text_col: str = "text", max_model: int = 1 << 22):
+    """Distributed char-trigram count model over the corpus: per-block
+    partial counts cross the shuffle (np.unique per batch — rows never
+    do), final groupby-sum, driver materialization of the SMALL model
+    table (≤ 2^24 codes total; real web corpora land ~10^4-10^5).
+    ``max_model`` caps the table at the most frequent codes
+    (deterministic count-desc/code-asc order; dropped codes fall back to
+    the unseen-smoothing path in scoring — document the recall trade).
+    Returns (codes:int64 sorted, counts:int64, total:float) for
+    :func:`add_lm_score` — broadcast it with ray.put, not per-batch."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        codes, _ = _char_trigram_codes(t[text_col])
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"code": u, "n": c.astype(np.int64)})
+
+    # Materialize: three consumers below (sum, count, collect) — unpinned,
+    # the whole corpus scan would re-execute per consumer.
+    cnt = (ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+           .groupby("code").aggregate(Sum("n", alias_name="n"))).materialize()
+    # total BEFORE any cap: the denominator is the true corpus mass.
+    tot = cnt.sum("n")
+    if cnt.count() > max_model:
+        cnt = cnt.sort(["n", "code"], descending=[True, False]).limit(max_model)
+    pdf = cnt.to_pandas()
+    order = np.argsort(pdf["code"].to_numpy())
+    return (pdf["code"].to_numpy()[order].astype(np.int64),
+            pdf["n"].to_numpy()[order].astype(np.int64), float(tot or 0))
+
+
+def add_lm_score(ds, model, text_col: str = "text",
+                 out_col: str = "lm_logp"):
+    """Per-doc mean log2 trigram probability under a
+    :func:`train_char_lm` model with Laplace smoothing
+    (``(c + 1) / (total + 2^24)``) — the CCNet-style LM quality signal
+    for perplexity bucketing, without an external model artifact.
+    Scores are floor-rounded at 1e-6 (summation-order tolerance; the
+    DuckDB oracle averages in a different order). Docs with no trigram
+    (< 3 bytes) score 0.0. ``model`` may be a ray ObjectRef (broadcast
+    once per worker) or the raw (codes, counts, total) triple."""
+    import ray as _ray
+
+    def _fn(t: pa.Table) -> pa.Table:
+        m = _ray.get(model) if isinstance(model, _ray.ObjectRef) else model
+        codes, counts, total = m
+        dc, offsets = _char_trigram_codes(t[text_col])
+        if len(codes) and len(dc):
+            pos = np.clip(np.searchsorted(codes, dc), 0, len(codes) - 1)
+            c = np.where(codes[pos] == dc, counts[pos], 0)
+        else:
+            c = np.zeros(len(dc), dtype=np.int64)
+        logp = np.log2((c + 1.0) / (total + _LM_V))
+        n_win = np.diff(offsets)
+        if len(logp):
+            # clip: a trailing empty doc's offset == len(logp), which
+            # reduceat rejects; the n_win mask discards that slot anyway
+            sums = np.add.reduceat(
+                logp, np.minimum(offsets[:-1], len(logp) - 1))
+        else:
+            sums = np.zeros(len(n_win))
+        # reduceat repeats the NEXT segment's value for empty segments
+        mean = np.where(n_win > 0, sums / np.maximum(n_win, 1), 0.0)
+        mean = np.floor(mean * 1e6 + 0.5) / 1e6
+        return _set_col(t, out_col, pa.array(mean, type=pa.float64()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

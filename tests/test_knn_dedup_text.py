@@ -876,3 +876,87 @@ def test_canonicalize_urls_preserves_query_strings(ray_session_module):
         "http://a.com/p?q=1/",
         "http://a.com/p/q?y=//z//",
     ]
+
+
+# ----------------------------------------------- char-n-gram LM scoring
+
+def _brute_lm(texts, model_texts):
+    """Direct per-doc mean log2 Laplace trigram prob, pure Python."""
+    import collections
+    import math
+
+    cnt = collections.Counter()
+    for t in model_texts:
+        b = t.encode()
+        for i in range(len(b) - 2):
+            cnt[(b[i] << 16) | (b[i + 1] << 8) | b[i + 2]] += 1
+    total = sum(cnt.values())
+    out = []
+    for t in texts:
+        b = t.encode()
+        codes = [(b[i] << 16) | (b[i + 1] << 8) | b[i + 2]
+                 for i in range(len(b) - 2)]
+        if not codes:
+            out.append(0.0)
+            continue
+        m = sum(math.log2((cnt.get(c, 0) + 1.0) / (total + 2.0 ** 24))
+                for c in codes) / len(codes)
+        out.append(math.floor(m * 1e6 + 0.5) / 1e6)
+    return out
+
+
+def test_char_lm_score_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.text import add_lm_score, train_char_lm
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "aa",  # < 3 bytes -> no trigram -> 0.0
+             "the the the the the"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df)
+    model = train_char_lm(ds)
+    got = (add_lm_score(ds, model).to_pandas()
+           .sort_values("doc_id")["lm_logp"].tolist())
+    want = _brute_lm(texts, texts)
+    assert got == pytest.approx(want, abs=1e-9)
+    assert got[2] == 0.0
+
+
+def test_char_lm_score_unseen_trigrams(ray_session):
+    """Scoring against a model from a DIFFERENT corpus exercises the
+    unseen-code smoothing path (count 0 -> 1/(total+V))."""
+    import ray.data as rd
+
+    from buteo_ray.stages.text import add_lm_score, train_char_lm
+
+    model_texts = ["aaaa bbbb cccc"]
+    score_texts = ["zzzz yyyy", "aaaa"]
+    model = train_char_lm(rd.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": model_texts})))
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(score_texts)), "text": score_texts}))
+    got = (add_lm_score(ds, model).to_pandas()
+           .sort_values("doc_id")["lm_logp"].tolist())
+    want = _brute_lm(score_texts, model_texts)
+    assert got == pytest.approx(want, abs=1e-9)
+    # unseen-only doc scores strictly below the in-model doc
+    assert got[0] < got[1]
+
+
+def test_char_lm_max_model_cap(ray_session):
+    """The cap keeps the most frequent codes (count desc, code asc) and
+    capped-out codes fall back to unseen smoothing."""
+    import ray.data as rd
+
+    from buteo_ray.stages.text import train_char_lm
+
+    texts = ["aaaaaaaaaa", "abcd"]  # 'aaa' dominates
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": texts}))
+    codes, counts, total = train_char_lm(ds, max_model=1)
+    assert len(codes) == 1
+    aaa = (ord("a") << 16) | (ord("a") << 8) | ord("a")
+    assert codes[0] == aaa and counts[0] == 8
+    # total is the UNCAPPED corpus mass: 8 + 2 ('abc','bcd')
+    assert total == 10.0
