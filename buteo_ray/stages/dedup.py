@@ -121,15 +121,7 @@ def _shingle_hashes(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
     h = _splitmix64(h)
 
     # Valid shingle start positions: within a doc, at least _SHINGLE from its end.
-    n_shingles = np.maximum(lens - _SHINGLE + 1, 0)
-    doc_offsets = np.concatenate([[0], np.cumsum(n_shingles)])
-    tot = int(doc_offsets[-1])
-    if tot:
-        # idx[k] = starts[doc(k)] + (k - doc_offsets[doc(k)]), fully vectorized.
-        rel = np.arange(tot, dtype=np.int64) - np.repeat(doc_offsets[:-1], n_shingles)
-        idx = rel + np.repeat(starts, n_shingles)
-    else:
-        idx = np.empty(0, dtype=np.int64)
+    idx, doc_offsets = _window_indices(starts, lens, _SHINGLE)
     return h[idx], doc_offsets
 
 
@@ -156,6 +148,25 @@ def _utf8_buffer_view(arr) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     starts = offs[:-1] - offs[0]
     lens = np.diff(offs)
     return data, starts, lens
+
+
+def _window_indices(starts: np.ndarray, lens: np.ndarray,
+                    k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(idx, doc_offsets) for all k-byte windows that stay inside one
+    doc of the concatenated buffer: ``idx`` are window START positions
+    (doc-concatenated order), ``doc_offsets[i]:doc_offsets[i+1]`` slices
+    doc i's windows. The boundary-masking half of the shingle machinery,
+    shared by :func:`_shingle_hashes` and text._char_trigram_codes."""
+    n_win = np.maximum(lens - k + 1, 0)
+    doc_offsets = np.concatenate([[0], np.cumsum(n_win)])
+    tot = int(doc_offsets[-1])
+    if tot:
+        # idx[j] = starts[doc(j)] + (j - doc_offsets[doc(j)]), vectorized
+        rel = np.arange(tot, dtype=np.int64) - np.repeat(doc_offsets[:-1], n_win)
+        idx = rel + np.repeat(starts, n_win)
+    else:
+        idx = np.empty(0, dtype=np.int64)
+    return idx, doc_offsets
 
 
 def oph_minhash(texts: List[str]) -> np.ndarray:

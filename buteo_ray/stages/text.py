@@ -382,24 +382,21 @@ def _char_trigram_codes(texts) -> "tuple[np.ndarray, np.ndarray]":
     over the UTF-8 bytes, so no hash collisions and a trivially
     SQL-replayable code). Returns (codes, doc_offsets): codes concatenated
     per doc, ``doc_offsets[i]:doc_offsets[i+1]`` slicing doc i's windows.
-    Fully vectorized via a sliding window over the concatenated buffer
-    with doc-boundary masking (same machinery as dedup._shingle_hashes)."""
-    from buteo_ray.stages.dedup import _utf8_buffer_view
+    Fully vectorized over the concatenated buffer with the shared
+    doc-boundary window machinery (dedup._window_indices)."""
+    from buteo_ray.stages.dedup import _utf8_buffer_view, _window_indices
 
     arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
         else pa.array(["" if t is None else t for t in texts],
                       type=pa.string())
     data, starts, lens = _utf8_buffer_view(arr)
-    n = len(arr)
-    n_win = np.maximum(lens - 2, 0)
-    offsets = np.concatenate([[0], np.cumsum(n_win)])
+    idx, offsets = _window_indices(starts, lens, 3)
     if data.shape[0] < 3 or offsets[-1] == 0:
         return np.empty(0, dtype=np.int64), offsets
-    win = np.lib.stride_tricks.sliding_window_view(data, 3).astype(np.int64)
-    code = (win[:, 0] << 16) | (win[:, 1] << 8) | win[:, 2]
-    rel = (np.arange(int(offsets[-1]), dtype=np.int64)
-           - np.repeat(offsets[:-1], n_win))
-    idx = rel + np.repeat(starts, n_win)
+    # shifted slices of ONE int64 copy (a sliding_window_view would
+    # materialize a (N, 3) int64 matrix — 3× the peak memory)
+    d = data.astype(np.int64)
+    code = (d[:-2] << 16) | (d[1:-1] << 8) | d[2:]
     return code[idx], offsets
 
 
@@ -458,10 +455,12 @@ def add_lm_score(ds, model, text_col: str = "text",
         logp = np.log2((c + 1.0) / (total + _LM_V))
         n_win = np.diff(offsets)
         if len(logp):
-            # clip: a trailing empty doc's offset == len(logp), which
-            # reduceat rejects; the n_win mask discards that slot anyway
-            sums = np.add.reduceat(
-                logp, np.minimum(offsets[:-1], len(logp) - 1))
+            # 0.0 sentinel so a trailing windowless doc's offset
+            # (== len(logp)) stays a VALID reduceat index — clipping to
+            # len-1 instead would move the previous doc's segment end
+            # and drop its final trigram from the sum
+            sums = np.add.reduceat(np.append(logp, 0.0),
+                                   offsets[:-1])[:len(n_win)]
         else:
             sums = np.zeros(len(n_win))
         # reduceat repeats the NEXT segment's value for empty segments

@@ -960,3 +960,20 @@ def test_char_lm_max_model_cap(ray_session):
     assert codes[0] == aaa and counts[0] == 8
     # total is the UNCAPPED corpus mass: 8 + 2 ('abc','bcd')
     assert total == 10.0
+
+
+def test_char_lm_score_trailing_short_doc(ray_session):
+    """Regression: a batch ENDING in a < 3-byte doc must not truncate the
+    previous doc's trigram sum (the reduceat sentinel path)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.text import add_lm_score, train_char_lm
+
+    texts = ["abcd", "aa"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": texts}))
+    model = train_char_lm(ds)
+    got = (add_lm_score(ds, model).to_pandas()
+           .sort_values("doc_id")["lm_logp"].tolist())
+    want = _brute_lm(texts, texts)
+    assert got == pytest.approx(want, abs=1e-9)
+    assert got[1] == 0.0
