@@ -2469,6 +2469,26 @@ def q_vector_shapes(sf_dir: str):
     return out.map_batches(_round, batch_format="pandas", batch_size=None)
 
 
+def q_vector_extent(sf_dir: str):
+    """Whole-layer extent (stages/vector_ops.py:vector_to_extent ≙
+    reference core_vector_extent.py:19-85): per-block bbox partials →
+    one extent row. Pure min/max of the same f64 values on both sides —
+    exact, no rounding."""
+    import ray.data as rd
+
+    from buteo_ray.stages.vector_ops import vector_to_extent
+
+    rects = rd.from_arrow(synth_aoi_rects(200))
+    return vector_to_extent(rects).select_columns(
+        ["bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"])
+
+
+def sql_vector_extent() -> str:
+    return (f"WITH r AS ({aoi_rect_sql_cte(200)}) "
+            "SELECT MIN(bbox_xmin) AS bbox_xmin, MIN(bbox_ymin) AS bbox_ymin, "
+            "MAX(bbox_xmax) AS bbox_xmax, MAX(bbox_ymax) AS bbox_ymax FROM r")
+
+
 def sql_vector_shapes() -> str:
     return f"""
     WITH r AS ({aoi_rect_sql_cte(200)}),
@@ -3179,6 +3199,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "training_pipeline": q_training_pipeline,
     "hex_bin_counts": q_hex_bin_counts,
     "lm_score": q_lm_score,
+    "vector_extent": q_vector_extent,
     # rows-only from here down (no ORACLE_SQL entry; each is
     # pytest-verified against a brute-force/parity oracle instead)
     "mask_bezier": q_mask_bezier,
@@ -3275,6 +3296,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "training_pipeline": sql_training_pipeline,
     "hex_bin_counts": sql_hex_bin_counts,
     "lm_score": sql_lm_score,
+    "vector_extent": sql_vector_extent,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -679,3 +679,50 @@ def vector_add_shapes(ds, shapes=None, prefix: str = ""):
         return batch
 
     return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+_BBOX_COLS = ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
+
+
+def vector_to_extent(ds, wkb_col: str = "geom_wkb"):
+    """Whole-layer extent as ONE polygon row (≙ reference
+    ``vector_to_extent``, core_vector/core_vector_extent.py:19-85 — the
+    GDAL file→extent-file form mapped to Dataset-in → one-row Dataset).
+
+    Two-level: per-block bbox partials (4 floats per block cross the
+    wire, never features) → tiny driver fold → one row carrying
+    (xmin, ymin, xmax, ymax, geom_wkb of the extent ring). Blocks use
+    the precomputed bbox_* columns when present (vectorized); otherwise
+    each feature's WKB is parsed (the vector-side per-feature
+    convention). Raises on an empty layer — an extent of nothing is
+    undefined, matching the reference's metadata error."""
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import geom_bbox, wkb_polygon
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="float64")
+                                 for c in _BBOX_COLS})
+        if all(c in batch.columns for c in _BBOX_COLS):
+            vals = [batch["bbox_xmin"].min(), batch["bbox_ymin"].min(),
+                    batch["bbox_xmax"].max(), batch["bbox_ymax"].max()]
+        else:
+            # geom_bbox returns the OGR order [x_min, x_max, y_min, y_max]
+            bb = np.array([geom_bbox(w) for w in batch[wkb_col]])
+            vals = [bb[:, 0].min(), bb[:, 2].min(),
+                    bb[:, 1].max(), bb[:, 3].max()]
+        return pd.DataFrame({c: [float(v)] for c, v in zip(_BBOX_COLS, vals)})
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    if len(parts) == 0:
+        raise ValueError("vector_to_extent: empty layer has no extent")
+    x0, y0 = parts["bbox_xmin"].min(), parts["bbox_ymin"].min()
+    x1, y1 = parts["bbox_xmax"].max(), parts["bbox_ymax"].max()
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    return rd.from_pandas(pd.DataFrame({
+        "bbox_xmin": [x0], "bbox_ymin": [y0],
+        "bbox_xmax": [x1], "bbox_ymax": [y1],
+        "geom_wkb": [wkb_polygon([ring])],
+    }))

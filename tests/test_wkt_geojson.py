@@ -291,3 +291,36 @@ def test_assign_hex_matches_point_in_polygon():
     _, _, far = assign_hex(np.array([1.6, 0.5, -5.0]),
                            np.array([-1.0, 11.0, 4.0]), extent, s)
     assert list(far) == [-1, -1, -1]
+
+
+def test_vector_to_extent(ray_session):
+    """Both block paths (bbox columns present / WKB-parse fallback) give
+    the same one-row extent, and the ring WKB matches it."""
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import geom_bbox, wkb_polygon
+    from buteo_ray.stages.vector_ops import vector_to_extent
+
+    rings = [np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h], [x, y]],
+                      dtype=np.float64)
+             for x, y, w, h in [(0, 0, 2, 1), (-5, 3, 1, 1), (4, -2, 0.5, 6)]]
+    df = pd.DataFrame({"fid": range(3),
+                       "geom_wkb": [wkb_polygon([r]) for r in rings]})
+    out = vector_to_extent(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["bbox_xmin"], row["bbox_ymin"]) == (-5.0, -2.0)
+    assert (row["bbox_xmax"], row["bbox_ymax"]) == (4.5, 4.0)
+    # geom_bbox uses the OGR order [x_min, x_max, y_min, y_max]
+    assert geom_bbox(row["geom_wkb"]) == [-5.0, 4.5, -2.0, 4.0]
+
+    # vectorized path: precomputed bbox columns, multiple blocks
+    bb = np.array([geom_bbox(w) for w in df["geom_wkb"]])
+    df2 = df.assign(bbox_xmin=bb[:, 0], bbox_ymin=bb[:, 2],
+                    bbox_xmax=bb[:, 1], bbox_ymax=bb[:, 3])
+    out2 = vector_to_extent(rd.from_pandas(df2).repartition(3)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.drop(columns="geom_wkb"), out2.drop(columns="geom_wkb"))
+
+    with pytest.raises(ValueError, match="empty layer"):
+        vector_to_extent(rd.from_pandas(df.iloc[:0]))
