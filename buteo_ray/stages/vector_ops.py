@@ -689,40 +689,52 @@ def vector_to_extent(ds, wkb_col: str = "geom_wkb"):
     ``vector_to_extent``, core_vector/core_vector_extent.py:19-85 — the
     GDAL file→extent-file form mapped to Dataset-in → one-row Dataset).
 
-    Two-level: per-block bbox partials (4 floats per block cross the
-    wire, never features) → tiny driver fold → one row carrying
-    (xmin, ymin, xmax, ymax, geom_wkb of the extent ring). Blocks use
-    the precomputed bbox_* columns when present (vectorized); otherwise
+    Two-level and LAZY like every stage in this module: per-block bbox
+    partials (4 floats per block cross the wire, never features) →
+    repartition(1) → one fold batch → one row carrying (xmin, ymin,
+    xmax, ymax, geom_wkb of the extent ring). Blocks use the
+    precomputed bbox_* columns when present (vectorized); otherwise
     each feature's WKB is parsed (the vector-side per-feature
-    convention). Raises on an empty layer — an extent of nothing is
-    undefined, matching the reference's metadata error."""
-    import ray.data as rd
-
+    convention). Empty-geometry features (NaN bbox) are skipped; a
+    layer with no finite bounds at all (empty, or only empty
+    geometries) yields a 0-row result."""
     from buteo_ray.geom.wkb import geom_bbox, wkb_polygon
+
+    _empty = {c: pd.Series([], dtype="float64") for c in _BBOX_COLS}
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype="float64")
-                                 for c in _BBOX_COLS})
+            return pd.DataFrame(_empty)
         if all(c in batch.columns for c in _BBOX_COLS):
             vals = [batch["bbox_xmin"].min(), batch["bbox_ymin"].min(),
                     batch["bbox_xmax"].max(), batch["bbox_ymax"].max()]
+            if any(pd.isna(v) for v in vals):  # all-NaN block
+                return pd.DataFrame(_empty)
         else:
-            # geom_bbox returns the OGR order [x_min, x_max, y_min, y_max]
-            bb = np.array([geom_bbox(w) for w in batch[wkb_col]])
+            # geom_bbox returns the OGR order [x_min, x_max, y_min, y_max];
+            # empty geometries report NaN — drop them, never poison the
+            # block's min/max
+            bb = np.array([geom_bbox(w) for w in batch[wkb_col]],
+                          dtype=np.float64)
+            bb = bb[~np.isnan(bb).any(axis=1)]
+            if bb.shape[0] == 0:
+                return pd.DataFrame(_empty)
             vals = [bb[:, 0].min(), bb[:, 2].min(),
                     bb[:, 1].max(), bb[:, 3].max()]
         return pd.DataFrame({c: [float(v)] for c, v in zip(_BBOX_COLS, vals)})
 
-    parts = ds.map_batches(_partial, batch_format="pandas",
-                           batch_size=None).to_pandas()
-    if len(parts) == 0:
-        raise ValueError("vector_to_extent: empty layer has no extent")
-    x0, y0 = parts["bbox_xmin"].min(), parts["bbox_ymin"].min()
-    x1, y1 = parts["bbox_xmax"].max(), parts["bbox_ymax"].max()
-    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-    return rd.from_pandas(pd.DataFrame({
-        "bbox_xmin": [x0], "bbox_ymin": [y0],
-        "bbox_xmax": [x1], "bbox_ymax": [y1],
-        "geom_wkb": [wkb_polygon([ring])],
-    }))
+    def _fold(p: pd.DataFrame) -> pd.DataFrame:
+        if len(p) == 0:
+            return pd.DataFrame(dict(_empty, geom_wkb=pd.Series([], dtype=object)))
+        x0, y0 = p["bbox_xmin"].min(), p["bbox_ymin"].min()
+        x1, y1 = p["bbox_xmax"].max(), p["bbox_ymax"].max()
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return pd.DataFrame({
+            "bbox_xmin": [x0], "bbox_ymin": [y0],
+            "bbox_xmax": [x1], "bbox_ymax": [y1],
+            "geom_wkb": [wkb_polygon([ring])],
+        })
+
+    return (ds.map_batches(_partial, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(_fold, batch_format="pandas", batch_size=None))

@@ -322,5 +322,14 @@ def test_vector_to_extent(ray_session):
     pd.testing.assert_frame_equal(
         out.drop(columns="geom_wkb"), out2.drop(columns="geom_wkb"))
 
-    with pytest.raises(ValueError, match="empty layer"):
-        vector_to_extent(rd.from_pandas(df.iloc[:0]))
+    # empty layer -> 0-row result (lazy contract; no build-time raise)
+    assert vector_to_extent(rd.from_pandas(df.iloc[:0])).count() == 0
+
+    # an empty geometry in one block must not NaN-poison that block's
+    # partial (regression: min/max propagated NaN, dropping real rows)
+    from buteo_ray.geom.wkb import wkb_polygon as _wp
+    df3 = pd.DataFrame({"fid": [0, 1, 2],
+                        "geom_wkb": [_wp([]), df["geom_wkb"].iloc[0],
+                                     df["geom_wkb"].iloc[2]]})
+    out3 = vector_to_extent(rd.from_pandas(df3).repartition(2)).to_pandas()
+    assert (out3.iloc[0]["bbox_xmin"], out3.iloc[0]["bbox_xmax"]) == (0.0, 4.5)
