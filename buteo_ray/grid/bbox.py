@@ -242,3 +242,78 @@ def bbox_contains_point(bbox_ogr: Bbox, x: float, y: float) -> bool:
     _check_bbox(bbox_ogr)
     x_min, x_max, y_min, y_max = (float(v) for v in bbox_ogr)
     return x_min <= float(x) <= x_max and y_min <= float(y) <= y_max
+
+
+# --- Columnar twins ---------------------------------------------------
+# Vectorized counterparts of the scalar algebra above for batch stages:
+# a "bbox column set" is four aligned float64 arrays (x_min, x_max,
+# y_min, y_max). Semantics match the scalar functions element-wise,
+# except intersection does not raise on disjoint rows — callers filter
+# with :func:`bboxes_intersect_cols` first (an exception per row has no
+# columnar analog).
+
+BboxCols = Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
+
+def _as_cols(xmin, xmax, ymin, ymax) -> BboxCols:
+    return tuple(np.asarray(a, dtype=np.float64)
+                 for a in (xmin, xmax, ymin, ymax))
+
+
+def bboxes_intersect_cols(cols: BboxCols, bbox2: Bbox) -> np.ndarray:
+    """Boolean mask: which rows intersect ``bbox2`` (corner-touch
+    counts). Columnar twin of :func:`bboxes_intersect`."""
+    _check_bbox(bbox2)
+    xmin, xmax, ymin, ymax = _as_cols(*cols)
+    b0, b1, b2, b3 = (float(v) for v in bbox2)
+    return ~((xmax < b0) | (xmin > b1) | (ymax < b2) | (ymin > b3))
+
+
+def intersection_bboxes_cols(cols: BboxCols, bbox2: Bbox) -> BboxCols:
+    """Per-row intersection with ``bbox2``; rows must already be known
+    to intersect (pre-filter with :func:`bboxes_intersect_cols`).
+    Columnar twin of :func:`intersection_bboxes`."""
+    _check_bbox(bbox2)
+    xmin, xmax, ymin, ymax = _as_cols(*cols)
+    b0, b1, b2, b3 = (float(v) for v in bbox2)
+    return (np.maximum(xmin, b0), np.minimum(xmax, b1),
+            np.maximum(ymin, b2), np.minimum(ymax, b3))
+
+
+def union_bboxes_cols(cols: BboxCols, bbox2: Bbox) -> BboxCols:
+    """Per-row bounding hull with ``bbox2``. Columnar twin of
+    :func:`union_bboxes`."""
+    _check_bbox(bbox2)
+    xmin, xmax, ymin, ymax = _as_cols(*cols)
+    b0, b1, b2, b3 = (float(v) for v in bbox2)
+    return (np.minimum(xmin, b0), np.maximum(xmax, b1),
+            np.minimum(ymin, b2), np.maximum(ymax, b3))
+
+
+def buffer_bbox_cols(cols: BboxCols, distance: float) -> BboxCols:
+    """Expand every bbox by ``distance`` on each side. Columnar twin of
+    :func:`buffer_bbox`."""
+    d = float(distance)
+    xmin, xmax, ymin, ymax = _as_cols(*cols)
+    return (xmin - d, xmax + d, ymin - d, ymax + d)
+
+
+def bbox_center_cols(cols: BboxCols) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row center (x, y). Columnar twin of :func:`bbox_center`."""
+    xmin, xmax, ymin, ymax = _as_cols(*cols)
+    return (xmin + xmax) / 2.0, (ymin + ymax) / 2.0
+
+
+def bbox_aspect_ratio_cols(cols: BboxCols) -> np.ndarray:
+    """Per-row width / height, ``inf`` for degenerate height. Columnar
+    twin of :func:`bbox_aspect_ratio`."""
+    xmin, xmax, ymin, ymax = _as_cols(*cols)
+    height = ymax - ymin
+    with np.errstate(divide="ignore"):
+        return np.where(height == 0.0, np.inf, (xmax - xmin) / height)
+
+
+def bbox_area_cols(cols: BboxCols) -> np.ndarray:
+    """Per-row (x_max - x_min) * (y_max - y_min)."""
+    xmin, xmax, ymin, ymax = _as_cols(*cols)
+    return (xmax - xmin) * (ymax - ymin)

@@ -79,21 +79,33 @@ def ann_cosine_topk(
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return _topk_merge(g, k)
 
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("query_id")
-        .map_groups(_final, batch_format="pandas")
-    )
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    # Query sets can reach 1e5+ at scale: bucketed routing for the
+    # per-query merge, never one Ray group per query.
+    return bucketed_group_map(partials, ["query_id"], _final)
 
 
-def _hyperplanes(dim: int, nbits: int, table: int = 0) -> np.ndarray:
+def _hyperplanes(dim: int, nbits: int, table: int = 0,
+                 quant: Optional[float] = None) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from splitmix64 streams
-    (uniform in [-1, 1), fixed for a given (dim, nbits, table))."""
+    (uniform in [-1, 1), fixed for a given (dim, nbits, table)).
+
+    ``quant`` (e.g. 1000) rounds coefficients to integer-valued float64
+    (half-up, like :func:`quantize`): with quantized embeddings every
+    sign test ``e · p > 0`` is then exact integer arithmetic —
+    order-independent and bit-replayable by a SQL oracle — at a
+    negligible direction perturbation (< 0.05% per coefficient)."""
     from buteo_ray.stages.dedup import _splitmix64
 
     idx = np.arange(dim * nbits, dtype=np.uint64) + np.uint64(table * dim * nbits)
     u = _splitmix64(idx).astype(np.float64) / 2.0**64
-    return (u * 2.0 - 1.0).reshape(nbits, dim)
+    planes = (u * 2.0 - 1.0).reshape(nbits, dim)
+    if quant is not None:
+        planes = np.floor(planes * float(quant) + 0.5)
+    return planes
 
 
 def _bucket_ids(e: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -197,6 +209,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     quantized: bool = True,
+    plane_quant: Optional[float] = None,
 ):
     """End-to-end bucketed ANN search (the scale path composing
     :func:`lsh_bucket_assign`'s hyperplane buckets into a per-bucket
@@ -219,7 +232,8 @@ def ann_lsh_topk(
     qid = np.asarray(query_ids, dtype=np.int64)
     q = quantize(np.asarray(query_vecs)) if quantized else np.asarray(query_vecs, np.float64)
     qnorm = np.sqrt((q * q).sum(axis=1))
-    tables = [_hyperplanes(q.shape[1], nbits, t) for t in range(n_tables)]
+    tables = [_hyperplanes(q.shape[1], nbits, t, quant=plane_quant)
+              for t in range(n_tables)]
     # Per table, a CSR probe index over the query set: sorted unique
     # probe buckets `keys`, segment offsets `seg_off`, query indices
     # `qidx` — so corpus batches match buckets with one searchsorted
@@ -227,11 +241,14 @@ def ann_lsh_topk(
     probe_tabs = []
     for t, planes in enumerate(tables):
         qbucket = _bucket_ids(q, planes)
-        bks = np.array([bk for qi in range(q.shape[0])
-                        for bk in _probe_buckets(int(qbucket[qi]), nbits, probe_bits)],
-                       dtype=np.int64)
+        plists = [_probe_buckets(int(qbucket[qi]), nbits, probe_bits)
+                  for qi in range(q.shape[0])]
+        bks = np.array([bk for pl in plists for bk in pl], dtype=np.int64)
+        # Repeat by ACTUAL per-query probe counts, so a future
+        # variable-length / deduped probe expansion can't misalign
+        # query/bucket pairs.
         qis = np.repeat(np.arange(q.shape[0], dtype=np.int64),
-                        len(bks) // max(q.shape[0], 1))
+                        [len(pl) for pl in plists])
         order = np.lexsort((qis, bks))
         bks, qis = bks[order], qis[order]
         keys, starts = np.unique(bks, return_index=True)
@@ -284,7 +301,11 @@ def ann_lsh_topk(
         seg_start = np.concatenate([[0], np.nonzero(np.diff(qs))[0] + 1])
         seg_len = np.diff(np.concatenate([seg_start, [len(qs)]]))
         rank = np.arange(len(qs), dtype=np.int64) - np.repeat(seg_start, seg_len)
-        keep = rank < k
+        # Mirror the exact path's finiteness rule (_partial_topk_arrays):
+        # -inf self-matches and NaN cosines (zero-norm embeddings) must
+        # never reach the merge, or queries with < k finite candidates
+        # would emit self-match / NaN rows.
+        keep = (rank < k) & np.isfinite(cs)
         return pa.table({
             "query_id": qid_[qs[keep]],
             "neighbor_id": ids[rs[keep]],
@@ -294,11 +315,13 @@ def ann_lsh_topk(
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return _topk_merge(g, k)
 
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("query_id")
-        .map_groups(_final, batch_format="pandas")
-    )
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    # Query sets can reach 1e5+ at scale: bucketed routing for the
+    # per-query merge, never one Ray group per query.
+    return bucketed_group_map(partials, ["query_id"], _final)
 
 
 def _spherical_kmeans(X: np.ndarray, k: int, iters: int = 10,
@@ -432,11 +455,13 @@ def ann_ivf_topk(
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return _topk_merge(g, k)
 
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("query_id")
-        .map_groups(_final, batch_format="pandas")
-    )
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    # Query sets can reach 1e5+ at scale: bucketed routing for the
+    # per-query merge, never one Ray group per query.
+    return bucketed_group_map(partials, ["query_id"], _final)
 
 
 def centroids_per_label(ds, emb_col: str = "embedding", label_col: str = "label"):

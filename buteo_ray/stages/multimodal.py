@@ -138,7 +138,14 @@ def _binary_column_view(batch: pa.Table, name: str):
     col = batch.column(name)
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
-    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    if pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64          # large_binary carries int64 offsets
+    elif pa.types.is_binary(arr.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"column {name!r}: expected binary/large_binary, "
+                        f"got {arr.type}")
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset:arr.offset + n + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     return data, off

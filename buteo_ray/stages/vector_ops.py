@@ -38,22 +38,56 @@ def _rebuild_bbox_cols(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+# --- pyarrow batch helpers --------------------------------------------
+# Stateless map stages take Arrow batches zero-copy from the object
+# store: per-feature WKB parsing is inherently row-wise, but every OTHER
+# column rides through untouched — the pandas round-trip the stages
+# previously paid converted all of them twice per batch.
+
+def _wkbs(t: pa.Table, col: str = "geom_wkb") -> list:
+    """Binary column → list of bytes (the per-feature parse input)."""
+    return t[col].to_pylist()
+
+
+def _pa_set_column(t: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, arr)
+    return t.append_column(name, arr)
+
+
+def _pa_mask(t: pa.Table, mask) -> pa.Table:
+    return t.filter(pa.array(np.asarray(mask, dtype=bool)))
+
+
+def _pa_f64(v) -> pa.Array:
+    return pa.array(np.asarray(v, dtype=np.float64), type=pa.float64())
+
+
+def _pa_rebuild_bbox(t: pa.Table, wkbs=None) -> pa.Table:
+    wkbs = _wkbs(t) if wkbs is None else wkbs
+    boxes = (np.array([geom_bbox(w) for w in wkbs], dtype=np.float64)
+             if len(wkbs) else np.zeros((0, 4)))
+    for i, name in enumerate(("bbox_xmin", "bbox_xmax",
+                              "bbox_ymin", "bbox_ymax")):
+        t = _pa_set_column(t, name, _pa_f64(boxes[:, i]))
+    return t
+
+
 def vector_filter_by_function(ds, attr_fn: Optional[Callable] = None,
                               geom_fn: Optional[Callable] = None):
     """Per-feature UDF filter (≙ ``vector_filter_by_function``, reference
     core_vector/core_vector_filter.py:143-301): ``attr_fn(row_dict) →
     bool`` and/or ``geom_fn(parsed_geom) → bool``."""
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = np.ones(len(batch), dtype=bool)
+    def _fn(batch: pa.Table) -> pa.Table:
+        keep = np.ones(batch.num_rows, dtype=bool)
         if attr_fn is not None:
-            keep &= np.array([bool(attr_fn(r._asdict() if hasattr(r, "_asdict") else dict(r)))
-                              for r in batch.to_dict("records")])
+            keep &= np.array([bool(attr_fn(r)) for r in batch.to_pylist()])
         if geom_fn is not None:
-            keep &= np.array([bool(geom_fn(parse_wkb(w))) for w in batch["geom_wkb"]])
-        return batch[keep]
+            keep &= np.array([bool(geom_fn(parse_wkb(w))) for w in _wkbs(batch)])
+        return _pa_mask(batch, keep)
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def vector_clip_convex(ds, clip_ring: np.ndarray):
@@ -63,14 +97,16 @@ def vector_clip_convex(ds, clip_ring: np.ndarray):
     cxmin, cymin = clip_ring[:, 0].min(), clip_ring[:, 1].min()
     cxmax, cymax = clip_ring[:, 0].max(), clip_ring[:, 1].max()
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         # bbox prefilter (the reference's -spat)
-        keep = ~((batch["bbox_xmax"] < cxmin) | (batch["bbox_xmin"] > cxmax)
-                 | (batch["bbox_ymax"] < cymin) | (batch["bbox_ymin"] > cymax))
-        batch = batch[keep].copy()
+        bx0, bx1, by0, by1 = (batch[c].to_numpy(zero_copy_only=False)
+                              for c in ("bbox_xmin", "bbox_xmax",
+                                        "bbox_ymin", "bbox_ymax"))
+        batch = _pa_mask(batch, ~((bx1 < cxmin) | (bx0 > cxmax)
+                                  | (by1 < cymin) | (by0 > cymax)))
         out_wkb = []
         kept = []
-        for w in batch["geom_wkb"]:
+        for w in _wkbs(batch):
             kind, payload = parse_wkb(w)
             polys = [payload] if kind == "polygon" else payload
             # Clip EVERY ring of EVERY member: holes clipped by a convex
@@ -93,11 +129,12 @@ def vector_clip_convex(ds, clip_ring: np.ndarray):
                 kept.append(True)
             else:
                 kept.append(False)
-        batch = batch[np.array(kept, dtype=bool)] if len(batch) else batch
-        batch["geom_wkb"] = out_wkb
-        return _rebuild_bbox_cols(batch)
+        batch = _pa_mask(batch, kept) if batch.num_rows else batch
+        batch = _pa_set_column(batch, "geom_wkb",
+                               pa.array(out_wkb, type=pa.binary()))
+        return _pa_rebuild_bbox(batch, out_wkb)
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def _convex_hull(points: np.ndarray) -> np.ndarray:
@@ -204,19 +241,35 @@ def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull",
         key = "__all"
 
     if two_level:
-        def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            # dropna=False: null group keys must reach the final groupby
-            # exactly as they do in the single-level plan.
-            for kval, g in batch.groupby(key, sort=False, dropna=False):
+        def _partial(batch: pa.Table) -> pa.Table:
+            key_type = batch.schema.field(key).type
+            # Only the key + geometry columns leave Arrow — the per-key
+            # combine is pandas-grouped over just those two. dropna=False:
+            # null group keys must reach the final groupby exactly as
+            # they do in the single-level plan.
+            df = pd.DataFrame({key: batch[key].to_pandas(),
+                               "geom_wkb": _wkbs(batch)})
+            ks, ws, ns = [], [], []
+            for kval, g in df.groupby(key, sort=False, dropna=False):
                 polys, _ = _dissolve_reduce(list(g["geom_wkb"]), geometry)
-                rows.append({key: kval, "geom_wkb": _encode_polyset(polys),
-                             "__n": len(g)})
-            return pd.DataFrame(rows, columns=[key, "geom_wkb", "__n"])
+                ks.append(kval)
+                ws.append(_encode_polyset(polys))
+                ns.append(len(g))
+            # from_pandas, not pa.array: pandas groupby surfaces null keys
+            # as NaN (and nullable ints as floats); from_pandas maps them
+            # back to Arrow nulls under the original key type.
+            return pa.table({key: pa.Array.from_pandas(pd.Series(ks),
+                                                       type=key_type),
+                             "geom_wkb": pa.array(ws, type=pa.binary()),
+                             "__n": pa.array(np.asarray(ns, dtype=np.int64))})
 
-        ds = ds.map_batches(_partial, batch_format="pandas", batch_size=None)
+        ds = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
 
-    return ds.groupby(key).map_groups(_final, batch_format="pandas")
+    # Dissolve keys are arbitrary attributes (unbounded cardinality):
+    # bucketed routing, exact per-key groups iterated inside the bucket.
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    return bucketed_group_map(ds, [key], _final)
 
 
 def vector_clip(ds, clip_polys):
@@ -233,23 +286,26 @@ def vector_clip(ds, clip_polys):
     cxmin, cymin = all_clip_pts[:, 0].min(), all_clip_pts[:, 1].min()
     cxmax, cymax = all_clip_pts[:, 0].max(), all_clip_pts[:, 1].max()
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = ~((batch["bbox_xmax"] < cxmin) | (batch["bbox_xmin"] > cxmax)
-                 | (batch["bbox_ymax"] < cymin) | (batch["bbox_ymin"] > cymax))
-        batch = batch[keep].copy()
+    def _fn(batch: pa.Table) -> pa.Table:
+        bx0, bx1, by0, by1 = (batch[c].to_numpy(zero_copy_only=False)
+                              for c in ("bbox_xmin", "bbox_xmax",
+                                        "bbox_ymin", "bbox_ymax"))
+        batch = _pa_mask(batch, ~((bx1 < cxmin) | (bx0 > cxmax)
+                                  | (by1 < cymin) | (by0 > cymax)))
         out_wkb, kept = [], []
-        for w in batch["geom_wkb"]:
+        for w in _wkbs(batch):
             clipped = polygon_boolean(_member_polys(w), clip_polys, "intersection")
             if clipped:
                 out_wkb.append(_encode_polyset(clipped))
                 kept.append(True)
             else:
                 kept.append(False)
-        batch = batch[np.array(kept, dtype=bool)] if len(batch) else batch
-        batch["geom_wkb"] = out_wkb
-        return _rebuild_bbox_cols(batch)
+        batch = _pa_mask(batch, kept) if batch.num_rows else batch
+        batch = _pa_set_column(batch, "geom_wkb",
+                               pa.array(out_wkb, type=pa.binary()))
+        return _pa_rebuild_bbox(batch, out_wkb)
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def _explode_members(kind, payload, dims):
@@ -277,19 +333,25 @@ def multipart_to_singlepart(ds):
     reference core_vector/conversion/multipart.py:58-190; 1→N with a
     ``part_idx`` ordinal)."""
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in batch.iterrows():
-            kind, payload, dims = parse_wkb_dims(r["geom_wkb"])
-            for i, (k, p, d) in enumerate(_explode_members(kind, payload, dims)):
-                rr = dict(r)
-                rr["geom_wkb"] = encode_geom(k, p, d)
-                rr["part_idx"] = i
-                rows.append(rr)
-        out = pd.DataFrame(rows) if rows else batch.assign(part_idx=0).iloc[:0]
-        return _rebuild_bbox_cols(out)
+    def _fn(batch: pa.Table) -> pa.Table:
+        geoms, part_idx, counts = [], [], []
+        for w in _wkbs(batch):
+            kind, payload, dims = parse_wkb_dims(w)
+            members = _explode_members(kind, payload, dims)
+            counts.append(len(members))
+            for i, (k, p, d) in enumerate(members):
+                geoms.append(encode_geom(k, p, d))
+                part_idx.append(i)
+        # 1→N: replicate the source row per member, then overwrite geom.
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        np.asarray(counts, dtype=np.int64))
+        out = batch.take(pa.array(idx))
+        out = _pa_set_column(out, "geom_wkb", pa.array(geoms, type=pa.binary()))
+        out = _pa_set_column(out, "part_idx",
+                             pa.array(np.asarray(part_idx, dtype=np.int64)))
+        return _pa_rebuild_bbox(out, geoms)
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 _MULTI_OF = {"point": "multipoint", "linestring": "multilinestring",
@@ -340,7 +402,9 @@ def singlepart_to_multipart(ds, by: str):
                             "n_parts": [len(parts)]})
         return _rebuild_bbox_cols(out)
 
-    return ds.groupby(by).map_groups(_collect, batch_format="pandas")
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    return bucketed_group_map(ds, [by], _collect)
 
 
 def vector_fix_geometry(ds):
@@ -348,7 +412,7 @@ def vector_fix_geometry(ds):
     core_vector/core_vector_fixgeometry.py:16-225): close open rings,
     drop degenerate (<3 distinct vertex) rings, enforce CCW exteriors."""
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         def _fix_rings(rings):
             out_rings = []
             for ring in rings:
@@ -364,7 +428,7 @@ def vector_fix_geometry(ds):
             return out_rings
 
         fixed, keep = [], []
-        for w in batch["geom_wkb"]:
+        for w in _wkbs(batch):
             kind, payload = parse_wkb(w)
             if kind not in ("polygon", "multipolygon"):
                 # Points pass through; lines drop degenerate (<2-vertex)
@@ -395,11 +459,12 @@ def vector_fix_geometry(ds):
                 keep.append(True)
             else:
                 keep.append(False)
-        batch = batch[np.array(keep, dtype=bool)].copy() if len(batch) else batch
-        batch["geom_wkb"] = fixed
-        return _rebuild_bbox_cols(batch)
+        batch = _pa_mask(batch, keep) if batch.num_rows else batch
+        batch = _pa_set_column(batch, "geom_wkb",
+                               pa.array(fixed, type=pa.binary()))
+        return _pa_rebuild_bbox(batch, fixed)
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def vector_reproject(ds, src: str, dst: str):
@@ -412,25 +477,25 @@ def vector_reproject(ds, src: str, dst: str):
         # Extra Z/M columns ride through unchanged.
         return np.column_stack([x, y] + [pts[:, j] for j in range(2, pts.shape[1])])
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         out = []
-        for w in batch["geom_wkb"]:
+        for w in _wkbs(batch):
             kind, payload, dims = parse_wkb_dims(w)
             out.append(encode_geom(kind, map_coords(kind, payload, _tx), dims))
-        batch = batch.copy()
-        batch["geom_wkb"] = out
-        return _rebuild_bbox_cols(batch)
+        batch = _pa_set_column(batch, "geom_wkb",
+                               pa.array(out, type=pa.binary()))
+        return _pa_rebuild_bbox(batch, out)
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def vector_add_centroids(ds):
     """Append centroid_x/centroid_y/area columns (attribute derivation
     ≙ vector_add_field family)."""
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         cx, cy, areas = [], [], []
-        for w in batch["geom_wkb"]:
+        for w in _wkbs(batch):
             kind, payload = parse_wkb(w)
             if kind == "point":
                 cx.append(payload[0])
@@ -456,13 +521,12 @@ def vector_add_centroids(ds):
             cx.append(float(c[0]))
             cy.append(float(c[1]))
             areas.append(float(total))
-        batch = batch.copy()
-        batch["centroid_x"] = cx
-        batch["centroid_y"] = cy
-        batch["area"] = areas
+        batch = _pa_set_column(batch, "centroid_x", _pa_f64(cx))
+        batch = _pa_set_column(batch, "centroid_y", _pa_f64(cy))
+        batch = _pa_set_column(batch, "area", _pa_f64(areas))
         return batch
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def vector_add_fid(ds, id_col: str = None, out_col: str = "fid"):
@@ -473,22 +537,21 @@ def vector_add_fid(ds, id_col: str = None, out_col: str = "fid"):
     global sequential renumber is an all-to-all sort, so fids here are
     order-free 64-bit hashes of ``id_col`` (or of the row's content hash
     when no id exists) — stable across partitionings and resumes."""
-    import pandas as pd
-
     from buteo_ray.stages.dedup import _splitmix64, content_hash_column
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         if id_col is not None:
-            base = batch[id_col].to_numpy().astype(np.uint64)
+            base = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
             # view, not astype: content hashes are int64 and int64+uint64
             # silently promotes to float64 inside the mixer, rounding away
             # low bits and colliding distinct hashes above 2^53.
-            base = content_hash_column(batch["geom_wkb"].map(lambda b: b.hex())).view(np.uint64)
-        batch[out_col] = _splitmix64(base).view(np.int64)
-        return batch
+            base = content_hash_column(
+                pd.Series([w.hex() for w in _wkbs(batch)])).view(np.uint64)
+        return _pa_set_column(batch, out_col,
+                              pa.array(_splitmix64(base).view(np.int64)))
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def vector_change_multitype(ds, target: str):
@@ -499,9 +562,9 @@ def vector_change_multitype(ds, target: str):
     if target not in ("multi", "single"):
         raise ValueError("target must be 'multi' or 'single'")
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         out = []
-        for w in batch["geom_wkb"]:
+        for w in _wkbs(batch):
             kind, payload, dims = parse_wkb_dims(w)
             if target == "multi":
                 if kind in _MULTI_OF.values() or kind == "geometrycollection":
@@ -515,11 +578,10 @@ def vector_change_multitype(ds, target: str):
                     out.append(encode_geom(k, p, d))
                 else:
                     raise ValueError("cannot demote a multi-part geometry to single")
-        batch = batch.copy()
-        batch["geom_wkb"] = out
-        return batch
+        return _pa_set_column(batch, "geom_wkb",
+                              pa.array(out, type=pa.binary()))
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def vector_change_dimensionality(ds, target: str, z_value: float = 0.0,
@@ -546,19 +608,18 @@ def vector_change_dimensionality(ds, target: str, z_value: float = 0.0,
             return [(k, _redim(k, p, d), target) for k, p, d in payload]
         return map_coords(kind, payload, lambda pts: _reshape(pts, src_dims))
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         out = []
-        for w in batch["geom_wkb"]:
+        for w in _wkbs(batch):
             kind, payload, dims = parse_wkb_dims(w)
             if dims == target and kind != "geometrycollection":
                 out.append(w)
                 continue
             out.append(encode_geom(kind, _redim(kind, payload, dims), target))
-        batch = batch.copy()
-        batch["geom_wkb"] = out
-        return batch
+        return _pa_set_column(batch, "geom_wkb",
+                              pa.array(out, type=pa.binary()))
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 def vector_buffer(ds, distance, quad_segs: int = 8,
@@ -576,20 +637,20 @@ def vector_buffer(ds, distance, quad_segs: int = 8,
     from buteo_ray.geom.buffer import buffer_geometry
     from buteo_ray.geom.wkb import wkb_multipolygon
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
-        dists = (batch[distance].to_numpy(dtype=np.float64)
+    def _fn(batch: pa.Table) -> pa.Table:
+        dists = (batch[distance].to_numpy(zero_copy_only=False).astype(np.float64)
                  if isinstance(distance, str)
-                 else np.full(len(batch), float(distance)))
+                 else np.full(batch.num_rows, float(distance)))
         if np.isnan(dists).any():
             # Loud failure (matching e.g. sample_per_group's negative-id
             # check): a null/NaN attribute distance would otherwise flow
             # into disc_ring and emit NaN-coordinate geometry.
-            bad = batch.index[np.isnan(dists)][:5].tolist()
+            bad = np.nonzero(np.isnan(dists))[0][:5].tolist()
             raise ValueError(
                 f"vector_buffer: null/NaN buffer distance for rows {bad}"
                 + (f" (column {distance!r})" if isinstance(distance, str) else ""))
         out_wkb, kept = [], []
-        for w, d in zip(batch["geom_wkb"], dists):
+        for w, d in zip(_wkbs(batch), dists):
             polys = buffer_geometry(w, float(d), quad_segs=quad_segs)
             if polys:
                 out_wkb.append(wkb_multipolygon(polys) if force_multipolygon
@@ -597,12 +658,12 @@ def vector_buffer(ds, distance, quad_segs: int = 8,
                 kept.append(True)
             else:
                 kept.append(False)
-        batch = batch[np.array(kept, dtype=bool)] if len(batch) else batch
-        batch = batch.copy()
-        batch["geom_wkb"] = out_wkb
-        return _rebuild_bbox_cols(batch)
+        batch = _pa_mask(batch, kept) if batch.num_rows else batch
+        batch = _pa_set_column(batch, "geom_wkb",
+                               pa.array(out_wkb, type=pa.binary()))
+        return _pa_rebuild_bbox(batch, out_wkb)
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 _SHAPES_ALL = ("area", "perimeter", "ipq", "centroid", "hull", "compact")
@@ -631,11 +692,11 @@ def vector_add_shapes(ds, shapes=None, prefix: str = ""):
             total += float(np.hypot(d[:, 0], d[:, 1]).sum())
         return total
 
-    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def _fn(batch: pa.Table) -> pa.Table:
         out = {s: [] for s in ("area", "perimeter", "ipq", "centroid_x",
                                "centroid_y", "hull_area", "hull_peri",
                                "hull_ratio", "compactness")}
-        for w in batch["geom_wkb"]:
+        for w in _wkbs(batch):
             polys = _member_polys(w)
             areas = [polygon_area(p) for p in polys]
             area = float(sum(areas))
@@ -660,25 +721,24 @@ def vector_add_shapes(ds, shapes=None, prefix: str = ""):
             out["hull_area"].append(h_area); out["hull_peri"].append(h_peri)
             out["hull_ratio"].append(h_ratio)
             out["compactness"].append(float(np.sqrt(h_ratio * ipq)))
-        batch = batch.copy()
+        cols = []
         if "area" in shapes:
-            batch[f"{prefix}area"] = out["area"]
+            cols.append("area")
         if "perimeter" in shapes:
-            batch[f"{prefix}perimeter"] = out["perimeter"]
+            cols.append("perimeter")
         if "ipq" in shapes:
-            batch[f"{prefix}ipq"] = out["ipq"]
+            cols.append("ipq")
         if "centroid" in shapes:
-            batch[f"{prefix}centroid_x"] = out["centroid_x"]
-            batch[f"{prefix}centroid_y"] = out["centroid_y"]
+            cols += ["centroid_x", "centroid_y"]
         if "hull" in shapes:
-            batch[f"{prefix}hull_area"] = out["hull_area"]
-            batch[f"{prefix}hull_peri"] = out["hull_peri"]
-            batch[f"{prefix}hull_ratio"] = out["hull_ratio"]
+            cols += ["hull_area", "hull_peri", "hull_ratio"]
         if "compact" in shapes:
-            batch[f"{prefix}compactness"] = out["compactness"]
+            cols.append("compactness")
+        for c in cols:
+            batch = _pa_set_column(batch, f"{prefix}{c}", _pa_f64(out[c]))
         return batch
 
-    return ds.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
 _BBOX_COLS = ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
@@ -700,41 +760,53 @@ def vector_to_extent(ds, wkb_col: str = "geom_wkb"):
     geometries) yields a 0-row result."""
     from buteo_ray.geom.wkb import geom_bbox, wkb_polygon
 
-    _empty = {c: pd.Series([], dtype="float64") for c in _BBOX_COLS}
+    _empty = pa.table({c: pa.array([], type=pa.float64()) for c in _BBOX_COLS})
+    _empty_fold = _empty.append_column("geom_wkb",
+                                       pa.array([], type=pa.binary()))
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame(_empty)
-        if all(c in batch.columns for c in _BBOX_COLS):
-            vals = [batch["bbox_xmin"].min(), batch["bbox_ymin"].min(),
-                    batch["bbox_xmax"].max(), batch["bbox_ymax"].max()]
-            if any(pd.isna(v) for v in vals):  # all-NaN block
-                return pd.DataFrame(_empty)
+    def _skipnan_minmax(a: np.ndarray, op) -> float:
+        f = a[~np.isnan(a)]
+        return float(op(f)) if f.size else float("nan")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        if all(c in batch.column_names for c in _BBOX_COLS):
+            cols = {c: batch[c].to_numpy(zero_copy_only=False)
+                    for c in _BBOX_COLS}
+            vals = [_skipnan_minmax(cols["bbox_xmin"], np.min),
+                    _skipnan_minmax(cols["bbox_ymin"], np.min),
+                    _skipnan_minmax(cols["bbox_xmax"], np.max),
+                    _skipnan_minmax(cols["bbox_ymax"], np.max)]
+            if any(np.isnan(v) for v in vals):  # all-NaN block
+                return _empty
         else:
             # geom_bbox returns the OGR order [x_min, x_max, y_min, y_max];
             # empty geometries report NaN — drop them, never poison the
             # block's min/max
-            bb = np.array([geom_bbox(w) for w in batch[wkb_col]],
+            bb = np.array([geom_bbox(w) for w in _wkbs(batch, wkb_col)],
                           dtype=np.float64)
             bb = bb[~np.isnan(bb).any(axis=1)]
             if bb.shape[0] == 0:
-                return pd.DataFrame(_empty)
+                return _empty
             vals = [bb[:, 0].min(), bb[:, 2].min(),
                     bb[:, 1].max(), bb[:, 3].max()]
-        return pd.DataFrame({c: [float(v)] for c, v in zip(_BBOX_COLS, vals)})
+        return pa.table({c: _pa_f64([v]) for c, v in zip(_BBOX_COLS, vals)})
 
-    def _fold(p: pd.DataFrame) -> pd.DataFrame:
-        if len(p) == 0:
-            return pd.DataFrame(dict(_empty, geom_wkb=pd.Series([], dtype=object)))
-        x0, y0 = p["bbox_xmin"].min(), p["bbox_ymin"].min()
-        x1, y1 = p["bbox_xmax"].max(), p["bbox_ymax"].max()
+    def _fold(p: pa.Table) -> pa.Table:
+        if p.num_rows == 0:
+            return _empty_fold
+        x0 = float(np.min(p["bbox_xmin"].to_numpy(zero_copy_only=False)))
+        y0 = float(np.min(p["bbox_ymin"].to_numpy(zero_copy_only=False)))
+        x1 = float(np.max(p["bbox_xmax"].to_numpy(zero_copy_only=False)))
+        y1 = float(np.max(p["bbox_ymax"].to_numpy(zero_copy_only=False)))
         ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-        return pd.DataFrame({
-            "bbox_xmin": [x0], "bbox_ymin": [y0],
-            "bbox_xmax": [x1], "bbox_ymax": [y1],
-            "geom_wkb": [wkb_polygon([ring])],
+        return pa.table({
+            "bbox_xmin": _pa_f64([x0]), "bbox_ymin": _pa_f64([y0]),
+            "bbox_xmax": _pa_f64([x1]), "bbox_ymax": _pa_f64([y1]),
+            "geom_wkb": pa.array([wkb_polygon([ring])], type=pa.binary()),
         })
 
-    return (ds.map_batches(_partial, batch_format="pandas", batch_size=None)
+    return (ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
             .repartition(1)
-            .map_batches(_fold, batch_format="pandas", batch_size=None))
+            .map_batches(_fold, batch_format="pyarrow", batch_size=None))

@@ -119,9 +119,9 @@ def key_counts(ds, key: str, top: Optional[int] = None) -> pd.DataFrame:
     tile ids). For high-cardinality keys pass ``top``: the counts stay
     distributed and only the ``top`` highest-count rows (a distributed
     sort + limit over the already-aggregated table) reach the driver."""
-    from ray.data.aggregate import Count
+    from buteo_ray.stages.aggregate import bucketed_count
 
-    agg = ds.groupby(key).aggregate(Count(alias_name="n"))
+    agg = bucketed_count(ds, [key], alias="n")
     if top is not None:
         agg = agg.sort("n", descending=True).limit(top)
     return agg.to_pandas()
@@ -135,10 +135,21 @@ def hot_keys(ds, key: str, threshold: Optional[int] = None,
     Driver-safe at any key cardinality: the counts table stays a
     Dataset; the median (threshold=None) comes from a distributed sort
     + single-row take at the midpoint, and at most ``max_keys`` hot
-    rows (the highest counts) are collected."""
-    from ray.data.aggregate import Count
+    rows (the highest counts) are collected.
 
-    counts_ds = ds.groupby(key).aggregate(Count(alias_name="n"))
+    Median semantics: the midpoint row is ``sorted_counts[n_keys // 2]``
+    — the UPPER middle element on even key counts (not the two-middle
+    average pandas ``median()`` would interpolate). For a 10×-median
+    hot-key heuristic the distinction is immaterial, and taking one row
+    keeps the probe a single distributed ``split_at_indices`` + take.
+
+    The counts themselves come from :func:`bucketed_count` — Ray's raw
+    ``groupby(key)`` costs ~1.5 ms of reduce-side Python PER DISTINCT
+    KEY (measured), which a skew probe over a high-cardinality key
+    cannot afford."""
+    from buteo_ray.stages.aggregate import bucketed_count
+
+    counts_ds = bucketed_count(ds, [key], alias="n")
     if threshold is None:
         n_keys = counts_ds.count()
         if n_keys == 0:
@@ -156,6 +167,9 @@ def hot_keys(ds, key: str, threshold: Optional[int] = None,
     hot = (counts_ds.map_batches(_filter_hot, batch_format="pyarrow",
                                  batch_size=None)
            .sort("n", descending=True).limit(max_keys).to_pandas())
+    if hot.empty or key not in hot.columns:
+        # An all-cold dataset can come back as a schemaless empty frame.
+        return {}
     return dict(zip(hot[key], hot["n"]))
 
 
@@ -180,13 +194,25 @@ def add_salt(ds, key: str, hot: Dict, salt_factor: int = 8,
 
 def salted_count(ds, key: str, salt_factor: int = 8,
                  id_col: Optional[str] = None,
-                 threshold: Optional[int] = None) -> pd.DataFrame:
+                 threshold: Optional[int] = None):
     """Two-level salted count per key — the canonical salted-aggregation
-    plan (generalize by swapping the aggregate)."""
-    from ray.data.aggregate import Sum
+    plan (generalize by swapping the aggregate).
+
+    Driver-safe AND fast at ANY key cardinality: both levels are
+    bucketed vectorized folds (:func:`~buteo_ray.stages.aggregate.
+    bucketed_count` / :func:`~buteo_ray.stages.aggregate.bucketed_fold`
+    — never one Ray group per distinct key), and the result is returned
+    as a Dataset[(key, n)]. Call ``.to_pandas()`` only when the key
+    domain is bounded."""
+    from buteo_ray.stages.aggregate import bucketed_count, bucketed_fold
 
     hot = hot_keys(ds, key, threshold)
     salted = add_salt(ds, key, hot, salt_factor, id_col=id_col)
-    partial = salted.groupby([key, "salt"]).count().to_pandas()
-    out = partial.groupby(key, as_index=False)["count()"].sum()
-    return out.rename(columns={"count()": "n"})
+    partial = bucketed_count(salted, [key, "salt"], alias="__sn")
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(key, sort=False, dropna=False, as_index=False)
+               ["__sn"].sum())
+        return out.rename(columns={"__sn": "n"})
+
+    return bucketed_fold(partial, [key], _fold)

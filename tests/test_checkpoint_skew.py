@@ -66,10 +66,31 @@ def test_salted_count_matches_plain(ray_session):
     assert set(hot) == {7}
 
     out = salted_count(rd.from_pandas(df), "k", salt_factor=4, id_col="id",
-                       threshold=1000).set_index("k")["n"]
+                       threshold=1000).to_pandas().set_index("k")["n"]
     expected = pd.Series(ks).value_counts()
     for k in expected.index:
         assert out[k] == expected[k]
+
+
+def test_salted_count_high_cardinality_stays_distributed(ray_session):
+    """1e6 distinct keys: salted_count must not materialize the
+    (key × salt) table on the driver — the fold is a second distributed
+    aggregate and the return value is a lazy Dataset."""
+    import ray.data as rd
+
+    from buteo_ray.state.skew import salted_count
+
+    n = 1_000_000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "id": np.arange(n, dtype=np.int64)})
+    out = salted_count(rd.from_pandas(df), "k", salt_factor=4, id_col="id",
+                       threshold=10)
+    import ray.data
+    assert isinstance(out, ray.data.Dataset)
+    # Spot-check a bounded slice instead of pulling 1e6 rows back.
+    assert out.count() == n
+    top = out.sort("n", descending=True).limit(5).to_pandas()
+    assert (top["n"] == 1).all()
 
 
 def test_partitioned_join_matches_broadcast(ray_session):
