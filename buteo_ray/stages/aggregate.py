@@ -14,11 +14,113 @@ Reference parity: the zonal-statistics partial plan
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+# Ray's sort-based ``groupby(key)`` pays per-GROUP Python overhead in
+# the reduce (measured here: ~1.5 ms/group — 72 s for a 50k-key count,
+# linear in distinct keys; the hash-shuffle strategy spawns a 200-actor
+# pool, worse on one node). Any operator whose key cardinality is
+# unbounded at 100 TB must therefore group by HASH BUCKET — a bounded,
+# size-derived B — and run ONE vectorized pandas/Arrow operation per
+# bucket (measured: 1M distinct keys in ~2 s vs ~25 min raw). The
+# helpers below are that pattern, shared engine-wide.
+
+BUCKET_COL = "__key_bucket"
+
+
+def _bucket_of_keys(t: pa.Table, keys: Sequence[str],
+                    num_buckets: int) -> np.ndarray:
+    """Vectorized row-hash of the key columns → bucket id. Uses
+    pandas' hash_pandas_object (C-level, any dtype mix, row-combined)
+    so string/int/multi keys all route consistently."""
+    kdf = t.select(list(keys)).to_pandas()
+    h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def append_key_bucket(ds, keys: Sequence[str],
+                      num_buckets: Optional[int] = None):
+    """Append ``BUCKET_COL`` = hash(keys) % B (B size-derived when not
+    given). The routing step of every bucketed-groupby plan."""
+    from buteo_ray.state.skew import derive_num_partitions
+
+    B = int(num_buckets or derive_num_partitions(ds))
+    keys = list(keys)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        return t.append_column(BUCKET_COL,
+                               pa.array(_bucket_of_keys(t, keys, B)))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def bucketed_group_map(ds, keys: Sequence[str],
+                       fn: Callable[[pd.DataFrame], pd.DataFrame],
+                       num_buckets: Optional[int] = None):
+    """``groupby(keys).map_groups(fn)`` for UNBOUNDED key cardinality.
+
+    Routes rows by hash bucket, then inside each bucket iterates the
+    real key groups with pandas (µs per group) and applies ``fn`` to
+    each — so Ray's per-group machinery runs B times, not once per
+    distinct key. ``fn`` sees exactly what ``map_groups`` would: all
+    rows of one key, as a DataFrame (without the bucket column)."""
+    keys = list(keys)
+    bucketed = append_key_bucket(ds, keys, num_buckets)
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL])
+        outs = [fn(sub) for _, sub in
+                g.groupby(keys, sort=False, dropna=False)]
+        # Keep empty frames: they carry fn's OUTPUT schema, so a bucket
+        # whose every group filters away still concats to the right shape.
+        outs = [o for o in outs if o is not None]
+        return (pd.concat(outs, ignore_index=True) if outs
+                else g.head(0))
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        _per_bucket, batch_format="pandas")
+
+
+def bucketed_fold(ds, keys: Sequence[str],
+                  fold: Callable[[pd.DataFrame], pd.DataFrame],
+                  num_buckets: Optional[int] = None):
+    """Like :func:`bucketed_group_map` but ``fold`` receives the WHOLE
+    bucket (all rows of every key hashing into it) and must be
+    key-aware itself (one vectorized ``DataFrame.groupby(keys).agg``
+    per bucket — the fastest shape; no per-key Python at all)."""
+    bucketed = append_key_bucket(ds, list(keys), num_buckets)
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fold(g.drop(columns=[BUCKET_COL]))
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        _per_bucket, batch_format="pandas")
+
+
+def bucketed_count(ds, keys: Sequence[str], alias: str = "n",
+                   num_buckets: Optional[int] = None):
+    """Per-key row counts at any key cardinality: Arrow per-block
+    partial counts (C++ hash aggregate) → bucketed vectorized fold.
+    Returns Dataset[(*keys, alias:int64)]."""
+    keys = list(keys)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = t.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["__pn"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(keys, sort=False, dropna=False, as_index=False)
+               ["__pn"].sum())
+        return out.rename(columns={"__pn": alias})
+
+    return bucketed_fold(partials, keys, _fold, num_buckets)
 
 
 def grouped_aggregate(

@@ -411,14 +411,15 @@ def minhash_lsh_pairs(
     # vectorized count aggregate, then restrict the band rows to them with
     # a hash-partitioned LEFT SEMI join — fully distributed, no bucket
     # keys on the driver (the count table has ~n_docs·bands rows).
-    from ray.data.aggregate import Count
-
+    from buteo_ray.stages.aggregate import bucketed_count
     from buteo_ray.state.skew import derive_num_partitions
 
     # Project the 512-B signatures off before the count shuffle — the
-    # aggregate only needs the keys.
-    counts = band_rows.select_columns(["band", "band_hash"]).groupby(
-        ["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    # aggregate only needs the keys. Bucket cardinality is ~n_docs·bands
+    # (unbounded): bucketed vectorized count, never one Ray group per
+    # LSH bucket.
+    counts = bucketed_count(band_rows.select_columns(["band", "band_hash"]),
+                            ["band", "band_hash"], alias="n")
     multi = counts.map_batches(
         lambda t: t.filter(np.greater_equal(t["n"].to_numpy(), 2)),
         batch_format="pyarrow", batch_size=None,
@@ -651,11 +652,14 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": hh})
 
-    return (
-        sig.map_batches(_explode, batch_format="pyarrow", batch_size=None)
-        .groupby(["band", "band_key"])
-        .map_groups(_pairs, batch_format="pandas")
-    )
+    # Pigeonhole-band buckets are unbounded in count (≈ docs × bands):
+    # route by hash bucket and iterate the exact (band, band_key) groups
+    # inside each bucket — never one Ray group per band bucket.
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    exploded = sig.map_batches(_explode, batch_format="pyarrow",
+                               batch_size=None)
+    return bucketed_group_map(exploded, ["band", "band_key"], _pairs)
 
 
 def exact_jaccard_for_pairs(corpus_ds, pairs_ds, text_col: str = "text",

@@ -165,7 +165,11 @@ def cell_partitioned_pip_join(
             poly_id_col: polys["poly_id"].to_numpy()[gi],
         })
 
-    return both.groupby(["cell", "salt"]).map_groups(_join_cell, batch_format="pandas")
+    # Cell cardinality is grid-resolution-unbounded: route by hash
+    # bucket (bounded Ray group count), join cell-by-cell inside.
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    return bucketed_group_map(both, ["cell", "salt"], _join_cell)
 
 
 def hash_join_auto(

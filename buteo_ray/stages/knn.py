@@ -127,10 +127,12 @@ def knn_broadcast(
         )
         return pa.table({"query_id": q, "neighbor_id": n, "dist": d})
 
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
     partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    return partials.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k), batch_format="pandas"
-    )
+    # Bucketed per-query merge: never one Ray group per query.
+    return bucketed_group_map(partials, ["query_id"],
+                              lambda g: _final_topk(g, k))
 
 
 class _CellProbe:
@@ -244,9 +246,10 @@ def knn_cells(
         probe = _CellProbe(payload, k=k, metric=metric, res=res, ring=ring,
                            id_col=id_col, lat_col=lat_col, lon_col=lon_col)
         pairs = ds.map_batches(probe, **kwargs)
-    return pairs.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k), batch_format="pandas"
-    )
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    return bucketed_group_map(pairs, ["query_id"],
+                              lambda g: _final_topk(g, k))
 
 
 def knn_cells_exact(

@@ -31,7 +31,11 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
         g["session_key"] = g[key_col].astype(str) + "#" + g["session_id"].astype(str)
         return g
 
-    return ds.groupby(key_col).map_groups(_fn, batch_format="pandas")
+    # User keys are unbounded: route by hash bucket (bounded Ray group
+    # count), iterate exact per-key groups inside the bucket.
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    return bucketed_group_map(ds, [key_col], _fn)
 
 
 def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
@@ -51,7 +55,9 @@ def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
         out["duration_sec"] = (out["t_end"] - out["t_start"]).dt.total_seconds()
         return out
 
-    return ds.groupby(key_col).map_groups(_fn, batch_format="pandas")
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    return bucketed_group_map(ds, [key_col], _fn)
 
 
 def tumbling_window(ds, ts_col: str = "ts", window: str = "1h",
@@ -65,14 +71,30 @@ def tumbling_window(ds, ts_col: str = "ts", window: str = "1h",
         ticks = t[ts_col].cast(pa.int64()).to_numpy()
         return t.append_column("window_id", pa.array(ticks // width))
 
-    from ray.data.aggregate import Count, Sum
+    from buteo_ray.stages.aggregate import bucketed_fold
 
     group_keys = (keys or []) + ["window_id"]
-    return (
-        ds.map_batches(_assign, batch_format="pyarrow", batch_size=None)
-        .groupby(group_keys)
-        .aggregate(Count(alias_name="n_events"), Sum(value_col, alias_name="sum_value"))
-    )
+    assigned = ds.map_batches(_assign, batch_format="pyarrow",
+                              batch_size=None)
+
+    # (key, window) cardinality grows with log length — unbounded:
+    # Arrow per-block partials, then a bucketed vectorized fold.
+    def _partial(t: pa.Table) -> pa.Table:
+        out = (t.select(group_keys + [value_col]).group_by(group_keys)
+               .aggregate([([], "count_all"), (value_col, "sum")]))
+        return out.rename_columns(group_keys + ["__n", "__s"])
+
+    partials = assigned.map_batches(_partial, batch_format="pyarrow",
+                                    batch_size=None)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(group_keys, sort=False, dropna=False,
+                         as_index=False).agg(n_events=("__n", "sum"),
+                                             sum_value=("__s", "sum")))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return bucketed_fold(partials, group_keys, _fold)
 
 
 def sliding_window_counts(ds, ts_col: str = "ts", window: str = "1h",
@@ -100,14 +122,12 @@ def sliding_window_counts(ds, ts_col: str = "ts", window: str = "1h",
             out[c] = np.concatenate(cols[c])
         return pa.table(out)
 
-    from ray.data.aggregate import Count
+    from buteo_ray.stages.aggregate import bucketed_count
 
     group_keys = (keys or []) + ["window_start"]
-    return (
-        ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
-        .groupby(group_keys)
-        .aggregate(Count(alias_name="n_events"))
-    )
+    exploded = ds.map_batches(_explode, batch_format="pyarrow",
+                              batch_size=None)
+    return bucketed_count(exploded, group_keys, alias="n_events")
 
 
 def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",

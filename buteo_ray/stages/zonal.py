@@ -85,8 +85,9 @@ def zonal_statistics_table(ds, by, value_col: str, stats=STAT_NAMES):
             out[k] = [s[k]]
         return pd.DataFrame(out)
 
-    return ds.groupby(by_cols[0] if len(by_cols) == 1 else by_cols).map_groups(
-        _grp, batch_format="pandas")
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    return bucketed_group_map(ds, by_cols, _grp)
 
 
 def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
@@ -160,7 +161,11 @@ def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
             out["values"] = [c.tobytes() for c in chunks]
         return out
 
-    partials = both.groupby(["tile_x", "tile_y"]).map_groups(_partial, batch_format="pandas")
+    # Tile count is unbounded (grows with raster extent): bucketed
+    # routing with exact per-tile groups inside each bucket.
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    partials = bucketed_group_map(both, ["tile_x", "tile_y"], _partial)
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         if full_stats:
@@ -184,4 +189,4 @@ def zonal_statistics(value_ds, zone_ds, nodata: Optional[float] = None,
             out["median"] = [float(np.median(vals))]
         return pd.DataFrame(out)
 
-    return partials.groupby("zone").map_groups(_final, batch_format="pandas")
+    return bucketed_group_map(partials, ["zone"], _final)
