@@ -1,0 +1,108 @@
+"""Checked dtype casting — parity with the reference's safe-casting
+rules (reference utils/utils_translate.py:474-565 range table and
+:739-783 ``_safe_numpy_casting``).
+
+Numpy's ``astype`` wraps silently on integer overflow (e.g. ``300 →
+uint8`` gives 44); the reference instead clips to the destination
+range and rounds half-away-from-zero-ish via ``np.rint`` for integer
+targets. ``safe_cast`` reproduces that, plus an opt-in ``"raise"``
+mode for callers that want a hard error instead of a clamp.
+"""
+
+from typing import Tuple, Union
+
+import numpy as np
+
+# Reference range table (utils_translate.py:500-517). Float ranges are
+# the reference's own deliberately-rounded constants, kept verbatim so
+# clip behavior matches; integer ranges are exact.
+_DTYPE_RANGES = {
+    "int8": (-128, 127),
+    "int16": (-32768, 32767),
+    "int32": (-2147483648, 2147483647),
+    "int64": (-9223372036854775808, 9223372036854775807),
+    "uint8": (0, 255),
+    "uint16": (0, 65535),
+    "uint32": (0, 4294967295),
+    "uint64": (0, 18446744073709551615),
+    "float16": (-6.1e4, 6.1e4),
+    "float32": (-3.4e38, 3.4e38),
+    "float64": (-1.8e308, 1.8e308),
+}
+
+
+def parse_dtype(dtype: Union[str, np.dtype, type]) -> np.dtype:
+    """Normalize a dtype spec (≙ ``_parse_dtype``); raises ValueError
+    on anything numpy can't parse."""
+    if dtype is None:
+        raise TypeError("dtype cannot be None")
+    try:
+        return np.dtype(dtype)
+    except Exception as e:
+        raise ValueError(f"Invalid dtype: {dtype!r}") from e
+
+
+def dtype_range(dtype: Union[str, np.dtype, type]) -> Tuple[float, float]:
+    """(min, max) representable per the reference's table (≙
+    ``_get_range_for_numpy_datatype``)."""
+    name = parse_dtype(dtype).name
+    if name == "bool":
+        return (0, 1)
+    if name not in _DTYPE_RANGES:
+        raise ValueError(f"No range known for dtype {name!r}")
+    return _DTYPE_RANGES[name]
+
+
+def value_fits_dtype(value: float, dtype: Union[str, np.dtype]) -> bool:
+    """≙ ``_check_value_is_within_dtype_range``
+    (utils_translate.py:540-568)."""
+    lo, hi = dtype_range(dtype)
+    return lo <= value <= hi
+
+
+def safe_cast(arr: np.ndarray, dtype: Union[str, np.dtype, type],
+              mode: str = "clip") -> np.ndarray:
+    """Checked cast (≙ ``_safe_numpy_casting``,
+    utils_translate.py:739-783).
+
+    ``mode="clip"`` (the reference's behavior): clip to the destination
+    range — rounding with ``np.rint`` first for integer targets — then
+    cast. ``mode="raise"``: raise OverflowError if any finite value
+    falls outside the destination range (NaN → integer also raises).
+    ``mode="unsafe"``: plain ``astype`` (numpy wrap semantics).
+    """
+    if not isinstance(arr, np.ndarray):
+        raise TypeError("Input must be a numpy array")
+    target = parse_dtype(dtype)
+    if arr.dtype == target:
+        return arr
+    if mode == "unsafe":
+        return arr.astype(target)
+    if mode not in ("clip", "raise"):
+        raise ValueError(f"mode must be clip|raise|unsafe, got {mode!r}")
+
+    is_int_target = target.kind in ("i", "u")
+    lo, hi = dtype_range(target)
+
+    if mode == "raise":
+        vals = arr
+        if arr.dtype.kind == "f":
+            finite = np.isfinite(arr)
+            if is_int_target and not finite.all():
+                raise OverflowError(
+                    f"non-finite values cannot cast to {target.name}")
+            vals = arr[finite] if not finite.all() else arr
+        if vals.size and (np.any(vals < lo) or np.any(vals > hi)):
+            bad_lo = np.min(vals) if vals.size else None
+            bad_hi = np.max(vals) if vals.size else None
+            raise OverflowError(
+                f"values [{bad_lo}, {bad_hi}] exceed {target.name} "
+                f"range [{lo}, {hi}]")
+        if is_int_target and arr.dtype.kind == "f":
+            return np.rint(arr).astype(target)
+        return arr.astype(target)
+
+    # clip mode — the reference default.
+    if is_int_target:
+        return np.clip(np.rint(arr), lo, hi).astype(target)
+    return np.clip(arr, lo, hi).astype(target)

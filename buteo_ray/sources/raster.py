@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from buteo_ray.functions.dtypes import safe_cast
 from buteo_ray.grid.offsets import get_patch_offsets_fixed_size
 from buteo_ray.stages.tiling import GridSpec
 
@@ -195,7 +196,10 @@ def map_tiles(ds, fn: Callable[[np.ndarray, dict], np.ndarray],
             if crop_halo and halo > 0:
                 out = out[halo:halo + row["height"], halo:halo + row["width"], :]
             if out_dtype:
-                out = out.astype(out_dtype)
+                # Checked cast (reference utils_translate.py:739-783):
+                # clip to destination range + rint for int targets, so
+                # e.g. 300.7 → uint8 gives 255, not numpy's wrapped 44.
+                out = safe_cast(out, out_dtype)
             new_data.append(np.ascontiguousarray(out).tobytes())
             new_dtype.append(str(out.dtype))
             new_bands.append(out.shape[2])
