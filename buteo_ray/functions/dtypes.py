@@ -104,5 +104,36 @@ def safe_cast(arr: np.ndarray, dtype: Union[str, np.dtype, type],
 
     # clip mode — the reference default.
     if is_int_target:
-        return np.clip(np.rint(arr), lo, hi).astype(target)
+        if arr.dtype.kind == "b":
+            return arr.astype(target)
+        if arr.dtype.kind in ("i", "u"):
+            # Integer source: clamp in INTEGER arithmetic. A float64
+            # detour (np.rint promotes ints) corrupts values above
+            # 2^53 and overflows near-max uint64 → INT64_MIN. The
+            # bounds are expressed exactly in the source dtype (both
+            # lie inside its range after max/min), so the comparison
+            # never promotes.
+            info = np.iinfo(arr.dtype)
+            if int(info.min) >= lo and int(info.max) <= hi:
+                return arr.astype(target)
+            lo_s = arr.dtype.type(max(lo, int(info.min)))
+            hi_s = arr.dtype.type(min(hi, int(info.max)))
+            return np.clip(arr, lo_s, hi_s).astype(target)
+        # Float source → integer target: round, map NaN to 0
+        # (deterministic — numpy's NaN→int astype is undefined
+        # behavior), then clamp against the nearest float64 bounds
+        # that stay INSIDE the target range: float64(int64.max)
+        # rounds UP to 2^63, and clipping to that would overflow the
+        # final cast back to INT64_MIN.
+        v = np.rint(arr.astype(np.float64))
+        v = np.where(np.isnan(v), 0.0, v)
+        # Exact comparisons via int(): a float64-vs-int comparison would
+        # promote the int bound to float64 and hide the very rounding
+        # this guard exists to catch (float64(int64.max) == 2^63).
+        lo_f, hi_f = np.float64(lo), np.float64(hi)
+        if int(lo_f) < lo:
+            lo_f = np.nextafter(lo_f, np.float64(0))
+        if int(hi_f) > hi:
+            hi_f = np.nextafter(hi_f, np.float64(0))
+        return np.clip(v, lo_f, hi_f).astype(target)
     return np.clip(arr, lo, hi).astype(target)

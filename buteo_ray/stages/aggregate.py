@@ -32,13 +32,62 @@ import pyarrow as pa
 BUCKET_COL = "__key_bucket"
 
 
+# Fixed sentinel hash for null key values (any constant works; the
+# requirement is only that every block maps null to the SAME bucket).
+_NULL_HASH = np.uint64(0xA5A5A5A55A5A5A5A)
+
+
+def _hash_key_column(arr) -> np.ndarray:
+    """Dtype-STABLE uint64 hash of one key column.
+
+    Must not route through ``to_pandas()`` dtype inference for numeric
+    types: an int64 column converts to float64 when the block happens
+    to contain a null, and pandas hashes int64 7 and float64 7.0
+    differently — the same key would land in different buckets
+    depending on its neighbors. Integer/bool/temporal values are hashed
+    from their exact int64 payload (splitmix64), floats from their
+    float64 bits, nulls to a fixed sentinel; strings/binary keep the
+    pandas object hash (object dtype is stable regardless of nulls)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.dedup import _splitmix64
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    t = a.type
+    if pa.types.is_dictionary(t):
+        a = a.dictionary_decode()
+        t = a.type
+    if (pa.types.is_integer(t) or pa.types.is_boolean(t)
+            or pa.types.is_temporal(t)):
+        null = pc.is_null(a).to_numpy(zero_copy_only=False)
+        as_int = a.cast(pa.int64(), safe=False).fill_null(0)
+        vals = as_int.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(vals.view(np.uint64))
+    elif pa.types.is_floating(t):
+        null = pc.is_null(a).to_numpy(zero_copy_only=False)
+        vals = (a.cast(pa.float64()).fill_null(0.0)
+                .to_numpy(zero_copy_only=False).astype(np.float64))
+        h = _splitmix64(vals.view(np.uint64))
+    else:
+        h = pd.util.hash_pandas_object(
+            a.to_pandas(), index=False).to_numpy().astype(np.uint64)
+        null = pc.is_null(a).to_numpy(zero_copy_only=False)
+    if null.any():
+        h = h.copy()
+        h[null] = _NULL_HASH
+    return h
+
+
 def _bucket_of_keys(t: pa.Table, keys: Sequence[str],
                     num_buckets: int) -> np.ndarray:
-    """Vectorized row-hash of the key columns → bucket id. Uses
-    pandas' hash_pandas_object (C-level, any dtype mix, row-combined)
-    so string/int/multi keys all route consistently."""
-    kdf = t.select(list(keys)).to_pandas()
-    h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+    """Vectorized row-hash of the key columns → bucket id, combined
+    across columns with a splitmix64 re-mix so multi-key routing stays
+    well distributed."""
+    from buteo_ray.stages.dedup import _MIX, _splitmix64
+
+    h = _hash_key_column(t[keys[0]])
+    for k in keys[1:]:
+        h = _splitmix64(h * _MIX + _hash_key_column(t[k]))
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
@@ -60,14 +109,22 @@ def append_key_bucket(ds, keys: Sequence[str],
 
 def bucketed_group_map(ds, keys: Sequence[str],
                        fn: Callable[[pd.DataFrame], pd.DataFrame],
-                       num_buckets: Optional[int] = None):
+                       num_buckets: Optional[int] = None,
+                       empty: Optional[pd.DataFrame] = None):
     """``groupby(keys).map_groups(fn)`` for UNBOUNDED key cardinality.
 
     Routes rows by hash bucket, then inside each bucket iterates the
     real key groups with pandas (µs per group) and applies ``fn`` to
     each — so Ray's per-group machinery runs B times, not once per
     distinct key. ``fn`` sees exactly what ``map_groups`` would: all
-    rows of one key, as a DataFrame (without the bucket column)."""
+    rows of one key, as a DataFrame (without the bucket column).
+
+    ``fn`` may return ``None`` to drop a group, but then ``empty`` (a
+    zero-row frame with fn's OUTPUT schema) must be given so a bucket
+    whose every group drops still emits the right block schema —
+    falling back to the input schema would poison the union. Fns that
+    filter should prefer returning typed empty frames (they carry
+    their own schema and concat correctly without ``empty``)."""
     keys = list(keys)
     bucketed = append_key_bucket(ds, keys, num_buckets)
 
@@ -75,11 +132,16 @@ def bucketed_group_map(ds, keys: Sequence[str],
         g = g.drop(columns=[BUCKET_COL])
         outs = [fn(sub) for _, sub in
                 g.groupby(keys, sort=False, dropna=False)]
-        # Keep empty frames: they carry fn's OUTPUT schema, so a bucket
-        # whose every group filters away still concats to the right shape.
         outs = [o for o in outs if o is not None]
-        return (pd.concat(outs, ignore_index=True) if outs
-                else g.head(0))
+        if not outs:
+            if empty is None:
+                raise TypeError(
+                    "bucketed_group_map: every group in a bucket "
+                    "returned None and no `empty` schema frame was "
+                    "given — return zero-row DataFrames (they carry "
+                    "the output schema) or pass empty=.")
+            return empty
+        return pd.concat(outs, ignore_index=True)
 
     return bucketed.groupby(BUCKET_COL).map_groups(
         _per_bucket, batch_format="pandas")
@@ -121,6 +183,28 @@ def bucketed_count(ds, keys: Sequence[str], alias: str = "n",
         return out.rename(columns={"__pn": alias})
 
     return bucketed_fold(partials, keys, _fold, num_buckets)
+
+
+def bucketed_sum(ds, keys: Sequence[str], sums: Dict[str, str],
+                 num_buckets: Optional[int] = None):
+    """Per-key column sums at any key cardinality: one vectorized
+    pandas groupby-sum per hash bucket. ``sums`` maps OUTPUT alias →
+    input column (duplicated inputs allowed). Null keys group together
+    (``dropna=False``), matching :func:`bucketed_count` — the single
+    definition all sum-folds share so the null-key rule can't diverge
+    per call site. Returns Dataset[(*keys, *sums)]."""
+    keys = list(keys)
+    in_cols = sorted(set(sums.values()))
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(keys, sort=False, dropna=False, as_index=False)
+               [in_cols].sum())
+        out = {k: agg[k] for k in keys}
+        for a, c in sums.items():
+            out[a] = agg[c]
+        return pd.DataFrame(out)
+
+    return bucketed_fold(ds, keys, _fold, num_buckets)
 
 
 def grouped_aggregate(

@@ -295,8 +295,12 @@ def ann_lsh_topk(
             cos = ((e[row_u] * q_[qi_u]).sum(axis=1)
                    / (enorm[row_u] * qnorm_[qi_u]))
         cos = np.where(ids[row_u] == qid_[qi_u], -np.inf, cos)
-        # Per-query top-k over the sorted pair segments.
-        order = np.lexsort((-cos, qi_u))
+        # Per-query top-k over the sorted pair segments. Tie rule must
+        # match _partial_topk_arrays / _topk_merge / the DuckDB oracle:
+        # cos desc, neighbor_id asc — NOT batch row position, or a
+        # non-id-sorted corpus batch could keep a larger-id neighbor
+        # over a tied smaller-id one at the rank-k boundary.
+        order = np.lexsort((ids[row_u], -cos, qi_u))
         qs, cs, rs = qi_u[order], cos[order], row_u[order]
         seg_start = np.concatenate([[0], np.nonzero(np.diff(qs))[0] + 1])
         seg_len = np.diff(np.concatenate([seg_start, [len(qs)]]))

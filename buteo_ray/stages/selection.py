@@ -166,10 +166,17 @@ def topk_per_group(ds, key_col: str, sort_cols: list, k: int,
         return out
 
     def _block_partial(t: pa.Table) -> pa.Table:
+        # Bucket from the ARROW column (dtype-stable hash): hashing the
+        # pandas view would flip int keys to float64 on null-bearing
+        # blocks and split a key across buckets. Same-key rows share a
+        # bucket value, so attaching before _partial is safe (_partial
+        # excludes __bucket from its tie-break columns).
+        from buteo_ray.stages.aggregate import _hash_key_column
+
+        b = _hash_key_column(t[key_col]) % np.uint64(n_buckets)
         g = t.to_pandas()
+        g["__bucket"] = b.astype(np.int64)
         out = _partial(g)
-        b = pd.util.hash_array(out[key_col].to_numpy()) % n_buckets
-        out = out.assign(__bucket=b.astype(np.int64))
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:

@@ -71,8 +71,6 @@ def tumbling_window(ds, ts_col: str = "ts", window: str = "1h",
         ticks = t[ts_col].cast(pa.int64()).to_numpy()
         return t.append_column("window_id", pa.array(ticks // width))
 
-    from buteo_ray.stages.aggregate import bucketed_fold
-
     group_keys = (keys or []) + ["window_id"]
     assigned = ds.map_batches(_assign, batch_format="pyarrow",
                               batch_size=None)
@@ -87,14 +85,10 @@ def tumbling_window(ds, ts_col: str = "ts", window: str = "1h",
     partials = assigned.map_batches(_partial, batch_format="pyarrow",
                                     batch_size=None)
 
-    def _fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby(group_keys, sort=False, dropna=False,
-                         as_index=False).agg(n_events=("__n", "sum"),
-                                             sum_value=("__s", "sum")))
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+    from buteo_ray.stages.aggregate import bucketed_sum
 
-    return bucketed_fold(partials, group_keys, _fold)
+    return bucketed_sum(partials, group_keys,
+                        {"n_events": "__n", "sum_value": "__s"})
 
 
 def sliding_window_counts(ds, ts_col: str = "ts", window: str = "1h",
@@ -174,10 +168,13 @@ def asof_join_tagged(both, key_col: str = "user_id", ts_col: str = "ts",
         n_buckets = derive_num_partitions(both)
 
     def _bucket(t: pa.Table) -> pa.Table:
-        # pd.util.hash_array: vectorized, process-stable (fixed siphash
-        # key) — deterministic bucket assignment on workers.
-        b = pd.util.hash_array(
-            t[key_col].to_numpy(zero_copy_only=False)) % n_buckets
+        # Dtype-stable key hash (aggregate._hash_key_column): a numpy
+        # detour via to_numpy() turns an int key column float64 when
+        # the block contains a null, splitting the same key across
+        # buckets depending on its block neighbors.
+        from buteo_ray.stages.aggregate import _hash_key_column
+
+        b = _hash_key_column(t[key_col]) % np.uint64(n_buckets)
         return t.append_column("__bucket", pa.array(b.astype(np.int64)))
 
     both = both.map_batches(_bucket, batch_format="pyarrow", batch_size=None)

@@ -155,7 +155,7 @@ def doc_freq(ds, text_col: str = "text", id_col: str = "doc_id",
     impossible across the limit boundary: (n_docs, token) is a total
     order.
     """
-    from buteo_ray.stages.aggregate import bucketed_fold
+    from buteo_ray.stages.aggregate import bucketed_sum
 
     def _partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t[text_col], " ")
@@ -173,10 +173,7 @@ def doc_freq(ds, text_col: str = "text", id_col: str = "doc_id",
 
     # Token cardinality is unbounded (the whole corpus vocabulary):
     # fold with a bucketed vectorized sum, never one Ray group per token.
-    def _fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("token", sort=False, as_index=False)["n_docs"].sum()
-
-    agg = bucketed_fold(partials, ["token"], _fold)
+    agg = bucketed_sum(partials, ["token"], {"n_docs": "n_docs"})
     return agg.sort(["n_docs", "token"], descending=[True, False]).limit(k)
 
 
@@ -417,7 +414,7 @@ def train_char_lm(ds, text_col: str = "text", max_model: int = 1 << 22):
     the unseen-smoothing path in scoring — document the recall trade).
     Returns (codes:int64 sorted, counts:int64, total:float) for
     :func:`add_lm_score` — broadcast it with ray.put, not per-batch."""
-    from buteo_ray.stages.aggregate import bucketed_fold
+    from buteo_ray.stages.aggregate import bucketed_sum
 
     def _partial(t: pa.Table) -> pa.Table:
         codes, _ = _char_trigram_codes(t[text_col])
@@ -426,14 +423,11 @@ def train_char_lm(ds, text_col: str = "text", max_model: int = 1 << 22):
 
     # Distinct trigram codes can reach 2^24 — bucketed vectorized fold,
     # never one Ray group per code.
-    def _fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("code", sort=False, as_index=False)["n"].sum()
-
     # Materialize: three consumers below (sum, count, collect) — unpinned,
     # the whole corpus scan would re-execute per consumer.
-    cnt = bucketed_fold(
+    cnt = bucketed_sum(
         ds.map_batches(_partial, batch_format="pyarrow", batch_size=None),
-        ["code"], _fold).materialize()
+        ["code"], {"n": "n"}).materialize()
     # total BEFORE any cap: the denominator is the true corpus mass.
     tot = cnt.sum("n")
     if cnt.count() > max_model:

@@ -113,8 +113,13 @@ def _partition_strings(batch: pa.Table, partition_col: str,
     silently turns resume into a no-op)."""
     vals = batch[partition_col].to_pandas().astype(str).to_numpy()
     if shard_col is not None and num_shards > 1:
-        sh = (pd.util.hash_array(
-            batch[shard_col].to_numpy(zero_copy_only=False)) % num_shards)
+        # Dtype-stable hash: shard names must be identical across a
+        # resume run even when block boundaries (and so per-block null
+        # presence) change — a numpy int→float flip would silently remap
+        # rows to new shards and break skip-finished-partitions.
+        from buteo_ray.stages.aggregate import _hash_key_column
+
+        sh = _hash_key_column(batch[shard_col]) % np.uint64(num_shards)
         vals = np.array([f"{v}#s{s:04d}" for v, s in zip(vals, sh)], dtype=object)
     return vals
 

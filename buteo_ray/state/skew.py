@@ -204,15 +204,9 @@ def salted_count(ds, key: str, salt_factor: int = 8,
     — never one Ray group per distinct key), and the result is returned
     as a Dataset[(key, n)]. Call ``.to_pandas()`` only when the key
     domain is bounded."""
-    from buteo_ray.stages.aggregate import bucketed_count, bucketed_fold
+    from buteo_ray.stages.aggregate import bucketed_count, bucketed_sum
 
     hot = hot_keys(ds, key, threshold)
     salted = add_salt(ds, key, hot, salt_factor, id_col=id_col)
     partial = bucketed_count(salted, [key, "salt"], alias="__sn")
-
-    def _fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby(key, sort=False, dropna=False, as_index=False)
-               ["__sn"].sum())
-        return out.rename(columns={"__sn": "n"})
-
-    return bucketed_fold(partial, [key], _fold)
+    return bucketed_sum(partial, [key], {"n": "__sn"})

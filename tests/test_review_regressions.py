@@ -1122,3 +1122,101 @@ def test_ann_ivf_empty_and_zero_norm(ray_session):
          "embedding": [[0.0, 0.0]] * 5}))
     out2 = ann_ivf_topk(zeros, qids, qvecs, k=3).to_pandas()
     assert len(out2) == 0
+
+
+def test_bucketed_count_null_bearing_int_key_blocks(ray_session):
+    """The same int key must hash to ONE bucket whether or not its block
+    contains a null: a to_pandas() detour turned int64 7 into float64
+    7.0 on null-bearing blocks, splitting the key's counts into
+    duplicate unmerged rows (and degrading the key dtype)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bucketed_count
+
+    ds = rd.from_pandas([
+        pd.DataFrame({"k": pd.array([7, 8, 7], dtype="Int64")}),
+        pd.DataFrame({"k": pd.array([7, 8, None], dtype="Int64")}),
+    ])
+    out = bucketed_count(ds, ["k"], alias="n").to_pandas()
+    got = {(None if pd.isna(k) else int(k)): int(n)
+           for k, n in zip(out["k"], out["n"])}
+    assert got == {7: 3, 8: 2, None: 1}
+    assert len(out) == 3
+
+
+def test_bucketed_group_map_all_none_bucket(ray_session):
+    """A bucket whose every group returns None must emit the declared
+    output schema (via empty=), never the input schema; without empty=
+    it must raise instead of silently poisoning the block union."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bucketed_group_map
+
+    ks = list(range(32))
+    ds = rd.from_pandas(pd.DataFrame({"k": ks, "v": [float(k) for k in ks]}))
+    empty = pd.DataFrame({"out_a": pd.Series([], dtype="int64")})
+
+    def _only_key_zero(g: pd.DataFrame):
+        if int(g["k"].iloc[0]) != 0:
+            return None  # 31 of 32 keys drop → some bucket is all-None
+        return pd.DataFrame({"out_a": [int(g["k"].iloc[0])]})
+
+    out = bucketed_group_map(ds, ["k"], _only_key_zero,
+                             num_buckets=8, empty=empty).to_pandas()
+    assert list(out.columns) == ["out_a"]
+    assert out["out_a"].tolist() == [0]
+
+    with pytest.raises(Exception, match="empty"):
+        bucketed_group_map(ds, ["k"], lambda g: None,
+                           num_buckets=2).to_pandas()
+
+
+def test_safe_cast_integer_paths_exact():
+    """Clip-mode casting must not take a float64 detour for integer
+    sources (corrupts > 2^53; near-max uint64 overflowed to INT64_MIN)
+    and must map NaN to 0 deterministically for integer targets."""
+    from buteo_ray.functions.dtypes import safe_cast
+
+    v = np.array([2**62 + 1], dtype=np.int64)
+    assert int(safe_cast(v, "uint64")[0]) == 2**62 + 1
+
+    big = np.array([2**64 - 1, 2**63 - 1, 5], dtype=np.uint64)
+    out = safe_cast(big, "int64")
+    assert out.dtype == np.int64
+    assert int(out[0]) == 2**63 - 1  # clamped to int64 max, not wrapped
+    assert int(out[1]) == 2**63 - 1
+    assert int(out[2]) == 5
+
+    neg = np.array([-5, -1, 3], dtype=np.int64)
+    assert safe_cast(neg, "uint8").tolist() == [0, 0, 3]
+
+    f = np.array([np.nan, np.inf, -np.inf, 300.6], dtype=np.float64)
+    out = safe_cast(f, "uint8")
+    assert out.tolist() == [0, 255, 0, 255]
+
+    # float64 → int64 at the representability edge: must clamp inside
+    # the target range, never overflow the final cast.
+    e = np.array([9.3e18, -9.3e18], dtype=np.float64)
+    out = safe_cast(e, "int64")
+    assert out[0] > 0 and out[1] < 0
+
+
+def test_lsh_topk_tie_break_by_neighbor_id(ray_session):
+    """Tied cosines at the rank-k boundary must keep the smaller
+    neighbor_id regardless of corpus batch order (the oracle's
+    'cos desc, neighbor_id asc' rule)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import ann_lsh_topk
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    # Three identical vectors (exact ties) in REVERSED id order across
+    # the batch, plus one distinct distractor.
+    emb = pd.DataFrame({
+        "vec_id": [30, 20, 10, 40],
+        "embedding": [v, v, v, [0.0, 1.0, 0.0, 0.0]],
+    })
+    out = ann_lsh_topk(rd.from_pandas(emb), np.array([10]),
+                       np.array([v]), k=2, nbits=4, n_tables=2,
+                       probe_bits=2).to_pandas()
+    assert sorted(out["neighbor_id"].tolist()) == [20, 30]
