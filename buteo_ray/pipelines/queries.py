@@ -1452,6 +1452,72 @@ def sql_ann_lsh_exact() -> str:
     )
 
 
+def q_ann_ivf_exact(sf_dir: str):
+    """The IVF ANN scale path as a DRIVER-CHECKABLE oracle query
+    (completing verdict r03 item 5 for BOTH scale paths): identical
+    end-to-end plan to :func:`q_ann_ivf_topk` — centroid assignment,
+    nprobe nearest-centroid probing, candidate scoring, tiny merge —
+    but with FIXED integer-quantized centroids (data-independent
+    constants embedded in the SQL) instead of trained ones, so every
+    assignment/probe/cosine score is exact arithmetic DuckDB replays
+    bit-for-bit. Reference analog: the kNN north rule (SURVEY §2.4)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import _hyperplanes, ann_ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = _sample_rows(emb, "vec_id", 97)
+    qids = qdf["vec_id"].to_numpy()
+    qvecs = np.stack(qdf["embedding"].to_numpy())
+    cents = _hyperplanes(64, 16, 0, quant=1000.0)
+    out = ann_ivf_topk(emb, qids, qvecs, k=5, nprobe=4, centroids=cents)
+    return out.select_columns(["query_id", "neighbor_id", "cos_sim"])
+
+
+def sql_ann_ivf_exact() -> str:
+    # Fixed quantized centroids — data-independent constants, same
+    # VALUES-literal trick as sql_ann_lsh_exact.
+    from buteo_ray.stages.ann import _hyperplanes
+
+    cents = _hyperplanes(64, 16, 0, quant=1000.0)
+    rows = []
+    for cid in range(cents.shape[0]):
+        lst = ", ".join(str(int(v)) for v in cents[cid])
+        rows.append(f"({cid}, [{lst}]::DOUBLE[])")
+    cent_values = ", ".join(rows)
+    score = ("list_dot_product({v}.qv, c) / "
+             "(sqrt(list_dot_product({v}.qv, {v}.qv)) * "
+             "sqrt(list_dot_product(c, c)))")
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5)) AS qv FROM embeddings), "
+        "qs AS (SELECT * FROM e WHERE vec_id % 97 = 0), "
+        f"cents(cid, c) AS (VALUES {cent_values}), "
+        # corpus rows → nearest centroid (score desc, cid asc), exact
+        "cassign AS (SELECT vec_id, cid FROM (SELECT e.vec_id, cents.cid, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        + score.format(v="e") + " DESC, cents.cid) rn FROM e, cents "
+        "WHERE list_dot_product(e.qv, e.qv) > 0) t WHERE rn = 1), "
+        # queries → nprobe nearest centroids, same tie rule
+        "qprobe AS (SELECT vec_id, cid FROM (SELECT qs.vec_id, cents.cid, "
+        "ROW_NUMBER() OVER (PARTITION BY qs.vec_id ORDER BY "
+        + score.format(v="qs") + " DESC, cents.cid) rn FROM qs, cents "
+        "WHERE list_dot_product(qs.qv, qs.qv) > 0) t WHERE rn <= 4), "
+        "cand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id "
+        "FROM qprobe p JOIN cassign a ON a.cid = p.cid "
+        "WHERE a.vec_id <> p.vec_id), "
+        "pairs AS (SELECT cand.query_id, cand.neighbor_id, "
+        "list_dot_product(ce.qv, qe.qv) / (sqrt(list_dot_product(ce.qv, ce.qv)) "
+        "* sqrt(list_dot_product(qe.qv, qe.qv))) AS cos_sim "
+        "FROM cand JOIN e ce ON ce.vec_id = cand.neighbor_id "
+        "JOIN e qe ON qe.vec_id = cand.query_id) "
+        "SELECT query_id, neighbor_id, cos_sim FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id) rn FROM pairs) t WHERE rn <= 5"
+    )
+
+
 def q_simhash_dup_pairs(sf_dir: str):
     """SimHash Hamming-radius near-dup pairs (pigeonhole banding —
     exact wrt signatures, every qualifying pair found once; also
@@ -3223,6 +3289,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "lm_score": q_lm_score,
     "vector_extent": q_vector_extent,
     "ann_lsh_exact": q_ann_lsh_exact,
+    "ann_ivf_exact": q_ann_ivf_exact,
     # rows-only (no ORACLE_SQL entry; each is pytest-verified against a
     # brute-force/parity oracle instead)
     "mask_bezier": q_mask_bezier,
@@ -3372,6 +3439,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "lm_score": sql_lm_score,
     "vector_extent": sql_vector_extent,
     "ann_lsh_exact": sql_ann_lsh_exact,
+    "ann_ivf_exact": sql_ann_ivf_exact,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

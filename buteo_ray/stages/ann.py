@@ -367,6 +367,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     quantized: bool = True,
+    centroids: "np.ndarray | None" = None,
 ):
     """End-to-end IVF ANN search — the second scale path beside
     :func:`ann_lsh_topk` (standard IVF-flat: coarse quantizer + inverted
@@ -392,41 +393,57 @@ def ann_ivf_topk(
     q = quantize(np.asarray(query_vecs)) if quantized else np.asarray(query_vecs, np.float64)
     qnorm = np.sqrt((q * q).sum(axis=1))
 
-    from buteo_ray.stages.dedup import _splitmix64
-    from buteo_ray.state.skew import estimate_rows
-
-    n_est = estimate_rows(ds)
-    stride = max(1, n_est // int(train_sample)) if n_est else 1
-    samp_ds = ds
-    if stride > 1:
-        def _thin(batch: pa.Table) -> pa.Table:
-            ids_ = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = (_splitmix64(ids_.view(np.uint64))
-                    % np.uint64(stride)) == 0
-            return batch.filter(pa.array(keep))
-        samp_ds = ds.map_batches(_thin, batch_format="pyarrow",
-                                 batch_size=None)
-    sample = samp_ds.limit(int(train_sample)).to_pandas()
-    if len(sample) == 0:
-        C = np.zeros((0, max(q.shape[1], 1)))
+    if centroids is not None:
+        # Explicit coarse quantizer (skips training): with
+        # integer-quantized fixed centroids every assignment / probe
+        # score below is exact arithmetic a SQL oracle replays
+        # bit-for-bit (the `ann_ivf_exact` driver query).
+        C = np.asarray(centroids, dtype=np.float64)
     else:
-        S = np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col]])
-        C = _spherical_kmeans(S, n_centroids)
+        from buteo_ray.stages.dedup import _splitmix64
+        from buteo_ray.state.skew import estimate_rows
+
+        n_est = estimate_rows(ds)
+        stride = max(1, n_est // int(train_sample)) if n_est else 1
+        samp_ds = ds
+        if stride > 1:
+            def _thin(batch: pa.Table) -> pa.Table:
+                ids_ = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                keep = (_splitmix64(ids_.view(np.uint64))
+                        % np.uint64(stride)) == 0
+                return batch.filter(pa.array(keep))
+            samp_ds = ds.map_batches(_thin, batch_format="pyarrow",
+                                     batch_size=None)
+        sample = samp_ds.limit(int(train_sample)).to_pandas()
+        if len(sample) == 0:
+            C = np.zeros((0, max(q.shape[1], 1)))
+        else:
+            S = np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col]])
+            C = _spherical_kmeans(S, n_centroids)
 
     if C.shape[0] == 0:
         cent_to_q = []
+        cnorm = np.zeros(0)
     else:
+        # Probe scores in dot/(|q|·|c|) form — NOT normalize-then-matmul
+        # — so quantized-integer inputs give (exact-int dot) / (one
+        # correctly-rounded sqrt product): bit-identical to the SQL
+        # oracle's expression, and correct for ANY centroids (unit-norm
+        # trained or fixed integer). Ties: stable argsort → smaller
+        # centroid id, the oracle's ORDER BY score DESC, cid ASC.
+        cnorm = np.sqrt((C * C).sum(axis=1))
         qn = np.where(qnorm > 0, qnorm, 1.0)
-        probe = np.argsort(-((q / qn[:, None]) @ C.T), axis=1,
-                           kind="stable")[:, :nprobe]
+        cn = np.where(cnorm > 0, cnorm, 1.0)
+        qscore = (q @ C.T) / (qn[:, None] * cn[None, :])
+        probe = np.argsort(-qscore, axis=1, kind="stable")[:, :nprobe]
         cent_to_q = [np.nonzero((probe == c).any(axis=1))[0]
                      for c in range(C.shape[0])]
-    state_ref = ray.put((qid, q, qnorm, C, cent_to_q))
+    state_ref = ray.put((qid, q, qnorm, C, cnorm, cent_to_q))
 
     def _partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(_EMPTY_TOPK)
-        qid_, q_, qnorm_, C_, c2q = ray.get(state_ref)
+        qid_, q_, qnorm_, C_, cnorm_, c2q = ray.get(state_ref)
         if C_.shape[0] == 0:   # empty corpus sample / all-zero norms
             return pa.table(_EMPTY_TOPK)
         e = _emb_matrix(batch, emb_col)
@@ -434,7 +451,10 @@ def ann_ivf_topk(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         enorm = np.sqrt((e * e).sum(axis=1))
         en = np.where(enorm > 0, enorm, 1.0)
-        assign = ((e / en[:, None]) @ C_.T).argmax(axis=1)
+        cn = np.where(cnorm_ > 0, cnorm_, 1.0)
+        # Same dot/(|e|·|c|) form as the probe step (oracle-exact);
+        # ties → np.argmax first index == ORDER BY score DESC, cid ASC.
+        assign = ((e @ C_.T) / (en[:, None] * cn[None, :])).argmax(axis=1)
         out_q, out_n, out_s = [], [], []
         for c in np.unique(assign):
             qis = c2q[int(c)]
