@@ -92,12 +92,38 @@ def safe_cast(arr: np.ndarray, dtype: Union[str, np.dtype, type],
                 raise OverflowError(
                     f"non-finite values cannot cast to {target.name}")
             vals = arr[finite] if not finite.all() else arr
-        if vals.size and (np.any(vals < lo) or np.any(vals > hi)):
-            bad_lo = np.min(vals) if vals.size else None
-            bad_hi = np.max(vals) if vals.size else None
-            raise OverflowError(
-                f"values [{bad_lo}, {bad_hi}] exceed {target.name} "
-                f"range [{lo}, {hi}]")
+        if vals.size:
+            if vals.dtype.kind in ("i", "u", "b"):
+                # Exact int comparison: an array-vs-python-int compare
+                # can promote to float64 (uint64 source) and round the
+                # bound, hiding edge overflows.
+                mn, mx = int(vals.min()), int(vals.max())
+                if mn < lo or mx > hi:
+                    raise OverflowError(
+                        f"values [{mn}, {mx}] exceed {target.name} "
+                        f"range [{lo}, {hi}]")
+            elif is_int_target:
+                # Float source → integer target: check the ROUNDED
+                # value against bounds nudged inward to the nearest
+                # float64 that is still inside the target range —
+                # float64(int64.max) rounds UP to 2^63, so a plain
+                # `vals > hi` compare promotes hi to 2^63 and lets
+                # exactly-2^63 values through to a wrapping astype.
+                v = np.rint(vals.astype(np.float64))
+                lo_f, hi_f = np.float64(lo), np.float64(hi)
+                if int(lo_f) < lo:
+                    lo_f = np.nextafter(lo_f, np.float64(0))
+                if int(hi_f) > hi:
+                    hi_f = np.nextafter(hi_f, np.float64(0))
+                if np.any(v < lo_f) or np.any(v > hi_f):
+                    raise OverflowError(
+                        f"rounded values [{v.min()}, {v.max()}] exceed "
+                        f"{target.name} range [{lo}, {hi}]")
+            else:
+                if np.any(vals < lo) or np.any(vals > hi):
+                    raise OverflowError(
+                        f"values [{np.min(vals)}, {np.max(vals)}] exceed "
+                        f"{target.name} range [{lo}, {hi}]")
         if is_int_target and arr.dtype.kind == "f":
             return np.rint(arr).astype(target)
         return arr.astype(target)

@@ -309,7 +309,9 @@ def bbox_aspect_ratio_cols(cols: BboxCols) -> np.ndarray:
     twin of :func:`bbox_aspect_ratio`."""
     xmin, xmax, ymin, ymax = _as_cols(*cols)
     height = ymax - ymin
-    with np.errstate(divide="ignore"):
+    # invalid= too: a width-0 AND height-0 bbox is 0/0 → NaN before
+    # np.where discards it, which would warn from every worker.
+    with np.errstate(divide="ignore", invalid="ignore"):
         return np.where(height == 0.0, np.inf, (xmax - xmin) / height)
 
 

@@ -67,6 +67,13 @@ def _hash_key_column(arr) -> np.ndarray:
         null = pc.is_null(a).to_numpy(zero_copy_only=False)
         vals = (a.cast(pa.float64()).fill_null(0.0)
                 .to_numpy(zero_copy_only=False).astype(np.float64))
+        # Canonicalize before viewing bits: -0.0 == 0.0 and all NaN
+        # payloads compare equal under groupby, so they must hash
+        # equal too (adding +0.0 maps -0.0 → 0.0; NaNs get one payload).
+        vals = vals + 0.0
+        nan = np.isnan(vals)
+        if nan.any():
+            vals = np.where(nan, np.float64(np.nan), vals)
         h = _splitmix64(vals.view(np.uint64))
     else:
         h = pd.util.hash_pandas_object(
@@ -107,6 +114,29 @@ def append_key_bucket(ds, keys: Sequence[str],
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+def _bucket_frame(t: pa.Table, keys: Sequence[str]) -> pd.DataFrame:
+    """Arrow bucket → pandas WITHOUT key-precision loss.
+
+    Pandas' default conversion turns an int64 KEY column into float64
+    whenever the bucket contains a null key, silently merging distinct
+    keys above 2^53 (this engine routinely groups on 64-bit hash keys).
+    Integer key columns with nulls become pandas nullable IntegerArrays
+    (exact payload + mask) instead; non-key columns keep the default
+    conversion so value/output dtypes are unchanged."""
+    import pyarrow.compute as pc
+
+    df = t.to_pandas()
+    for k in keys:
+        f = t.schema.field(k)
+        col = t.column(k)
+        if pa.types.is_integer(f.type) and col.null_count:
+            ca = col.combine_chunks()
+            mask = pc.is_null(ca).to_numpy(zero_copy_only=False)
+            vals = ca.fill_null(0).to_numpy(zero_copy_only=False)
+            df[k] = pd.arrays.IntegerArray(vals, mask)
+    return df
+
+
 def bucketed_group_map(ds, keys: Sequence[str],
                        fn: Callable[[pd.DataFrame], pd.DataFrame],
                        num_buckets: Optional[int] = None,
@@ -128,8 +158,8 @@ def bucketed_group_map(ds, keys: Sequence[str],
     keys = list(keys)
     bucketed = append_key_bucket(ds, keys, num_buckets)
 
-    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=[BUCKET_COL])
+    def _per_bucket(t: pa.Table) -> pd.DataFrame:
+        g = _bucket_frame(t.drop_columns([BUCKET_COL]), keys)
         outs = [fn(sub) for _, sub in
                 g.groupby(keys, sort=False, dropna=False)]
         outs = [o for o in outs if o is not None]
@@ -144,7 +174,7 @@ def bucketed_group_map(ds, keys: Sequence[str],
         return pd.concat(outs, ignore_index=True)
 
     return bucketed.groupby(BUCKET_COL).map_groups(
-        _per_bucket, batch_format="pandas")
+        _per_bucket, batch_format="pyarrow")
 
 
 def bucketed_fold(ds, keys: Sequence[str],
@@ -154,13 +184,14 @@ def bucketed_fold(ds, keys: Sequence[str],
     bucket (all rows of every key hashing into it) and must be
     key-aware itself (one vectorized ``DataFrame.groupby(keys).agg``
     per bucket — the fastest shape; no per-key Python at all)."""
-    bucketed = append_key_bucket(ds, list(keys), num_buckets)
+    keys = list(keys)
+    bucketed = append_key_bucket(ds, keys, num_buckets)
 
-    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return fold(g.drop(columns=[BUCKET_COL]))
+    def _per_bucket(t: pa.Table) -> pd.DataFrame:
+        return fold(_bucket_frame(t.drop_columns([BUCKET_COL]), keys))
 
     return bucketed.groupby(BUCKET_COL).map_groups(
-        _per_bucket, batch_format="pandas")
+        _per_bucket, batch_format="pyarrow")
 
 
 def bucketed_count(ds, keys: Sequence[str], alias: str = "n",

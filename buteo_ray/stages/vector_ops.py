@@ -246,9 +246,14 @@ def vector_dissolve(ds, by: Optional[str] = None, geometry: str = "convex_hull",
             # Only the key + geometry columns leave Arrow — the per-key
             # combine is pandas-grouped over just those two. dropna=False:
             # null group keys must reach the final groupby exactly as
-            # they do in the single-level plan.
-            df = pd.DataFrame({key: batch[key].to_pandas(),
-                               "geom_wkb": _wkbs(batch)})
+            # they do in the single-level plan. _bucket_frame keeps an
+            # int key EXACT when the block contains null keys (pandas'
+            # default conversion would round-trip it through float64,
+            # corrupting keys above 2^53).
+            from buteo_ray.stages.aggregate import _bucket_frame
+
+            df = _bucket_frame(batch.select([key]), [key])
+            df["geom_wkb"] = _wkbs(batch)
             ks, ws, ns = [], [], []
             for kval, g in df.groupby(key, sort=False, dropna=False):
                 polys, _ = _dissolve_reduce(list(g["geom_wkb"]), geometry)

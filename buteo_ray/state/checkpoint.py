@@ -56,6 +56,12 @@ def check_scheme(out_dir: str, partition_col: str,
     path = _scheme_path(out_dir)
     scheme = {"partition_col": partition_col,
               "shard_col": shard_col, "num_shards": int(num_shards)}
+    if shard_col is not None and int(num_shards) > 1:
+        # Shard ids embed the hash FUNCTION too: a layout sharded with
+        # an older hash (pd.util.hash_array, pre-splitmix64) must not
+        # be resumed by this code — every row would silently remap to a
+        # new "#sNNNN" name and the output directory would double up.
+        scheme["shard_hash"] = "splitmix64-v1"
     if os.path.exists(path):
         with open(path) as f:
             existing = json.load(f)

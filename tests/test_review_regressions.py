@@ -1220,3 +1220,109 @@ def test_lsh_topk_tie_break_by_neighbor_id(ray_session):
                        np.array([v]), k=2, nbits=4, n_tables=2,
                        probe_bits=2).to_pandas()
     assert sorted(out["neighbor_id"].tolist()) == [20, 30]
+
+
+def test_safe_cast_raise_exact_at_int64_boundary():
+    """mode="raise" must not let float64(2^63) slip through: the naive
+    `vals > hi` compare promotes the int bound to float64 (rounding it
+    UP to 2^63) and the astype then wraps to INT64_MIN silently."""
+    from buteo_ray.functions.dtypes import safe_cast
+
+    with pytest.raises(OverflowError):
+        safe_cast(np.array([9.223372036854776e18]), "int64", mode="raise")
+    with pytest.raises(OverflowError):
+        safe_cast(np.array([1.8446744073709552e19]), "uint64", mode="raise")
+    # uint64 source above int64.max: integer compare must stay exact.
+    with pytest.raises(OverflowError):
+        safe_cast(np.array([2**64 - 1], dtype=np.uint64), "int64",
+                  mode="raise")
+    # The rounded value is what gets cast, so 127.6 → 128 must raise
+    # for int8 while 127.4 → 127 passes.
+    with pytest.raises(OverflowError):
+        safe_cast(np.array([127.6]), "int8", mode="raise")
+    assert safe_cast(np.array([127.4]), "int8",
+                     mode="raise").tolist() == [127]
+
+
+def test_bucketed_count_exact_int_keys_with_nulls(ray_session):
+    """A null key in the bucket must not degrade int64 keys to float64
+    (keys above 2^53 would silently merge)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bucketed_count
+
+    t = pa.table({"k": pa.array([2**62, 2**62 + 1, 2**62, None],
+                                type=pa.int64())})
+    out = bucketed_count(rd.from_arrow(t), ["k"], num_buckets=1).to_pandas()
+    assert len(out) == 3
+    vals = set(out["k"].dropna().astype("int64"))
+    assert vals == {2**62, 2**62 + 1}
+
+
+def test_bucketed_count_negative_zero_merges(ray_session):
+    """-0.0 and 0.0 are the same group key; they must hash to the same
+    bucket at ANY bucket count (bit-pattern hashing split them)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bucketed_count
+
+    t = pa.table({"k": pa.array([0.0, -0.0, 0.0, 1.5])})
+    for num_buckets in (1, 7):
+        out = bucketed_count(rd.from_arrow(t), ["k"],
+                             num_buckets=num_buckets).to_pandas()
+        assert len(out) == 2
+        assert out.set_index("k")["n"].to_dict() == {0.0: 3, 1.5: 1}
+
+
+def test_checkpoint_scheme_records_shard_hash(tmp_path):
+    """A sharded layout records the shard-hash algorithm; a scheme file
+    from the pre-splitmix64 era (no shard_hash field) must refuse to
+    resume instead of silently remapping every row to new shard names."""
+    import json
+
+    from buteo_ray.state.checkpoint import check_scheme
+
+    out = str(tmp_path / "sink")
+    check_scheme(out, "split", "doc_id", 8)
+    with open(f"{out}/_scheme.json") as f:
+        scheme = json.load(f)
+    assert scheme["shard_hash"] == "splitmix64-v1"
+
+    # Simulate an old layout: same scheme minus the hash id.
+    old = str(tmp_path / "old_sink")
+    import os
+    os.makedirs(old)
+    with open(f"{old}/_scheme.json", "w") as f:
+        json.dump({"partition_col": "split", "shard_col": "doc_id",
+                   "num_shards": 8}, f)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        check_scheme(old, "split", "doc_id", 8)
+
+
+def test_dissolve_partial_exact_int_keys_with_nulls(ray_session):
+    """The two-level dissolve's partial stage must not round-trip int
+    keys through float64 when a block holds a null key."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.geom.wkb import wkb_polygon
+    from buteo_ray.stages.vector_ops import vector_dissolve
+
+    def sq(x):
+        return wkb_polygon([np.array(
+            [[x, 0], [x + 1, 0], [x + 1, 1], [x, 1], [x, 0]], float)])
+
+    t = pa.table({
+        "k": pa.array([2**62, 2**62 + 1, 2**62, None], type=pa.int64()),
+        "geom_wkb": pa.array([sq(i) for i in range(4)], type=pa.binary()),
+        "bbox_xmin": pa.array([float(i) for i in range(4)]),
+        "bbox_xmax": pa.array([float(i + 1) for i in range(4)]),
+        "bbox_ymin": pa.array([0.0] * 4),
+        "bbox_ymax": pa.array([1.0] * 4),
+    })
+    out = vector_dissolve(rd.from_arrow(t), by="k",
+                          geometry="bbox").to_pandas()
+    assert len(out) == 3
+    assert set(out["k"].dropna().astype("int64")) == {2**62, 2**62 + 1}
