@@ -305,3 +305,86 @@ def grouped_aggregate(
         return pd.DataFrame(out)
 
     return merged.map_batches(_final, batch_format="pandas", batch_size=None)
+
+def bounded_aggregate(
+    ds,
+    keys: Sequence[str],
+    sums: Optional[Dict[str, str]] = None,
+    means: Optional[Dict[str, str]] = None,
+    mins: Optional[Dict[str, str]] = None,
+    maxs: Optional[Dict[str, str]] = None,
+    count: Optional[str] = None,
+) -> pd.DataFrame:
+    """Grouped agg for key domains BOUNDED BY CONSTRUCTION — fixed
+    raster grids, cell resolutions, enum codes — where the caller would
+    collect the result to the driver anyway (densify into an array,
+    return a small table).
+
+    Plan: Arrow per-block partial aggregate (same combiner as
+    :func:`grouped_aggregate`) → the partials (≤ n_blocks × |domain|
+    rows, kilobytes) are collected and folded with ONE vectorized
+    pandas groupby on the driver. This skips Ray's reduce entirely:
+    the sort-based ``groupby`` pays ~1.5 ms of Python per distinct key
+    (see module header), which even a 768-cell DEM grid feels (~1.2 s
+    for a two-column count the fold does in ~0.05 s).
+
+    NOT for data-derived keys — |domain| must be a compile-time
+    property of the operator, not of the data; use the ``bucketed_*``
+    helpers there. Same alias conventions and mean/null semantics as
+    :func:`grouped_aggregate`; null keys group together
+    (``dropna=False``). Returns a pandas DataFrame with columns
+    (keys, sums, means, mins, maxs, count)."""
+    sums = dict(sums or {})
+    means = dict(means or {})
+    mins = dict(mins or {})
+    maxs = dict(maxs or {})
+    keys = list(keys)
+
+    sum_cols = sorted(set(sums.values()) | set(means.values()))
+    mean_cols = sorted(set(means.values()))
+    min_cols = sorted(set(mins.values()))
+    max_cols = sorted(set(maxs.values()))
+    need_count = count is not None
+
+    def _partial(t: pa.Table) -> pa.Table:
+        aggs = ([(c, "sum") for c in sum_cols]
+                + [(c, "count") for c in mean_cols]
+                + [(c, "min") for c in min_cols]
+                + [(c, "max") for c in max_cols])
+        if need_count:
+            aggs.append(([], "count_all"))
+        return t.group_by(keys).aggregate(aggs)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    # Bounded by contract: n_blocks × |domain| one-row-per-key partials.
+    import ray
+
+    blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        tab = _partial(pa.Table.from_batches([], schema=ds.schema().base_schema))
+    else:
+        tab = pa.concat_tables(blocks, promote_options="permissive")
+    g = _bucket_frame(tab, keys)
+
+    plan = {f"{c}_sum": "sum" for c in sum_cols}
+    plan.update({f"{c}_count": "sum" for c in mean_cols})
+    plan.update({f"{c}_min": "min" for c in min_cols})
+    plan.update({f"{c}_max": "max" for c in max_cols})
+    if need_count:
+        plan["count_all"] = "sum"
+    agg = (g.groupby(keys, sort=False, dropna=False, as_index=False)
+           .agg(plan))
+
+    out = {k: agg[k] for k in keys}
+    for a, c in sums.items():
+        out[a] = agg[f"{c}_sum"]
+    for a, c in means.items():
+        out[a] = agg[f"{c}_sum"] / agg[f"{c}_count"]
+    for a, c in mins.items():
+        out[a] = agg[f"{c}_min"]
+    for a, c in maxs.items():
+        out[a] = agg[f"{c}_max"]
+    if count is not None:
+        out[count] = agg["count_all"].astype(np.int64)
+    return pd.DataFrame(out)

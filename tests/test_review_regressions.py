@@ -1326,3 +1326,44 @@ def test_dissolve_partial_exact_int_keys_with_nulls(ray_session):
                           geometry="bbox").to_pandas()
     assert len(out) == 3
     assert set(out["k"].dropna().astype("int64")) == {2**62, 2**62 + 1}
+
+
+def test_bounded_aggregate_matches_pandas(ray_session, rng):
+    """The driver-fold variant (for grid-bounded key domains) must equal
+    grouped_aggregate / a single-frame pandas groupby at any block
+    layout, including int keys with nulls (exactness via _bucket_frame)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bounded_aggregate
+
+    df = pd.DataFrame({
+        "px": rng.integers(0, 8, 300),
+        "py": rng.integers(0, 6, 300),
+        "v": rng.integers(0, 1000, 300).astype(np.int64),
+    })
+    want = (df.groupby(["px", "py"], as_index=False)
+            .agg(sum_v=("v", "sum"), avg_v=("v", "mean"),
+                 min_v=("v", "min"), max_v=("v", "max"), n=("v", "size")))
+    want["n"] = want["n"].astype(np.int64)
+    want = want.sort_values(["px", "py"]).reset_index(drop=True)
+    for nblocks in (1, 5):
+        got = bounded_aggregate(
+            rd.from_pandas(df).repartition(nblocks), ["px", "py"],
+            sums={"sum_v": "v"}, means={"avg_v": "v"},
+            mins={"min_v": "v"}, maxs={"max_v": "v"}, count="n",
+        ).sort_values(["px", "py"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    # Exact int64 keys above 2^53 with a null key present: the fold must
+    # not round-trip the key through float64.
+    import pyarrow as pa
+
+    t = pa.table({"k": pa.array([2**62, 2**62 + 1, 2**62, None],
+                                type=pa.int64()),
+                  "v": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = bounded_aggregate(rd.from_arrow(t), ["k"], count="n",
+                            sums={"s": "v"})
+    assert len(out) == 3
+    assert set(out["k"].dropna().astype("int64")) == {2**62, 2**62 + 1}
+    got_null = out[out["k"].isna()]
+    assert got_null["s"].iloc[0] == 4 and got_null["n"].iloc[0] == 1
