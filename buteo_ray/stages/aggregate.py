@@ -256,9 +256,12 @@ def grouped_aggregate(
     AVG and ``ray.data.aggregate.Mean`` (an all-null group yields NaN).
     Input columns named like ``*_sum`` / ``*_count`` / ``count_all``
     would collide with the partial names — rename first.
-    Result column order: keys, sums, means, mins, maxs, count."""
-    from ray.data.aggregate import Max, Min, Sum
+    Result column order: keys, sums, means, mins, maxs, count.
 
+    Scale shape: per-block Arrow partials cross the exchange (not
+    rows), and the merge is a BUCKETED vectorized pandas fold — key
+    cardinality is data-derived here (users, hosts, urls), so the
+    merge must never be Ray's per-key reduce."""
     sums = dict(sums or {})
     means = dict(means or {})
     mins = dict(mins or {})
@@ -282,29 +285,41 @@ def grouped_aggregate(
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
 
-    aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in sum_cols]
-    aggs += [Sum(f"{c}_count", alias_name=f"{c}_count") for c in mean_cols]
-    aggs += [Min(f"{c}_min", alias_name=f"{c}_min") for c in min_cols]
-    aggs += [Max(f"{c}_max", alias_name=f"{c}_max") for c in max_cols]
-    if need_count:
-        aggs.append(Sum("count_all", alias_name="count_all"))
-    merged = partials.groupby(keys).aggregate(*aggs)
+    sum_part_cols = ([f"{c}_sum" for c in sum_cols]
+                     + [f"{c}_count" for c in mean_cols]
+                     + (["count_all"] if need_count else []))
+    min_part_cols = [f"{c}_min" for c in min_cols]
+    max_part_cols = [f"{c}_max" for c in max_cols]
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        out = {k: g[k] for k in keys}
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        # Merge the partials with vectorized pandas per hash bucket
+        # (never Ray's sort-based reduce — ~1.5 ms of Python PER
+        # DISTINCT KEY; see module header). min_count=1 keeps an
+        # all-null sum NaN instead of pandas' default 0, matching
+        # ray.data.aggregate.Sum / SQL.
+        gb = g.groupby(keys, sort=False, dropna=False)
+        parts = []
+        if sum_part_cols:
+            parts.append(gb[sum_part_cols].sum(min_count=1))
+        if min_part_cols:
+            parts.append(gb[min_part_cols].min())
+        if max_part_cols:
+            parts.append(gb[max_part_cols].max())
+        agg = pd.concat(parts, axis=1).reset_index()
+        out = {k: agg[k] for k in keys}
         for a, c in sums.items():
-            out[a] = g[f"{c}_sum"]
+            out[a] = agg[f"{c}_sum"]
         for a, c in means.items():
-            out[a] = g[f"{c}_sum"] / g[f"{c}_count"]
+            out[a] = agg[f"{c}_sum"] / agg[f"{c}_count"]
         for a, c in mins.items():
-            out[a] = g[f"{c}_min"]
+            out[a] = agg[f"{c}_min"]
         for a, c in maxs.items():
-            out[a] = g[f"{c}_max"]
+            out[a] = agg[f"{c}_max"]
         if count is not None:
-            out[count] = g["count_all"].astype(np.int64)
+            out[count] = agg["count_all"].astype(np.int64)
         return pd.DataFrame(out)
 
-    return merged.map_batches(_final, batch_format="pandas", batch_size=None)
+    return bucketed_fold(partials, keys, _fold)
 
 def bounded_aggregate(
     ds,
