@@ -3261,6 +3261,90 @@ def sql_warp_nearest() -> str:
     )
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    pair list (the canonical-representative table a dedup pipeline
+    keys its keep/drop decision on). Engine: min-label propagation
+    supersteps over the symmetrized edge list — one size-gated hash
+    join + bucketed min-fold per round, Σ-label convergence
+    certificate (stages/dedup.py:dup_clusters). Oracle: the shared
+    OPH-MinHash pair CTE + a recursive-CTE transitive closure with
+    MIN() reachable id. Output (doc_id, cluster_id), one row per doc
+    in ≥1 pair."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.dedup import dup_clusters, minhash_lsh_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["text"]), 5)),
+        batch_format="pyarrow", batch_size=None)
+    return dup_clusters(minhash_lsh_pairs(ds, threshold=0.5))
+
+
+def sql_dedup_clusters() -> str:
+    return (
+        "WITH RECURSIVE " + _sql_minhash_pairs_cte("documents", 0.5) + ", "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM mpairs "
+        "UNION ALL SELECT id_b, id_a FROM mpairs), "
+        "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v) "
+        "SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u"
+    )
+
+
+_DECON_MOD = 53   # eval side = doc_id % 53 == 0 (deterministic split)
+# Word-4-grams: the synthetic corpus draws short docs from a small
+# vocabulary, so the 8-13-gram windows real decontamination uses find
+# nothing across the split here; n=4 keeps the oracle row set non-empty
+# at every sf (the operator takes n as a parameter).
+_DECON_N = 4
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: count each training doc's DISTINCT
+    word-8-grams that appear anywhere in the eval split (doc_id %
+    53 == 0) — the contamination report a training pipeline anti-joins
+    on. Engine: the eval gram set is collected ONCE (benchmarks are
+    MB-scale by nature; ray.put broadcast) and the corpus streams
+    through one searchsorted probe per batch — no shuffle, no join
+    (stages/text.py:ngram_overlap). The oracle compares gram STRINGS
+    (single-space tokens can't contain spaces, so ' '.join is
+    injective and distinct-counts are hash-invariant)."""
+    from buteo_ray.stages.text import eval_ngram_hashes, ngram_overlap
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _split(eq: bool):
+        def _fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % _DECON_MOD == 0
+            return t.filter(pa.array(m if eq else ~m))
+        return _fn
+
+    ev = eval_ngram_hashes(
+        docs.map_batches(_split(True), batch_format="pyarrow",
+                         batch_size=None), n=_DECON_N)
+    cand = docs.map_batches(_split(False), batch_format="pyarrow",
+                            batch_size=None)
+    return ngram_overlap(cand, ev, n=_DECON_N)
+
+
+def sql_decontaminate() -> str:
+    n, m = _DECON_N, _DECON_MOD
+    return (
+        "WITH tl AS (SELECT doc_id, "
+        "string_split(COALESCE(text, ''), ' ') AS l FROM documents), "
+        "grams AS (SELECT doc_id, array_to_string(l[i:i+" + str(n - 1)
+        + "], ' ') AS g FROM (SELECT doc_id, l, "
+        "unnest(generate_series(1, len(l) - " + str(n - 1) + ")) AS i "
+        "FROM tl)), "
+        f"eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {m} = 0), "
+        "cand AS (SELECT DISTINCT doc_id, g FROM grams "
+        f"WHERE doc_id % {m} <> 0) "
+        "SELECT c.doc_id, COUNT(*) AS n_overlap "
+        "FROM cand c JOIN eg ON eg.g = c.g GROUP BY c.doc_id"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -3298,6 +3382,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "vector_extent": q_vector_extent,
     "ann_lsh_exact": q_ann_lsh_exact,
     "ann_ivf_exact": q_ann_ivf_exact,
+    # round-4 additions (oracle-checked; inside the first-50 window)
+    "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     # rows-only (no ORACLE_SQL entry; each is pytest-verified against a
     # brute-force/parity oracle instead)
     "mask_bezier": q_mask_bezier,
@@ -3305,7 +3392,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "coregister": q_coregister,
     "multimodal_features": q_multimodal_features,
     # --- driver-attested green in rounds 2 and 3 (CORRECTNESS_r0{2,3})
     "geocode_cells": q_geocode_cells,
@@ -3358,6 +3444,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bbox_ops": q_bbox_ops,
     "color_hsl": q_color_hsl,
     "predict_linear": q_predict_linear,
+    # rows-only, driver-attested in r03; rotated out of the first-50
+    # window to make room for the round-4 oracle queries
+    "coregister": q_coregister,
 }
 
 # Builders, not strings: sql_pip_join_poly() alone synthesises 1000
@@ -3419,6 +3508,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "bbox_ops": sql_bbox_ops,
     "color_hsl": sql_color_hsl,
     "predict_linear": sql_predict_linear,
+    "dedup_clusters": sql_dedup_clusters,
+    "decontaminate": sql_decontaminate,
     "augment_rot_mirror": sql_augment_rot_mirror,
     "raster_stack_extract": sql_raster_stack_extract,
     "dup_spans": sql_dup_spans,

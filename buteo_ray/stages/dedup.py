@@ -982,3 +982,90 @@ def duplicate_spans_brute(texts: List[str], ids: List[int],
             occ.append((i, p, w))
             c[w] += 1
     return sorted((i, p) for i, p, w in occ if c[w] >= 2)
+
+
+def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iters: int = 32):
+    """Connected components over a near-dup pair list → the cluster
+    table every dedup pipeline needs to pick canonical representatives.
+
+    Input: the edge list produced by :func:`minhash_lsh_pairs` /
+    :func:`simhash_dup_pairs` / :func:`cosine_dup_pairs` (any Dataset
+    with two integer id columns). Output: Dataset[(doc_id:int64,
+    cluster_id:int64)], one row per document appearing in ≥1 pair,
+    ``cluster_id`` = the MIN doc_id reachable through dup edges — keep
+    the rows where ``cluster_id == doc_id``, drop the rest.
+
+    Plan (min-label propagation; one Pregel-style superstep per round):
+    edges are symmetrized once and pinned; labels start as each node's
+    own id; each round joins current labels onto edge TARGETS
+    (:func:`~buteo_ray.stages.join_partitioned.hash_join_auto` —
+    broadcast under its size gate, hash-partitioned beyond it), folds
+    the per-node min with a bucketed fold (node cardinality is
+    unbounded, so Ray's raw groupby is off the table), and merges with
+    the previous labels. Labels only DECREASE, so Σ labels is a
+    monotone convergence certificate — one cheap distributed ``sum()``
+    per round instead of a change-detection join (exact while
+    Σ doc_ids < 2^63, i.e. any realistic id space; beyond that cap
+    rounds explicitly). Per-round ``materialize()`` pins only the
+    LABEL table — one row per node-in-pairs, orders of magnitude
+    smaller than the corpus — never the corpus itself.
+
+    Rounds needed = dup-graph diameter. Banded-LSH dup graphs are
+    unions of band cliques (diameter 1-2; ≤4 rounds in practice). For
+    adversarially chained graphs switch to alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — O(log n) rounds) built from these
+    same join/fold primitives.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.aggregate import bucketed_fold
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t[id_a].cast(pa.int64()).combine_chunks()
+        b = t[id_b].cast(pa.int64()).combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    edges = pairs_ds.map_batches(_sym, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "cluster_id": pa.array([], type=pa.int64())})
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def _uniq_nodes(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["u"].combine_chunks())
+        return pa.table({"node": u, "lbl": u})
+
+    def _min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False)["lbl"].min()
+
+    labels = bucketed_fold(
+        edges.map_batches(_uniq_nodes, batch_format="pyarrow",
+                          batch_size=None),
+        ["node"], _min_fold).materialize()
+    prev_sum = labels.sum("lbl")
+
+    def _as_cand(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["u"], "lbl": t["lbl"]})
+
+    for _ in range(max_iters):
+        # lbl(v) shipped to each edge (u, v): labels is keyed UNIQUE on
+        # node, so the join broadcasts while it fits and shuffles beyond.
+        cand = hash_join_auto(edges, labels, left_on="v", right_on="node") \
+            .map_batches(_as_cand, batch_format="pyarrow", batch_size=None)
+        labels = bucketed_fold(cand.union(labels), ["node"],
+                               _min_fold).materialize()
+        s = labels.sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "cluster_id": t["lbl"]})
+
+    return labels.map_batches(_out, batch_format="pyarrow", batch_size=None)

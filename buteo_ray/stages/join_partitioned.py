@@ -207,10 +207,13 @@ def hash_join_auto(
         rb = estimate_bytes(right_ds) or None
     if rb is not None and rb < broadcast_threshold:
         refs = right_ds.to_arrow_refs()
-        if not refs:
+        # Empty buckets of a grouped upstream materialize as 0-row,
+        # 0-COLUMN blocks whose schema would poison concat_tables.
+        tabs = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+        if not tabs:
             rtbl = pa.table({right_on: pa.array([], type=pa.int64())})
         else:
-            rtbl = pa.concat_tables([ray.get(r) for r in refs])
+            rtbl = pa.concat_tables(tabs)
         keys = rtbl[right_on].combine_chunks()
         if len(keys) == len(pc.unique(keys)):  # dimension table → broadcast
             ref = ray.put((keys, rtbl))

@@ -476,3 +476,139 @@ def add_lm_score(ds, model, text_col: str = "text",
         return _set_col(t, out_col, pa.array(mean, type=pa.float64()))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (word-n-gram overlap against an eval set)
+
+_GRAM_P = np.uint64(1099511628211)  # FNV prime, the engine-wide poly base
+
+
+def _doc_ngram_hashes(texts, n: int) -> "tuple[np.ndarray, np.ndarray]":
+    """(gram_hashes:uint64, doc_offsets) — word-``n``-gram hashes per
+    doc. Tokenization is the engine-wide single-space rule (pandas
+    ``str.split(' ')`` — empties kept, null → ''), identical to
+    :func:`~buteo_ray.stages.dedup.simhash64`, so an n-gram string is
+    exactly ``' '.join(tokens[i:i+n])`` and the DuckDB twin can compare
+    gram STRINGS (tokens cannot contain spaces → the join is injective;
+    no hash replay needed, overlap COUNTS are hash-invariant). Token
+    hashes come from :func:`~buteo_ray.stages.dedup._token_polyhash`;
+    the n-gram combine is the same FNV polynomial over token hashes."""
+    from buteo_ray.stages.dedup import _token_polyhash, _window_indices
+
+    texts = pd.Series(
+        ["" if t is None else t for t in
+         (texts.to_pylist() if isinstance(texts, (pa.Array, pa.ChunkedArray))
+          else texts)], dtype=object)
+    tokens = texts.str.split(" ")
+    n_tok = tokens.str.len().to_numpy().astype(np.int64)
+    th = _token_polyhash(tokens.explode().to_numpy())
+    starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]]).astype(np.int64)
+    idx, doc_offsets = _window_indices(starts, n_tok, n)
+    if not len(idx):
+        return np.empty(0, dtype=np.uint64), doc_offsets
+    g = th[idx].copy()
+    for k in range(1, n):
+        g = g * _GRAM_P + th[idx + k]
+    return g, doc_offsets
+
+
+def eval_ngram_hashes(eval_ds, n: int = 8, text_col: str = "text",
+                      max_grams: int = 1 << 26) -> np.ndarray:
+    """Sorted distinct word-n-gram hashes of the eval/benchmark side,
+    ready for one ``ray.put`` broadcast. Per-batch distinct runs
+    distributed; only the UNIQUE gram set reaches the driver — bounded
+    by construction because benchmark suites are megabytes BY NATURE
+    (the corpus is the 100-TB side, never this one). ``max_grams``
+    enforces that contract; past it, swap the exact set for a Bloom
+    filter (same broadcast + map-side probe, probabilistic instead of
+    exact — the documented scale hatch, not the default)."""
+
+    import ray
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g, _ = _doc_ngram_hashes(t[text_col], n)
+        return pa.table({"g": np.unique(g)})
+
+    refs = eval_ds.map_batches(_partial, batch_format="pyarrow",
+                               batch_size=None).to_arrow_refs()
+    # 0-row blocks may surface with a cleared schema — skip before access.
+    arrs = [t["g"].to_numpy(zero_copy_only=False)
+            for t in (ray.get(r) for r in refs) if t.num_rows]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    ev = np.unique(np.concatenate(arrs).astype(np.uint64))
+    if len(ev) > max_grams:
+        raise ValueError(
+            f"eval n-gram set ({len(ev)}) exceeds max_grams ({max_grams}); "
+            "use a Bloom filter for a corpus-sized 'eval' side")
+    return ev
+
+
+def ngram_overlap(docs_ds, eval_grams, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document count of DISTINCT word n-grams present in the eval
+    set → Dataset[(id_col, n_overlap:int64)], docs with ≥1 hit only
+    (clean docs — the overwhelming majority — emit nothing).
+
+    ``eval_grams``: sorted uint64 hashes from :func:`eval_ngram_hashes`,
+    or a ``ray.ObjectRef`` of them (put ONCE, read per task — never
+    re-shipped per batch). The probe is one searchsorted per batch."""
+    import ray
+
+    ref = eval_grams if isinstance(eval_grams, ray.ObjectRef) \
+        else ray.put(np.asarray(eval_grams, dtype=np.uint64))
+
+    def _fn(t: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        g, off = _doc_ngram_hashes(t[text_col], n)
+        n_doc = len(t)
+        out_ids = pa.array([], type=pa.int64())
+        out_cnt = pa.array([], type=pa.int64())
+        if len(g) and len(ev):
+            di = np.repeat(np.arange(n_doc, dtype=np.int64), np.diff(off))
+            order = np.lexsort((g, di))
+            gs, ds_ = g[order], di[order]
+            first = np.ones(len(gs), dtype=bool)
+            first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+            gu, du = gs[first], ds_[first]
+            pos = np.searchsorted(ev, gu)
+            hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gu)
+            cnt = np.bincount(du[hit], minlength=n_doc)
+            keep = np.nonzero(cnt > 0)[0]
+            ids = t[id_col].combine_chunks().take(pa.array(keep))
+            out_ids = ids.cast(pa.int64())
+            out_cnt = pa.array(cnt[keep].astype(np.int64))
+        return pa.table({id_col: out_ids, "n_overlap": out_cnt})
+
+    return docs_ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def decontaminate(docs_ds, eval_ds, n: int = 8, min_overlap: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Drop training documents whose word-n-gram overlap with the
+    eval/benchmark set reaches ``min_overlap`` (the standard
+    train/test decontamination step). One broadcast of the eval gram
+    set, one streaming pass over the corpus — no shuffle, no join."""
+    import ray
+
+    ref = ray.put(eval_ngram_hashes(eval_ds, n=n, text_col=text_col))
+
+    def _fn(t: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        g, off = _doc_ngram_hashes(t[text_col], n)
+        n_doc = len(t)
+        if not len(g) or not len(ev):
+            return t
+        di = np.repeat(np.arange(n_doc, dtype=np.int64), np.diff(off))
+        order = np.lexsort((g, di))
+        gs, ds_ = g[order], di[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+        gu, du = gs[first], ds_[first]
+        pos = np.searchsorted(ev, gu)
+        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gu)
+        cnt = np.bincount(du[hit], minlength=n_doc)
+        return t.filter(pa.array(cnt < min_overlap))
+
+    return docs_ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
