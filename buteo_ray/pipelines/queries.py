@@ -3302,7 +3302,7 @@ _DECON_N = 4
 
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: count each training doc's DISTINCT
-    word-8-grams that appear anywhere in the eval split (doc_id %
+    word-``_DECON_N``-grams that appear anywhere in the eval split (doc_id %
     53 == 0) — the contamination report a training pipeline anti-joins
     on. Engine: the eval gram set is collected ONCE (benchmarks are
     MB-scale by nature; ray.put broadcast) and the corpus streams
@@ -3444,8 +3444,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bbox_ops": q_bbox_ops,
     "color_hsl": q_color_hsl,
     "predict_linear": q_predict_linear,
-    # rows-only, driver-attested in r03; rotated out of the first-50
-    # window to make room for the round-4 oracle queries
+    # rows-only with earlier-round driver history + a brute-force
+    # pytest oracle; rotated out of the first-50 window to make room
+    # for the round-4 ORACLE-checked queries (a hash row is stronger
+    # evidence than another rows-only row)
     "coregister": q_coregister,
 }
 

@@ -60,20 +60,26 @@ def _hash_key_column(arr) -> np.ndarray:
     if (pa.types.is_integer(t) or pa.types.is_boolean(t)
             or pa.types.is_temporal(t)):
         null = pc.is_null(a).to_numpy(zero_copy_only=False)
+        if pa.types.is_date32(t) or pa.types.is_time32(t):
+            # Arrow has no direct date32/time32 → int64 cast; go through
+            # the 32-bit storage type first.
+            a = a.cast(pa.int32(), safe=False)
         as_int = a.cast(pa.int64(), safe=False).fill_null(0)
         vals = as_int.to_numpy(zero_copy_only=False).astype(np.int64)
         h = _splitmix64(vals.view(np.uint64))
     elif pa.types.is_floating(t):
-        null = pc.is_null(a).to_numpy(zero_copy_only=False)
+        # Arrow-null and NaN float keys are INDISTINGUISHABLE in the
+        # pandas fold (to_pandas turns null into NaN, and groupby
+        # dropna=False makes one NaN group), so they must route to the
+        # same bucket too — nan_is_null=True sends both to the null
+        # sentinel; a float key therefore has ONE null∪NaN group.
+        null = pc.is_null(a, nan_is_null=True).to_numpy(zero_copy_only=False)
         vals = (a.cast(pa.float64()).fill_null(0.0)
                 .to_numpy(zero_copy_only=False).astype(np.float64))
-        # Canonicalize before viewing bits: -0.0 == 0.0 and all NaN
-        # payloads compare equal under groupby, so they must hash
-        # equal too (adding +0.0 maps -0.0 → 0.0; NaNs get one payload).
+        # Canonicalize before viewing bits: -0.0 == 0.0 under groupby,
+        # so they must hash equal too (adding +0.0 maps -0.0 → 0.0).
         vals = vals + 0.0
-        nan = np.isnan(vals)
-        if nan.any():
-            vals = np.where(nan, np.float64(np.nan), vals)
+        vals = np.where(null, 0.0, vals)  # NaN payloads → sentinel path
         h = _splitmix64(vals.view(np.uint64))
     else:
         h = pd.util.hash_pandas_object(
@@ -112,6 +118,26 @@ def append_key_bucket(ds, keys: Sequence[str],
                                pa.array(_bucket_of_keys(t, keys, B)))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def _empty_arrow_table(ds) -> pa.Table:
+    """0-row Arrow table with the dataset's schema, robust to
+    pandas-backed datasets whose ``schema()`` is a PandasBlockSchema
+    (numpy dtypes, no ``base_schema``). Object dtype maps to string —
+    best-effort, the table is empty."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base.empty_table()
+    fields = []
+    for n, t in zip(base.names, base.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            dt = np.dtype(t)
+            fields.append((n, pa.string() if dt == np.dtype(object)
+                           else pa.from_numpy_dtype(dt)))
+    return pa.schema(fields).empty_table()
 
 
 def _bucket_frame(t: pa.Table, keys: Sequence[str]) -> pd.DataFrame:
@@ -228,8 +254,10 @@ def bucketed_sum(ds, keys: Sequence[str], sums: Dict[str, str],
     in_cols = sorted(set(sums.values()))
 
     def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        # min_count=1: an all-null group sums to null, matching SQL /
+        # ray.data.aggregate.Sum / grouped_aggregate's fold — not 0.
         agg = (g.groupby(keys, sort=False, dropna=False, as_index=False)
-               [in_cols].sum())
+               [in_cols].sum(min_count=1))
         out = {k: agg[k] for k in keys}
         for a, c in sums.items():
             out[a] = agg[c]
@@ -377,7 +405,7 @@ def bounded_aggregate(
 
     blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
     if not blocks:
-        tab = _partial(pa.Table.from_batches([], schema=ds.schema().base_schema))
+        tab = _partial(_empty_arrow_table(ds))
     else:
         tab = pa.concat_tables(blocks, promote_options="permissive")
     g = _bucket_frame(tab, keys)

@@ -1064,6 +1064,13 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # Returning partially-propagated labels would silently split
+        # real clusters; fail loud instead.
+        raise RuntimeError(
+            f"dup_clusters did not converge in max_iters={max_iters} "
+            "rounds (dup-graph diameter exceeds it); raise max_iters or "
+            "switch to star-contraction for chained graphs")
 
     def _out(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster_id": t["lbl"]})

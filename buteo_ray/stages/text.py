@@ -545,6 +545,28 @@ def eval_ngram_hashes(eval_ds, n: int = 8, text_col: str = "text",
     return ev
 
 
+def _overlap_counts(t: pa.Table, ev: np.ndarray, n: int,
+                    text_col: str) -> np.ndarray:
+    """Per-row count of DISTINCT word-n-gram hashes present in the
+    sorted eval array ``ev`` — the probe kernel ngram_overlap and
+    decontaminate share (per-doc distinct via lexsort + first-mask,
+    membership via one searchsorted)."""
+    g, off = _doc_ngram_hashes(t[text_col], n)
+    n_doc = len(t)
+    cnt = np.zeros(n_doc, dtype=np.int64)
+    if len(g) and len(ev):
+        di = np.repeat(np.arange(n_doc, dtype=np.int64), np.diff(off))
+        order = np.lexsort((g, di))
+        gs, ds_ = g[order], di[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+        gu, du = gs[first], ds_[first]
+        pos = np.searchsorted(ev, gu)
+        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gu)
+        cnt = np.bincount(du[hit], minlength=n_doc).astype(np.int64)
+    return cnt
+
+
 def ngram_overlap(docs_ds, eval_grams, n: int = 8,
                   text_col: str = "text", id_col: str = "doc_id"):
     """Per-document count of DISTINCT word n-grams present in the eval
@@ -560,26 +582,11 @@ def ngram_overlap(docs_ds, eval_grams, n: int = 8,
         else ray.put(np.asarray(eval_grams, dtype=np.uint64))
 
     def _fn(t: pa.Table) -> pa.Table:
-        ev = ray.get(ref)
-        g, off = _doc_ngram_hashes(t[text_col], n)
-        n_doc = len(t)
-        out_ids = pa.array([], type=pa.int64())
-        out_cnt = pa.array([], type=pa.int64())
-        if len(g) and len(ev):
-            di = np.repeat(np.arange(n_doc, dtype=np.int64), np.diff(off))
-            order = np.lexsort((g, di))
-            gs, ds_ = g[order], di[order]
-            first = np.ones(len(gs), dtype=bool)
-            first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
-            gu, du = gs[first], ds_[first]
-            pos = np.searchsorted(ev, gu)
-            hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gu)
-            cnt = np.bincount(du[hit], minlength=n_doc)
-            keep = np.nonzero(cnt > 0)[0]
-            ids = t[id_col].combine_chunks().take(pa.array(keep))
-            out_ids = ids.cast(pa.int64())
-            out_cnt = pa.array(cnt[keep].astype(np.int64))
-        return pa.table({id_col: out_ids, "n_overlap": out_cnt})
+        cnt = _overlap_counts(t, ray.get(ref), n, text_col)
+        keep = np.nonzero(cnt > 0)[0]
+        ids = t[id_col].combine_chunks().take(pa.array(keep))
+        return pa.table({id_col: ids.cast(pa.int64()),
+                         "n_overlap": pa.array(cnt[keep])})
 
     return docs_ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
@@ -595,20 +602,7 @@ def decontaminate(docs_ds, eval_ds, n: int = 8, min_overlap: int = 1,
     ref = ray.put(eval_ngram_hashes(eval_ds, n=n, text_col=text_col))
 
     def _fn(t: pa.Table) -> pa.Table:
-        ev = ray.get(ref)
-        g, off = _doc_ngram_hashes(t[text_col], n)
-        n_doc = len(t)
-        if not len(g) or not len(ev):
-            return t
-        di = np.repeat(np.arange(n_doc, dtype=np.int64), np.diff(off))
-        order = np.lexsort((g, di))
-        gs, ds_ = g[order], di[order]
-        first = np.ones(len(gs), dtype=bool)
-        first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
-        gu, du = gs[first], ds_[first]
-        pos = np.searchsorted(ev, gu)
-        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gu)
-        cnt = np.bincount(du[hit], minlength=n_doc)
+        cnt = _overlap_counts(t, ray.get(ref), n, text_col)
         return t.filter(pa.array(cnt < min_overlap))
 
     return docs_ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

@@ -1367,3 +1367,91 @@ def test_bounded_aggregate_matches_pandas(ray_session, rng):
     assert set(out["k"].dropna().astype("int64")) == {2**62, 2**62 + 1}
     got_null = out[out["k"].isna()]
     assert got_null["s"].iloc[0] == 4 and got_null["n"].iloc[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-4 review fixes
+
+
+def test_hash_key_column_date32_time32(ray_session):
+    """date32/time32 keys must route (Arrow lacks a direct → int64
+    cast; previously raised ArrowNotImplementedError)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bucketed_count
+
+    t = pa.table({
+        "d": pa.array([datetime.date(2020, 1, 1), datetime.date(2020, 1, 2),
+                       datetime.date(2020, 1, 1), None], type=pa.date32()),
+    })
+    out = bucketed_count(rd.from_arrow(t), ["d"], alias="n").to_pandas()
+    got = {(None if pd.isna(k) else k): v for k, v in zip(out["d"], out["n"])}
+    assert got == {datetime.date(2020, 1, 1): 2,
+                   datetime.date(2020, 1, 2): 1, None: 1}
+
+    t2 = pa.table({"t": pa.array([1000, 2000, 1000], type=pa.time32("ms"))})
+    out2 = bucketed_count(rd.from_arrow(t2), ["t"], alias="n").to_pandas()
+    assert sorted(out2["n"]) == [1, 2]
+
+
+def test_float_key_null_and_nan_one_group(ray_session):
+    """Arrow-null and NaN float keys are one group (the pandas fold
+    cannot distinguish them, so the route hash must not either)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bucketed_count
+
+    t = pa.table({"k": pa.array([None, float("nan"), 1.5, -0.0, 0.0],
+                                type=pa.float64())})
+    out = bucketed_count(rd.from_arrow(t), ["k"], alias="n",
+                         num_buckets=7).to_pandas()
+    nan_rows = out[out["k"].isna()]
+    assert len(nan_rows) == 1 and nan_rows["n"].iloc[0] == 2
+    zero = out[out["k"] == 0.0]
+    assert len(zero) == 1 and zero["n"].iloc[0] == 2
+
+
+def test_bounded_aggregate_empty_pandas_dataset(ray_session):
+    """Empty pandas-backed input must return an empty result, not crash
+    on a PandasBlockSchema."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bounded_aggregate
+
+    empty = pd.DataFrame({"px": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="float64")})
+    out = bounded_aggregate(rd.from_pandas(empty), ["px"], count="n",
+                            sums={"s": "v"})
+    assert len(out) == 0 and set(out.columns) == {"px", "n", "s"}
+
+
+def test_bucketed_sum_all_null_group_is_null(ray_session):
+    """An all-null value group must sum to null (SQL / Sum semantics),
+    not 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bucketed_sum
+
+    t = pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                  "v": pa.array([None, None, 5.0], type=pa.float64())})
+    out = bucketed_sum(rd.from_arrow(t), ["k"], sums={"s": "v"}).to_pandas()
+    got = dict(zip(out["k"], out["s"]))
+    assert pd.isna(got[1]) and got[2] == 5.0
+
+
+def test_dup_clusters_raises_on_nonconvergence(ray_session):
+    """Partially-propagated labels must never be returned silently."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import dup_clusters
+
+    chain = pa.table({"id_a": list(range(10)),
+                      "id_b": list(range(1, 11))})
+    with pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(rd.from_arrow(chain), max_iters=3)
