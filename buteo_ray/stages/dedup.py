@@ -984,8 +984,35 @@ def duplicate_spans_brute(texts: List[str], ids: List[int],
     return sorted((i, p) for i, p, w in occ if c[w] >= 2)
 
 
+def _components_numpy(u: np.ndarray, v: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(node_ids, cluster_ids) of the edge list, via vectorized
+    min-label propagation with pointer jumping (O(E log n) total work,
+    no Python per-edge loop). Labels live in INDEX space over the
+    sorted unique node ids, so the minimum index IS the minimum id."""
+    ids = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ui, prev[vi])
+        np.minimum.at(lab, vi, prev[ui])
+        lab = np.minimum(lab, lab[lab])  # pointer jumping
+        if np.array_equal(lab, prev):
+            break
+    while True:  # full path compression
+        nxt = lab[lab]
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return ids, ids[lab]
+
+
 def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iters: int = 32):
+                 max_iters: int = 32,
+                 driver_threshold: int = 64 << 20):
     """Connected components over a near-dup pair list → the cluster
     table every dedup pipeline needs to pick canonical representatives.
 
@@ -995,6 +1022,11 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     cluster_id:int64)], one row per document appearing in ≥1 pair,
     ``cluster_id`` = the MIN doc_id reachable through dup edges — keep
     the rows where ``cluster_id == doc_id``, drop the rest.
+
+    Two tiers, gated on the materialized edge-list size (mirroring the
+    engine's broadcast-join gate): under ``driver_threshold`` bytes the
+    components come from one vectorized numpy pointer-jumping fold on
+    the driver; past it, the distributed superstep plan below.
 
     Plan (min-label propagation; one Pregel-style superstep per round):
     edges are symmetrized once and pinned; labels start as each node's
@@ -1036,6 +1068,22 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
                       "cluster_id": pa.array([], type=pa.int64())})
     if edges.count() == 0:
         return ray.data.from_arrow(empty)
+
+    # Size gate (same contract as hash_join_auto's broadcast gate): the
+    # edge list is the DUP-PAIR graph — orders of magnitude smaller
+    # than the corpus — and when it fits under the threshold, one
+    # vectorized numpy fold on the driver beats paying Ray's fixed
+    # per-execution overhead once per superstep (measured 13 s → ~0.1 s
+    # at bench scale). Past the gate, the distributed superstep loop
+    # below runs unchanged.
+    if (edges.size_bytes() or 0) <= driver_threshold:
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = pa.concat_tables(tabs)
+        ids, cl = _components_numpy(
+            et["u"].to_numpy(zero_copy_only=False),
+            et["v"].to_numpy(zero_copy_only=False))
+        return ray.data.from_arrow(pa.table({"doc_id": ids,
+                                             "cluster_id": cl}))
 
     def _uniq_nodes(t: pa.Table) -> pa.Table:
         u = pc.unique(t["u"].combine_chunks())

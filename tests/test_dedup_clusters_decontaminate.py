@@ -34,16 +34,19 @@ def _brute_components(pairs):
     return {n: find(n) for n in parent}
 
 
+@pytest.mark.parametrize("threshold", [64 << 20, 0],
+                         ids=["driver-fold", "distributed"])
 @pytest.mark.parametrize("pairs", [
     [(1, 2), (2, 3), (3, 7), (10, 20)],          # chain + separate pair
     [(5, 1), (2, 5), (9, 9)],                     # reversed ids, self-loop
     [(100, 1), (2, 100), (3, 2), (4, 3), (5, 4)],  # long chain (diameter 5)
     [(1, 2)],
 ])
-def test_dup_clusters_matches_union_find(ray_session, pairs):
+def test_dup_clusters_matches_union_find(ray_session, pairs, threshold):
     from buteo_ray.stages.dedup import dup_clusters
 
-    out = dup_clusters(_pairs_ds(pairs)).to_pandas()
+    out = dup_clusters(_pairs_ds(pairs),
+                       driver_threshold=threshold).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == _brute_components(pairs)
 
