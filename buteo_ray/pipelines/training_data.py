@@ -34,6 +34,7 @@ def training_data_pipeline(
     near_dup_threshold: float = 0.85,
     near_dup_hamming: int = 3,
     near_dup_cosine: float = 0.95,
+    cluster_drop: bool = False,
     emb_col: Optional[str] = None,
     val_frac: float = 0.05,
     write_to: Optional[str] = None,
@@ -52,6 +53,14 @@ def training_data_pipeline(
     would either crash deep inside the LSH stage or — for numeric
     strings — make the anti-join compare string vs int64 and silently
     keep every near-dup. Checked loudly here instead.
+
+    ``cluster_drop=True`` replaces the default drop-the-larger-id-of-
+    each-pair rule with exact one-doc-per-connected-component dedup
+    (:func:`~buteo_ray.stages.dedup.dup_clusters`): the pair rule
+    under-drops star graphs whose hub carries the largest id. Costs one
+    components pass over the pair list (size-gated driver fold /
+    distributed supersteps); the drop-set then flows through the same
+    anti-join machinery.
 
     ``near_dup_hamming`` is calibrated against the CURRENT simhash token
     hash family (FNV-polynomial + splitmix64, dedup.py:simhash64); a
@@ -158,7 +167,22 @@ def training_data_pipeline(
 
         pairs = cosine_dup_pairs(ds, threshold=near_dup_cosine,
                                  id_col=id_col, emb_col=emb_col)
-    drops = pairs.select_columns(["id_b"]).materialize()
+    if cluster_drop:
+        # Exact one-doc-per-component dedup: the default drop-id_b rule
+        # under-drops star graphs (pairs (a,c),(b,c) keep BOTH a and b
+        # though {a,b,c} is one near-dup cluster). dup_clusters resolves
+        # connected components; every non-representative becomes a drop
+        # row, feeding the same anti-join machinery below.
+        from buteo_ray.stages.dedup import dup_clusters
+
+        def _nonrep(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(t["doc_id"], t["cluster_id"])
+            return pa.table({"id_b": t.filter(keep)["doc_id"]})
+
+        drops = dup_clusters(pairs).map_batches(
+            _nonrep, batch_format="pyarrow", batch_size=None).materialize()
+    else:
+        drops = pairs.select_columns(["id_b"]).materialize()
     n_drops = drops.count()
     # Gate on the MATERIALIZED byte size, not a fixed 8 bytes/id —
     # string id columns can be far larger than their row count implies.

@@ -238,3 +238,45 @@ def test_training_pipeline_chunking(ray_session):
     assert (out.groupby("page_id")["split"].nunique() == 1).all()
     # chunk text is at most 16 tokens of the original doc
     assert (out["text"].str.split(" ").str.len() == out["n_tokens_chunk"]).all()
+
+
+def test_training_data_pipeline_cluster_drop(ray_session):
+    """Star-shaped near-dup graph (hub has the LARGEST id): the default
+    drop-id_b rule keeps both leaves; cluster_drop keeps exactly one
+    doc per connected component."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    def _unit(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a), 0.0, 0.0]
+
+    # cos(17°)=0.956 ≥ 0.95 pairs each leaf with the hub; cos(34°)=0.829
+    # keeps the leaves unpaired — a pure star through doc 2.
+    rows = pd.DataFrame({
+        "page_id": [0, 1, 2, 3],
+        "text": [
+            "leaf one text with plenty of distinct tokens for quality "
+            "gates one two three four five",
+            "leaf two text with plenty of distinct tokens for quality "
+            "gates six seven eight nine ten",
+            "hub text with plenty of distinct tokens for quality gates "
+            "eleven twelve thirteen fourteen fifteen",
+            "unrelated document with plenty of distinct tokens for the "
+            "quality gates sixteen seventeen eighteen nineteen twenty",
+        ],
+        "emb": [_unit(17), _unit(-17), _unit(0), [0.0, 0.0, 1.0, 0.0]],
+    })
+
+    kw = dict(min_tokens=5, near_dup_method="embedding", emb_col="emb",
+              near_dup_cosine=0.95, val_frac=0.0)
+    default = training_data_pipeline(rd.from_pandas(rows), **kw).to_pandas()
+    assert set(default["page_id"]) == {0, 1, 3}  # hub (max id) dropped only
+
+    clustered = training_data_pipeline(rd.from_pandas(rows),
+                                       cluster_drop=True, **kw).to_pandas()
+    assert set(clustered["page_id"]) == {0, 3}  # one rep per component
