@@ -3345,6 +3345,31 @@ def sql_decontaminate() -> str:
     )
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle sharding for training output: a
+    map-only splitmix64 key per doc and shard = key % 16 — the no-
+    all-to-all alternative to ``random_shuffle`` (write partitioned by
+    shard; sort tiny shards on the key at read time). The DuckDB twin
+    replays splitmix64 via the shared 32-bit-split mulmod CTEs; the
+    uint64 key travels as two int64 halves (the simhash convention)."""
+    from buteo_ray.stages.selection import assign_shuffle_shards
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    return assign_shuffle_shards(ds, id_col="doc_id", n_shards=16) \
+        .select_columns(["doc_id", "shard", "skey_hi", "skey_lo"])
+
+
+def sql_shuffle_shards() -> str:
+    return (
+        "WITH raw AS (SELECT doc_id, 0 AS ti, "
+        "CAST(doc_id AS UBIGINT) AS hraw FROM documents), "
+        + _sql_splitmix_ctes("raw", "hraw", "sh") + " "
+        "SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard, "
+        "CAST(h >> 32 AS BIGINT) AS skey_hi, "
+        "CAST(h & 4294967295 AS BIGINT) AS skey_lo FROM sh6"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -3385,13 +3410,14 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # round-4 additions (oracle-checked; inside the first-50 window)
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
+    "shuffle_shards": q_shuffle_shards,
     # rows-only (no ORACLE_SQL entry; each is pytest-verified against a
-    # brute-force/parity oracle instead)
+    # brute-force/parity oracle instead; none has a driver row yet)
     "mask_bezier": q_mask_bezier,
-    "embed_centroids": q_embed_centroids,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "coregister": q_coregister,
     "multimodal_features": q_multimodal_features,
     # --- driver-attested green in rounds 2 and 3 (CORRECTNESS_r0{2,3})
     "geocode_cells": q_geocode_cells,
@@ -3444,11 +3470,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bbox_ops": q_bbox_ops,
     "color_hsl": q_color_hsl,
     "predict_linear": q_predict_linear,
-    # rows-only with earlier-round driver history + a brute-force
-    # pytest oracle; rotated out of the first-50 window to make room
-    # for the round-4 ORACLE-checked queries (a hash row is stronger
-    # evidence than another rows-only row)
-    "coregister": q_coregister,
+    # rows-only with an r01 driver row + a brute-force pytest oracle;
+    # rotated out of the first-50 window to make room for the round-4
+    # ORACLE-checked queries (a hash row is stronger evidence than a
+    # repeat rows-only row)
+    "embed_centroids": q_embed_centroids,
 }
 
 # Builders, not strings: sql_pip_join_poly() alone synthesises 1000
@@ -3512,6 +3538,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "predict_linear": sql_predict_linear,
     "dedup_clusters": sql_dedup_clusters,
     "decontaminate": sql_decontaminate,
+    "shuffle_shards": sql_shuffle_shards,
     "augment_rot_mirror": sql_augment_rot_mirror,
     "raster_stack_extract": sql_raster_stack_extract,
     "dup_spans": sql_dup_spans,

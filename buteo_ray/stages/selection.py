@@ -229,3 +229,35 @@ def sample_per_group(ds, key_col: str, n: int, id_col: str):
         ds.map_batches(_prio, batch_format="pyarrow", batch_size=None),
         key_col, ["__prio1", "__prio2", id_col], n, ascending=True)
     return out.map_batches(_drop, batch_format="pyarrow", batch_size=None)
+
+
+def assign_shuffle_shards(ds, id_col: str, n_shards: int = 16,
+                          seed: int = 0):
+    """Deterministic global shuffle WITHOUT an all-to-all: each row gets
+    a splitmix64 shuffle key from its id and a shard = key % n_shards —
+    map-only, so at 100 TB the "shuffle" costs one streaming pass and a
+    partitioned write (``write_parquet(partition_cols=["shard"])``),
+    never Ray's ``random_shuffle`` exchange. Consumers get uniformly
+    mixed shards; ordering within a shard is recoverable by sorting on
+    the key at read time (each shard is 1/n_shards of the data — sort
+    where it is cheap). Deterministic + order-free ⇒ a resumed run
+    assigns every row the same shard.
+
+    Adds ``shard`` (int64) and the key as two int64 halves
+    (``skey_hi``/``skey_lo`` — the engine-wide convention for exposing
+    uint64 to hash-comparing consumers, cf. simhash)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive (got {n_shards})")
+
+    def _fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(ids.view(np.uint64)
+                        + np.uint64(seed) * np.uint64(0x9E3779B9))
+        t = t.append_column("shard", pa.array(
+            (h % np.uint64(n_shards)).astype(np.int64)))
+        t = t.append_column("skey_hi", pa.array(
+            (h >> np.uint64(32)).astype(np.int64)))
+        return t.append_column("skey_lo", pa.array(
+            (h & np.uint64(0xFFFFFFFF)).astype(np.int64)))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)

@@ -146,3 +146,23 @@ def test_eval_ngram_hashes_empty(ray_session):
                    "text": pa.array([], pa.string())})
     out = eval_ngram_hashes(ray.data.from_arrow(ev), n=4)
     assert out.dtype == np.uint64 and len(out) == 0
+
+
+def test_assign_shuffle_shards_deterministic(ray_session):
+    from buteo_ray.stages.dedup import _splitmix64
+    from buteo_ray.stages.selection import assign_shuffle_shards
+
+    ids = np.arange(100, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids}))
+    out = assign_shuffle_shards(ds, "doc_id", n_shards=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    h = _splitmix64(ids.view(np.uint64))
+    assert (out["shard"].to_numpy() == (h % np.uint64(8)).astype(np.int64)).all()
+    assert (out["skey_hi"].to_numpy() == (h >> np.uint64(32)).astype(np.int64)).all()
+    assert out["shard"].between(0, 7).all()
+    # seed changes the permutation; n_shards=0 fails loudly
+    out2 = assign_shuffle_shards(ds, "doc_id", n_shards=8, seed=1).to_pandas()
+    assert not (out2.sort_values("doc_id")["shard"].to_numpy()
+                == out["shard"].to_numpy()).all()
+    with pytest.raises(ValueError, match="n_shards"):
+        assign_shuffle_shards(ds, "doc_id", n_shards=0)
