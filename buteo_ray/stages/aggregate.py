@@ -133,6 +133,14 @@ def _empty_arrow_table(ds) -> pa.Table:
     for n, t in zip(base.names, base.types):
         if isinstance(t, pa.DataType):
             fields.append((n, t))
+        elif isinstance(t, pd.api.extensions.ExtensionDtype):
+            # Nullable pandas dtypes (Int64Dtype, Float64Dtype, ...)
+            # are not np.dtype-interpretable; map via their scalar type
+            # (StringDtype's `str` falls through to string).
+            try:
+                fields.append((n, pa.from_numpy_dtype(t.type)))
+            except (TypeError, pa.ArrowNotImplementedError):
+                fields.append((n, pa.string()))
         else:
             dt = np.dtype(t)
             fields.append((n, pa.string() if dt == np.dtype(object)

@@ -250,7 +250,14 @@ def assign_shuffle_shards(ds, id_col: str, n_shards: int = 16,
         raise ValueError(f"n_shards must be positive (got {n_shards})")
 
     def _fn(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t[id_col]
+        if col.null_count:
+            # A null id would silently hash via NaN→INT64_MIN garbage;
+            # shard assignment must be deterministic, so fail loud.
+            raise ValueError(
+                f"assign_shuffle_shards: id column '{id_col}' contains "
+                "nulls; assign ids first")
+        ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
         h = _splitmix64(ids.view(np.uint64)
                         + np.uint64(seed) * np.uint64(0x9E3779B9))
         t = t.append_column("shard", pa.array(

@@ -1454,4 +1454,32 @@ def test_dup_clusters_raises_on_nonconvergence(ray_session):
     chain = pa.table({"id_a": list(range(10)),
                       "id_b": list(range(1, 11))})
     with pytest.raises(RuntimeError, match="converge"):
-        dup_clusters(rd.from_arrow(chain), max_iters=3)
+        # driver_threshold=0 forces the distributed superstep tier (the
+        # size-gated driver fold has no iteration cap to exhaust)
+        dup_clusters(rd.from_arrow(chain), max_iters=3, driver_threshold=0)
+
+
+def test_bounded_aggregate_empty_nullable_dtypes(ray_session):
+    """Empty pandas-backed input with EXTENSION dtypes (Int64/Float64)
+    must also return empty, not crash on np.dtype(Int64Dtype())."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bounded_aggregate
+
+    empty = pd.DataFrame({"px": pd.Series(dtype="Int64"),
+                          "v": pd.Series(dtype="Float64")})
+    out = bounded_aggregate(rd.from_pandas(empty), ["px"], count="n",
+                            sums={"s": "v"})
+    assert len(out) == 0 and set(out.columns) == {"px", "n", "s"}
+
+
+def test_assign_shuffle_shards_null_id_raises(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.selection import assign_shuffle_shards
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, None, 3],
+                                                    type=pa.int64())}))
+    with pytest.raises(Exception, match="nulls"):
+        assign_shuffle_shards(ds, "doc_id").materialize()
