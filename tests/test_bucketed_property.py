@@ -1,0 +1,82 @@
+"""Property test: bucketed_count == pandas groupby(dropna=False) for
+every key dtype the hash router supports — the invariant the whole
+bucketed-groupby family rests on (same-key rows must meet in one bucket
+regardless of block layout, nulls, NaN, or bucket count)."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+def _int_keys():
+    return st.lists(st.one_of(st.integers(-5, 5),
+                              st.just(2**62), st.just(None)),
+                    min_size=1, max_size=40)
+
+
+def _float_keys():
+    return st.lists(st.one_of(
+        st.sampled_from([0.0, -0.0, 1.5, -3.25, float("nan"),
+                         1e300, None])),
+        min_size=1, max_size=40)
+
+
+def _str_keys():
+    return st.lists(st.one_of(st.sampled_from(["a", "b", "", "käse"]),
+                              st.just(None)),
+                    min_size=1, max_size=40)
+
+
+def _date_keys():
+    return st.lists(st.one_of(
+        st.sampled_from([datetime.date(2020, 1, 1),
+                         datetime.date(1999, 12, 31), None])),
+        min_size=1, max_size=40)
+
+
+def _key(k):
+    """Canonical key: every missing flavor (None/NaN/pd.NA/NaT) is one
+    null; numerics compare as float64 (the bucketed path keeps exact
+    Int64 where pandas' default conversion would have gone float64)."""
+    if pd.isna(k):
+        return "<null>"
+    if isinstance(k, (int, np.integer, float, np.floating)):
+        return float(k)
+    return repr(k)
+
+
+def _expected(tbl: pa.Table) -> dict:
+    df = tbl.to_pandas()
+    out = df.groupby("k", sort=False, dropna=False).size()
+    return {_key(k): int(v) for k, v in out.items()}
+
+
+def _got(ds_count: pd.DataFrame) -> dict:
+    return {_key(k): int(v) for k, v in zip(ds_count["k"], ds_count["n"])}
+
+
+@pytest.mark.parametrize("keys_strategy,arrow_type", [
+    (_int_keys, pa.int64()),
+    (_float_keys, pa.float64()),
+    (_str_keys, pa.string()),
+    (_date_keys, pa.date32()),
+], ids=["int64", "float64", "string", "date32"])
+def test_bucketed_count_matches_pandas(ray_session, keys_strategy,
+                                       arrow_type):
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bucketed_count
+
+    @settings(max_examples=6, deadline=None)
+    @given(keys=keys_strategy(), num_buckets=st.sampled_from([1, 3, 7]))
+    def run(keys, num_buckets):
+        tbl = pa.table({"k": pa.array(keys, type=arrow_type)})
+        out = bucketed_count(rd.from_arrow(tbl), ["k"], alias="n",
+                             num_buckets=num_buckets).to_pandas()
+        assert _got(out) == _expected(tbl)
+
+    run()
