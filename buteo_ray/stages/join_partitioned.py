@@ -196,7 +196,46 @@ def hash_join_auto(
     import ray
     import pyarrow.compute as pc
 
+    from buteo_ray.stages.aggregate import _empty_arrow_table
     from buteo_ray.state.skew import derive_num_partitions, estimate_bytes
+
+    def _known_empty(ds) -> bool:
+        # Metadata-exact only: _meta_count() knows the row count for
+        # materialized / from_* / raw-read datasets and returns None
+        # (never executes) for lazy map-derived plans.
+        try:
+            return ds._meta_count() == 0
+        except Exception:
+            return False
+
+    def _joined_schema_cols():
+        lt, rt = _empty_arrow_table(left_ds), _empty_arrow_table(right_ds)
+        cols = {c: lt[c] for c in lt.column_names}
+        for c in rt.column_names:
+            if c == right_on:
+                continue
+            name = c
+            if name in cols:
+                if right_suffix is None:
+                    raise ValueError(
+                        f"hash_join_auto: right column '{c}' collides "
+                        "with a left column; pass right_suffix=")
+                name = c + right_suffix
+                if name in cols:
+                    raise ValueError(
+                        f"hash_join_auto: suffixed column '{name}' "
+                        "still collides with a left column")
+            cols[name] = rt[c]
+        return cols
+
+    # A KNOWN-empty side makes the inner join empty — short-circuit with
+    # the joined schema. Ray 2.49's hash-shuffle join crashes in Acero
+    # ("No match for FieldRef") when a side contributes only schemaless
+    # empty blocks; a LAZY pipeline that merely filters to empty can
+    # still hit that upstream limitation — materialize a maybe-empty
+    # side before joining on it.
+    if _known_empty(left_ds) or _known_empty(right_ds):
+        return ray.data.from_arrow(pa.table(_joined_schema_cols()))
 
     # estimate_bytes is metadata-only (logical-plan leaves): calling
     # Dataset.size_bytes() here would EXECUTE a map-derived right side at
@@ -211,7 +250,9 @@ def hash_join_auto(
         # 0-COLUMN blocks whose schema would poison concat_tables.
         tabs = [t for t in (ray.get(r) for r in refs) if t.num_rows]
         if not tabs:
-            rtbl = pa.table({right_on: pa.array([], type=pa.int64())})
+            # Keep the FULL right schema so the output schema does not
+            # depend on whether the collected side happened to be empty.
+            rtbl = _empty_arrow_table(right_ds)
         else:
             rtbl = pa.concat_tables(tabs)
         keys = rtbl[right_on].combine_chunks()

@@ -80,3 +80,39 @@ def test_bucketed_count_matches_pandas(ray_session, keys_strategy,
         assert _got(out) == _expected(tbl)
 
     run()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lk=st.lists(st.integers(0, 6), min_size=0, max_size=25),
+    rk=st.lists(st.integers(0, 6), min_size=0, max_size=25),
+    force_shuffle=st.booleans(),
+)
+def _join_property(ray_session_holder, lk, rk, force_shuffle):
+    import ray.data as rd
+
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    ldf = pd.DataFrame({"k": pd.Series(lk, dtype="int64"),
+                        "v": np.arange(len(lk), dtype=np.int64)})
+    rdf = pd.DataFrame({"rk": pd.Series(rk, dtype="int64"),
+                        "w": np.arange(len(rk), dtype=np.int64) * 10})
+    out = hash_join_auto(
+        rd.from_pandas(ldf), rd.from_pandas(rdf), "k", "rk",
+        broadcast_threshold=0 if force_shuffle else 64 << 20).to_pandas()
+    exp = ldf.merge(rdf, left_on="k", right_on="rk").drop(columns=["rk"])
+    cols = ["k", "v", "w"]
+    got_s = out[cols].sort_values(cols).reset_index(drop=True) \
+        if len(out) else pd.DataFrame(columns=cols)
+    exp_s = exp[cols].sort_values(cols).reset_index(drop=True) \
+        if len(exp) else pd.DataFrame(columns=cols)
+    assert len(got_s) == len(exp_s)
+    if len(got_s):
+        pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def test_hash_join_auto_matches_pandas_merge(ray_session):
+    """Both plans (size-gated broadcast AND forced hash-partitioned
+    shuffle) must equal a pandas inner merge — duplicate keys on either
+    side included (dup right keys auto-fall to the shuffle plan)."""
+    _join_property(ray_session)
