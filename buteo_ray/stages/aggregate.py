@@ -120,15 +120,15 @@ def append_key_bucket(ds, keys: Sequence[str],
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
-def _empty_arrow_table(ds) -> pa.Table:
-    """0-row Arrow table with the dataset's schema, robust to
+def arrow_fields(ds) -> "list[tuple[str, pa.DataType]]":
+    """(name, arrow type) pairs of the dataset's schema, robust to
     pandas-backed datasets whose ``schema()`` is a PandasBlockSchema
-    (numpy dtypes, no ``base_schema``). Object dtype maps to string —
-    best-effort, the table is empty."""
+    (numpy/extension dtypes, no ``base_schema``). Object dtype maps to
+    string — best-effort."""
     sch = ds.schema()
     base = getattr(sch, "base_schema", sch)
     if isinstance(base, pa.Schema):
-        return base.empty_table()
+        return [(f.name, f.type) for f in base]
     fields = []
     for n, t in zip(base.names, base.types):
         if isinstance(t, pa.DataType):
@@ -145,7 +145,12 @@ def _empty_arrow_table(ds) -> pa.Table:
             dt = np.dtype(t)
             fields.append((n, pa.string() if dt == np.dtype(object)
                            else pa.from_numpy_dtype(dt)))
-    return pa.schema(fields).empty_table()
+    return fields
+
+
+def _empty_arrow_table(ds) -> pa.Table:
+    """0-row Arrow table with the dataset's schema (see arrow_fields)."""
+    return pa.schema(arrow_fields(ds)).empty_table()
 
 
 def _bucket_frame(t: pa.Table, keys: Sequence[str]) -> pd.DataFrame:

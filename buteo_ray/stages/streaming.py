@@ -136,19 +136,38 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
     (per-raw-key map_groups paid one pandas call per key: 3.2 → ~1.4 s
     on 1M events). B is size-derived, keeping buckets ≈64 MB at any
     scale; the by= engine inside merge_asof is a single C pass."""
+    from buteo_ray.stages.aggregate import arrow_fields
     from buteo_ray.state.skew import derive_num_partitions
 
     n_buckets = derive_num_partitions(left_ds, right_ds)
 
-    def _tag(side):
+    # Heterogeneous sides (the canonical trades-vs-quotes shape) must be
+    # schema-ALIGNED before the union: Ray's sort/groupby does not unify
+    # block schemas, so a side-only column would vanish from some group
+    # frames. Each side gains null-typed columns for the other side's
+    # extras, both emit one canonical column order; output rows from the
+    # left keep nulls in right-only columns (and vice versa inside the
+    # join kernel, which slices the columns it needs).
+    lf, rf = dict(arrow_fields(left_ds)), dict(arrow_fields(right_ds))
+    order = list(lf) + [n for n in rf if n not in lf]
+    union_fields = {**rf, **lf}  # left's type wins on shared names
+
+    def _tag(side, have):
         def _fn(t: pa.Table) -> pa.Table:
-            return t.append_column("__side", pa.array(
-                np.full(t.num_rows, side, dtype=np.int8)))
+            cols = {}
+            for n in order:
+                cols[n] = (t[n] if n in have
+                           else pa.nulls(t.num_rows, type=union_fields[n]))
+            cols["__side"] = pa.array(
+                np.full(t.num_rows, side, dtype=np.int8))
+            return pa.table(cols)
 
         return _fn
 
-    both = left_ds.map_batches(_tag(0), batch_format="pyarrow", batch_size=None).union(
-        right_ds.map_batches(_tag(1), batch_format="pyarrow", batch_size=None))
+    both = left_ds.map_batches(_tag(0, lf), batch_format="pyarrow",
+                               batch_size=None).union(
+        right_ds.map_batches(_tag(1, rf), batch_format="pyarrow",
+                             batch_size=None))
     return asof_join_tagged(both, key_col=key_col, ts_col=ts_col,
                             right_cols=right_cols, n_buckets=n_buckets)
 

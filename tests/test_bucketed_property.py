@@ -116,3 +116,45 @@ def test_hash_join_auto_matches_pandas_merge(ray_session):
     shuffle) must equal a pandas inner merge — duplicate keys on either
     side included (dup right keys auto-fall to the shuffle plan)."""
     _join_property(ray_session)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 20)),
+                  min_size=1, max_size=25),
+    right=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 20),
+                             st.integers(-5, 5)),
+                   min_size=1, max_size=25),
+)
+def _asof_property(left, right):
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import asof_join
+
+    ldf = pd.DataFrame(left, columns=["user_id", "ts"]).astype("int64")
+    ldf["lv"] = np.arange(len(ldf), dtype=np.int64)
+    rdf = pd.DataFrame(right, columns=["user_id", "ts", "rv"]).astype("int64")
+    out = asof_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
+                    right_cols=["rv"]).to_pandas()
+    # Global oracle: per-(key, ts) MAX on the right (the documented tie
+    # rule), merge_asof backward, inner semantics.
+    r2 = rdf.groupby(["user_id", "ts"], as_index=False).max()
+    r2 = r2.rename(columns={"rv": "right_rv"})
+    r2["right_ts"] = r2["ts"]
+    exp = pd.merge_asof(ldf.sort_values("ts", kind="stable"),
+                        r2.sort_values("ts", kind="stable"),
+                        on="ts", by="user_id", direction="backward")
+    exp = exp.dropna(subset=["right_ts"])
+    cols = ["user_id", "ts", "lv", "right_rv", "right_ts"]
+    assert len(out) == len(exp)
+    if len(exp) == 0:
+        return  # empty Ray results surface with no columns (display quirk)
+    got_s = out[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    exp_s = exp[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_asof_join_matches_global_merge_asof(ray_session):
+    """The bucketed/tagged asof plan must equal ONE global merge_asof —
+    random keys, duplicate timestamps on both sides, ties included."""
+    _asof_property()
