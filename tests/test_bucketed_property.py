@@ -158,3 +158,67 @@ def test_asof_join_matches_global_merge_asof(ray_session):
     """The bucketed/tagged asof plan must equal ONE global merge_asof —
     random keys, duplicate timestamps on both sides, ties included."""
     _asof_property()
+
+
+@settings(max_examples=6, deadline=None)
+@given(events=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+    min_size=1, max_size=40))
+def _sessionize_property(events):
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import sessionize
+
+    df = pd.DataFrame(events, columns=["user_id", "sec"])
+    df["user_id"] = df["user_id"].astype("int64")
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["sec"], "s")
+    df = df.drop(columns=["sec"])
+    gap = pd.Timedelta(seconds=600)
+    out = sessionize(rd.from_pandas(df), gap=gap).to_pandas()
+
+    def brute(g):
+        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
+        g["session_id"] = (g["ts"].diff() > gap).cumsum() \
+            .fillna(0).astype("int64")
+        return g
+
+    exp = pd.concat([brute(g) for _, g in df.groupby("user_id")],
+                    ignore_index=True)
+    cols = ["user_id", "ts", "session_id"]
+    got_s = out[cols].sort_values(cols).reset_index(drop=True)
+    exp_s = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+    assert (out["session_key"]
+            == out["user_id"].astype(str) + "#"
+            + out["session_id"].astype(str)).all()
+
+
+def test_sessionize_matches_brute(ray_session):
+    """Bucketed sessionization == per-key pandas gap-cumsum, random
+    event streams with duplicate timestamps."""
+    _sessionize_property()
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 200), st.sampled_from(["a", "b", "c", ""])),
+    min_size=1, max_size=40))
+def _dedup_exact_property(rows):
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    out = exact_dedup(rd.from_pandas(df), text_col="text",
+                      id_col="doc_id").to_pandas()
+    exp = df.sort_values("doc_id", kind="stable") \
+        .drop_duplicates(subset="text", keep="first")
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    assert sorted(out["text"]) == sorted(exp["text"])
+
+
+def test_dedup_exact_matches_pandas(ray_session):
+    """Exact dedup keeps the MIN id per identical text — random ids with
+    duplicates across blocks."""
+    _dedup_exact_property()
