@@ -222,3 +222,65 @@ def test_dedup_exact_matches_pandas(ray_session):
     """Exact dedup keeps the MIN id per identical text — random ids with
     duplicates across blocks."""
     _dedup_exact_property()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 4), st.integers(-10, 10)),
+                  min_size=1, max_size=40),
+    k=st.sampled_from([1, 2, 5]),
+    ascending=st.booleans(),
+)
+def _topk_property(rows, k, ascending):
+    import ray.data as rd
+
+    from buteo_ray.stages.selection import topk_per_group
+
+    df = pd.DataFrame(rows, columns=["g", "v"]).astype("int64")
+    df["rid"] = np.arange(len(df), dtype=np.int64)  # unique tie-break
+    out = topk_per_group(rd.from_pandas(df), "g", ["v", "rid"], k,
+                         ascending=ascending).to_pandas()
+    exp = (df.sort_values(["v", "rid"], ascending=ascending, kind="stable")
+           .groupby("g", sort=False).head(k))
+    cols = ["g", "v", "rid"]
+    got_s = out[cols].sort_values(cols).reset_index(drop=True)
+    exp_s = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_topk_per_group_matches_pandas(ray_session):
+    """Partial+bucketed top-k per key == one global pandas sort+head,
+    both directions, duplicate sort values included."""
+    _topk_property()
+
+
+@settings(max_examples=6, deadline=None)
+@given(events=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20_000), st.integers(-5, 5)),
+    min_size=1, max_size=40))
+def _tumbling_property(events):
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import tumbling_window
+
+    df = pd.DataFrame(events, columns=["k", "sec", "value"])
+    df["k"] = df["k"].astype("int64")
+    df["value"] = df["value"].astype("int64")
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["sec"], "s")
+    df = df.drop(columns=["sec"])
+    out = tumbling_window(rd.from_pandas(df), window="1h",
+                          keys=["k"]).to_pandas()
+    epoch = df["ts"].astype("int64")  # ns since epoch
+    df["window_id"] = epoch // (3600 * 10**9)
+    exp = df.groupby(["k", "window_id"], as_index=False).agg(
+        n_events=("value", "size"), sum_value=("value", "sum"))
+    cols = ["k", "window_id", "n_events", "sum_value"]
+    got_s = out[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    exp_s = exp[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    """Partial+bucketed tumbling aggregate == one pandas groupby over
+    epoch//width windows."""
+    _tumbling_property()
