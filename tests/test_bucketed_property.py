@@ -284,3 +284,74 @@ def test_tumbling_window_matches_pandas(ray_session):
     """Partial+bucketed tumbling aggregate == one pandas groupby over
     epoch//width windows."""
     _tumbling_property()
+
+
+@settings(max_examples=6, deadline=None)
+@given(events=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 8_000)),
+    min_size=1, max_size=30))
+def _sliding_property(events):
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import sliding_window_counts
+
+    df = pd.DataFrame(events, columns=["k", "sec"])
+    df["k"] = df["k"].astype("int64")
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["sec"], "s")
+    df = df.drop(columns=["sec"])
+    out = sliding_window_counts(rd.from_pandas(df), window="1h",
+                                slide="30min", keys=["k"]).to_pandas()
+    # Brute oracle: event at tick t belongs to every window starting at
+    # w*slide with w*slide <= t < w*slide + width.
+    ticks = df["ts"].astype("int64").to_numpy()  # ns
+    slide, width = 1800 * 10**9, 3600 * 10**9
+    rows = []
+    for kk, t in zip(df["k"], ticks):
+        w = t // slide
+        while w * slide + width > t >= 0:
+            if w * slide <= t:
+                rows.append((kk, w * slide))
+            w -= 1
+            if w < t // slide - 3:
+                break
+    exp = pd.DataFrame(rows, columns=["k", "window_start"]) \
+        .groupby(["k", "window_start"], as_index=False).size() \
+        .rename(columns={"size": "n_events"})
+    cols = ["k", "window_start", "n_events"]
+    got_s = out[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    exp_s = exp[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_sliding_window_counts_matches_brute(ray_session):
+    """flat_map window explosion + bucketed count == brute per-event
+    window membership (width 2x slide → every event in 2 windows)."""
+    _sliding_property()
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+       n=st.sampled_from([1, 2, 4]))
+def _sample_per_group_property(rows, n):
+    import ray.data as rd
+
+    from buteo_ray.stages.selection import sample_per_group
+
+    df = pd.DataFrame({"g": pd.Series(rows, dtype="int64")})
+    df["doc_id"] = np.arange(len(df), dtype=np.int64)
+    out = sample_per_group(rd.from_pandas(df), "g", n,
+                           id_col="doc_id").to_pandas()
+    # Cap respected, deterministic, and a subset of the input.
+    sizes = out.groupby("g").size()
+    assert (sizes <= n).all()
+    exp_sizes = df.groupby("g").size().clip(upper=n)
+    assert sizes.reindex(exp_sizes.index, fill_value=0).equals(exp_sizes)
+    assert set(out["doc_id"]).issubset(set(df["doc_id"]))
+    # Rerun == same rows (order-free determinism).
+    out2 = sample_per_group(rd.from_pandas(df.sample(frac=1, random_state=7)),
+                            "g", n, id_col="doc_id").to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_sample_per_group_deterministic_cap(ray_session):
+    _sample_per_group_property()
