@@ -126,6 +126,8 @@ def arrow_fields(ds) -> "list[tuple[str, pa.DataType]]":
     (numpy/extension dtypes, no ``base_schema``). Object dtype maps to
     string — best-effort."""
     sch = ds.schema()
+    if sch is None:  # fully-empty schemaless dataset
+        return []
     base = getattr(sch, "base_schema", sch)
     if isinstance(base, pa.Schema):
         return [(f.name, f.type) for f in base]

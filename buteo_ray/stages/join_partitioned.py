@@ -208,24 +208,30 @@ def hash_join_auto(
         except Exception:
             return False
 
+    def _right_out_name(c: str, cols) -> str:
+        """Output name of right column ``c`` given existing ``cols`` —
+        the ONE collision/suffix rule both the broadcast probe and the
+        known-empty short-circuit use (they must never diverge)."""
+        if c not in cols:
+            return c
+        if right_suffix is None:
+            raise ValueError(
+                f"hash_join_auto: right column '{c}' collides "
+                "with a left column; pass right_suffix=")
+        name = c + right_suffix
+        if name in cols:
+            raise ValueError(
+                f"hash_join_auto: suffixed column '{name}' "
+                "still collides with a left column")
+        return name
+
     def _joined_schema_cols():
         lt, rt = _empty_arrow_table(left_ds), _empty_arrow_table(right_ds)
         cols = {c: lt[c] for c in lt.column_names}
         for c in rt.column_names:
             if c == right_on:
                 continue
-            name = c
-            if name in cols:
-                if right_suffix is None:
-                    raise ValueError(
-                        f"hash_join_auto: right column '{c}' collides "
-                        "with a left column; pass right_suffix=")
-                name = c + right_suffix
-                if name in cols:
-                    raise ValueError(
-                        f"hash_join_auto: suffixed column '{name}' "
-                        "still collides with a left column")
-            cols[name] = rt[c]
+            cols[_right_out_name(c, cols)] = rt[c]
         return cols
 
     # A KNOWN-empty side makes the inner join empty — short-circuit with
@@ -251,8 +257,12 @@ def hash_join_auto(
         tabs = [t for t in (ray.get(r) for r in refs) if t.num_rows]
         if not tabs:
             # Keep the FULL right schema so the output schema does not
-            # depend on whether the collected side happened to be empty.
+            # depend on whether the collected side happened to be empty;
+            # a right side of only schemaless 0-column blocks still needs
+            # the key column for the probe below.
             rtbl = _empty_arrow_table(right_ds)
+            if right_on not in rtbl.column_names:
+                rtbl = pa.table({right_on: pa.array([], type=pa.int64())})
         else:
             rtbl = pa.concat_tables(tabs)
         keys = rtbl[right_on].combine_chunks()
@@ -269,24 +279,11 @@ def hash_join_auto(
                 for c in rt.column_names:
                     if c == right_on:
                         continue
-                    name = c
-                    if name in cols:
-                        # Never silently drop a colliding right column —
-                        # the shuffle plan would have kept/suffixed it, and
-                        # schema must not depend on which plan the size
-                        # estimate picked.
-                        if right_suffix is None:
-                            raise ValueError(
-                                f"hash_join_auto: right column '{c}' collides "
-                                "with a left column; pass right_suffix=")
-                        name = c + right_suffix
-                        if name in cols:
-                            # the suffixed name ALSO exists on the left —
-                            # overwriting it would silently corrupt data.
-                            raise ValueError(
-                                f"hash_join_auto: suffixed column '{name}' "
-                                "still collides with a left column")
-                    cols[name] = pc.take(rt[c], idx2)
+                    # Never silently drop a colliding right column — the
+                    # shuffle plan would have kept/suffixed it, and the
+                    # schema must not depend on which plan the size
+                    # estimate picked (_right_out_name is the shared rule).
+                    cols[_right_out_name(c, cols)] = pc.take(rt[c], idx2)
                 return pa.table(cols)
 
             return left_ds.map_batches(_probe, batch_format="pyarrow",

@@ -145,9 +145,14 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
     # schema-ALIGNED before the union: Ray's sort/groupby does not unify
     # block schemas, so a side-only column would vanish from some group
     # frames. Each side gains null-typed columns for the other side's
-    # extras, both emit one canonical column order; output rows from the
-    # left keep nulls in right-only columns (and vice versa inside the
-    # join kernel, which slices the columns it needs).
+    # extras and shared-name columns are CAST to the left side's type
+    # (e.g. timestamp[us] quotes vs timestamp[ns] trades); both emit one
+    # canonical column order. The right-only padding added to left rows
+    # is stripped again inside the join kernel (drop_from_left), so the
+    # output schema stays 'left columns + right_{col} + right_ts'.
+    # NOTE: reading the schemas of LAZY map-derived inputs makes Ray
+    # probe one block at plan time — materialize (or use
+    # asof_join_tagged) if the upstream contains an expensive shuffle.
     lf, rf = dict(arrow_fields(left_ds)), dict(arrow_fields(right_ds))
     order = list(lf) + [n for n in rf if n not in lf]
     union_fields = {**rf, **lf}  # left's type wins on shared names
@@ -156,8 +161,13 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
         def _fn(t: pa.Table) -> pa.Table:
             cols = {}
             for n in order:
-                cols[n] = (t[n] if n in have
-                           else pa.nulls(t.num_rows, type=union_fields[n]))
+                if n not in have:
+                    cols[n] = pa.nulls(t.num_rows, type=union_fields[n])
+                else:
+                    c = t[n]
+                    if c.type != union_fields[n]:
+                        c = c.cast(union_fields[n])
+                    cols[n] = c
             cols["__side"] = pa.array(
                 np.full(t.num_rows, side, dtype=np.int8))
             return pa.table(cols)
@@ -169,18 +179,25 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
         right_ds.map_batches(_tag(1, rf), batch_format="pyarrow",
                              batch_size=None))
     return asof_join_tagged(both, key_col=key_col, ts_col=ts_col,
-                            right_cols=right_cols, n_buckets=n_buckets)
+                            right_cols=right_cols, n_buckets=n_buckets,
+                            drop_from_left={n for n in rf if n not in lf})
 
 
 def asof_join_tagged(both, key_col: str = "user_id", ts_col: str = "ts",
                      right_cols: Optional[list] = None,
-                     n_buckets: Optional[int] = None):
+                     n_buckets: Optional[int] = None,
+                     drop_from_left: Optional[set] = None):
     """As-of join over a PRE-TAGGED dataset: ``both`` carries an int8
     ``__side`` column (0 = left/probe, 1 = right/reference). Use this
     form when both sides derive from ONE source (e.g. an event log split
     by event_type) — :func:`asof_join`'s two-Dataset union would execute
     the upstream read twice; tagging in a single ``map_batches`` pass
-    reads it once."""
+    reads it once.
+
+    ``drop_from_left``: columns stripped from LEFT rows before the merge
+    — :func:`asof_join` passes its schema-alignment padding (right-only
+    columns null-filled onto left rows) so they never leak into the
+    output, which stays 'left columns + right_{col} + right_ts'."""
     from buteo_ray.state.skew import derive_num_partitions
 
     if n_buckets is None:
@@ -199,15 +216,26 @@ def asof_join_tagged(both, key_col: str = "user_id", ts_col: str = "ts",
     both = both.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
 
     rcols = right_cols or []
+    pad_left = sorted(drop_from_left or ())
 
-    def _join(g: pd.DataFrame) -> pd.DataFrame:
+    def _join(gt: pa.Table) -> pd.DataFrame:
         # One code path for every bucket — merge_asof handles empty sides
         # and the group frame carries the true dtypes, so all emitted
         # blocks share one schema (a hand-built placeholder would guess
         # dtypes/column order and break Arrow block unification).
+        # Pyarrow group format + _int_exact_frame: the default pandas
+        # conversion turns an int64 column with nulls (e.g. alignment
+        # padding on the other side's rows) into float64, silently
+        # rounding 64-bit ids above 2^53; nullable IntegerArrays keep
+        # the exact payload through the merge.
+        from buteo_ray.stages.aggregate import _bucket_frame
+
+        int_cols = [f.name for f in gt.schema
+                    if pa.types.is_integer(f.type)]
+        g = _bucket_frame(gt, int_cols)
         drop = ["__side", "__bucket"]
-        left = g[g["__side"] == 0].drop(columns=drop).sort_values(
-            ts_col, kind="stable")
+        left = g[g["__side"] == 0].drop(columns=drop + pad_left) \
+            .sort_values(ts_col, kind="stable")
         right = g[g["__side"] == 1].drop(columns=drop)
         right2 = right[[key_col, ts_col] + rcols].rename(
             columns={c: f"right_{c}" for c in rcols})
@@ -231,4 +259,4 @@ def asof_join_tagged(both, key_col: str = "user_id", ts_col: str = "ts",
 
     # __side/__bucket are dropped inside _join; output schema is
     # left columns + right_{col} + right_ts.
-    return both.groupby("__bucket").map_groups(_join, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(_join, batch_format="pyarrow")

@@ -1483,3 +1483,44 @@ def test_assign_shuffle_shards_null_id_raises(ray_session):
                                                     type=pa.int64())}))
     with pytest.raises(Exception, match="nulls"):
         assign_shuffle_shards(ds, "doc_id").materialize()
+
+
+def test_asof_heterogeneous_exact_int64_and_no_padding_leak(ray_session):
+    """Third-review regressions: (a) a left-only int64 column above 2^53
+    must survive the union padding exactly (no float64 round-trip);
+    (b) the padding columns must not leak into the output schema;
+    (c) shared-name dtype mismatches (us vs ns timestamps) are cast."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import asof_join
+
+    big = 2**53 + 1
+    left = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([2_000, 3_000], pa.timestamp("ns")),
+        "lv": pa.array([big, big + 2], pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([1], pa.timestamp("us")),  # unit differs from left
+        "rv": pa.array([7], pa.int64()),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    right_cols=["rv"]).to_pandas()
+    assert sorted(out.columns) == ["lv", "right_rv", "right_ts",
+                                   "ts", "user_id"]  # no leaked 'rv'
+    assert sorted(int(v) for v in out["lv"]) == [big, big + 2]  # exact
+    assert (out["right_rv"] == 7).all()
+
+
+def test_hash_join_auto_schemaless_empty_side(ray_session):
+    """from_items([]) has no schema at all; the known-empty short-circuit
+    must still return an empty result instead of crashing."""
+    import ray.data as rd
+
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    right = rd.from_items([{"rk": 1, "w": 10}])
+    out = hash_join_auto(rd.from_items([]), right, "k", "rk").to_pandas()
+    assert len(out) == 0
