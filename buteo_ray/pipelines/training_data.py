@@ -196,12 +196,12 @@ def training_data_pipeline(
         # duplicate-saturated corpora to the partitioned join below.
         import ray as _ray
 
-        # map_groups leaves SCHEMALESS empty blocks for empty sort
-        # partitions (no id_b column at all) — skip them; only typed
-        # blocks carry ids. One batched get: blocks fetch in parallel.
-        tbls = _ray.get(drops.to_arrow_refs())
+        # nonempty_arrow_blocks drops map_groups' schemaless / stray-
+        # pandas empty blocks; only typed blocks carry ids.
+        from buteo_ray.stages.aggregate import nonempty_arrow_blocks
+
         keys = np.unique(np.concatenate(
-            [t["id_b"].to_numpy() for t in tbls if "id_b" in t.column_names]
+            [t["id_b"].to_numpy() for t in nonempty_arrow_blocks(drops)]
             or [np.array([], dtype=np.int64)]))
         kref = _ray.put(keys)
 

@@ -155,6 +155,27 @@ def _empty_arrow_table(ds) -> pa.Table:
     return pa.schema(arrow_fields(ds)).empty_table()
 
 
+def nonempty_arrow_blocks(ds) -> "list[pa.Table]":
+    """``ray.get(ds.to_arrow_refs())`` with two Ray 2.49 quirks handled:
+    0-row blocks may carry a CLEARED schema (poisoning concat_tables),
+    and empty PANDAS blocks can reach to_arrow_refs unconverted —
+    ``map_batches`` skips the UDF on empty blocks, so a pandas block
+    emitted by an upstream ``map_groups`` for an empty sort partition
+    survives every later stage and then lacks ``.num_rows``. Both kinds
+    carry no rows; drop them. The collect helper every driver-side
+    gather in the engine must use."""
+    import ray
+
+    out = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if isinstance(t, pa.Table):
+            if t.num_rows:
+                out.append(t)
+        elif len(t):  # non-empty pandas block that escaped conversion
+            out.append(pa.Table.from_pandas(t, preserve_index=False))
+    return out
+
+
 def _bucket_frame(t: pa.Table, keys: Sequence[str]) -> pd.DataFrame:
     """Arrow bucket → pandas WITHOUT key-precision loss.
 
@@ -418,7 +439,7 @@ def bounded_aggregate(
     # Bounded by contract: n_blocks × |domain| one-row-per-key partials.
     import ray
 
-    blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+    blocks = nonempty_arrow_blocks(partials)
     if not blocks:
         tab = _partial(_empty_arrow_table(ds))
     else:

@@ -1077,8 +1077,9 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     # at bench scale). Past the gate, the distributed superstep loop
     # below runs unchanged.
     if (edges.size_bytes() or 0) <= driver_threshold:
-        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
-        et = pa.concat_tables(tabs)
+        from buteo_ray.stages.aggregate import nonempty_arrow_blocks
+
+        et = pa.concat_tables(nonempty_arrow_blocks(edges))
         ids, cl = _components_numpy(
             et["u"].to_numpy(zero_copy_only=False),
             et["v"].to_numpy(zero_copy_only=False))

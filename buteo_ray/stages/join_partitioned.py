@@ -251,10 +251,9 @@ def hash_join_auto(
     if rb is None:
         rb = estimate_bytes(right_ds) or None
     if rb is not None and rb < broadcast_threshold:
-        refs = right_ds.to_arrow_refs()
-        # Empty buckets of a grouped upstream materialize as 0-row,
-        # 0-COLUMN blocks whose schema would poison concat_tables.
-        tabs = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+        from buteo_ray.stages.aggregate import nonempty_arrow_blocks
+
+        tabs = nonempty_arrow_blocks(right_ds)
         if not tabs:
             # Keep the FULL right schema so the output schema does not
             # depend on whether the collected side happened to be empty;

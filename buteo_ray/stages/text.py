@@ -530,11 +530,12 @@ def eval_ngram_hashes(eval_ds, n: int = 8, text_col: str = "text",
         g, _ = _doc_ngram_hashes(t[text_col], n)
         return pa.table({"g": np.unique(g)})
 
-    refs = eval_ds.map_batches(_partial, batch_format="pyarrow",
-                               batch_size=None).to_arrow_refs()
-    # 0-row blocks may surface with a cleared schema — skip before access.
+    from buteo_ray.stages.aggregate import nonempty_arrow_blocks
+
     arrs = [t["g"].to_numpy(zero_copy_only=False)
-            for t in (ray.get(r) for r in refs) if t.num_rows]
+            for t in nonempty_arrow_blocks(
+                eval_ds.map_batches(_partial, batch_format="pyarrow",
+                                    batch_size=None))]
     if not arrs:
         return np.empty(0, dtype=np.uint64)
     ev = np.unique(np.concatenate(arrs).astype(np.uint64))
