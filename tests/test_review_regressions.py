@@ -1524,3 +1524,23 @@ def test_hash_join_auto_schemaless_empty_side(ray_session):
     right = rd.from_items([{"rk": 1, "w": 10}])
     out = hash_join_auto(rd.from_items([]), right, "k", "rk").to_pandas()
     assert len(out) == 0
+
+
+def test_nonempty_arrow_blocks_drops_schemaless_empties(ray_session):
+    """map_groups over mostly-empty sort partitions emits 0-row blocks
+    with cleared schemas; the shared collect helper must drop them and
+    return only typed, non-empty Arrow tables."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import nonempty_arrow_blocks
+
+    ds = rd.from_items([{"k": 1, "v": i} for i in range(3)]).repartition(8)
+    g = ds.groupby("k").map_groups(lambda df: df, batch_format="pandas")
+    m = g.map_batches(lambda t: t, batch_format="pyarrow",
+                      batch_size=None).materialize()
+    out = nonempty_arrow_blocks(m)
+    assert all(isinstance(t, pa.Table) and t.num_rows for t in out)
+    assert sum(t.num_rows for t in out) == 3
+    assert all("v" in t.column_names for t in out)
