@@ -446,14 +446,24 @@ def bounded_aggregate(
         tab = pa.concat_tables(blocks, promote_options="permissive")
     g = _bucket_frame(tab, keys)
 
-    plan = {f"{c}_sum": "sum" for c in sum_cols}
-    plan.update({f"{c}_count": "sum" for c in mean_cols})
-    plan.update({f"{c}_min": "min" for c in min_cols})
-    plan.update({f"{c}_max": "max" for c in max_cols})
-    if need_count:
-        plan["count_all"] = "sum"
-    agg = (g.groupby(keys, sort=False, dropna=False, as_index=False)
-           .agg(plan))
+    # Same split-plan fold as grouped_aggregate._fold: dict-form
+    # .agg(plan) cannot pass min_count=1, so an all-null group's sum
+    # would silently fold to 0.0 instead of NaN (≠ SQL NULL /
+    # ray.data.aggregate.Sum / grouped_aggregate).
+    sum_part_cols = ([f"{c}_sum" for c in sum_cols]
+                     + [f"{c}_count" for c in mean_cols]
+                     + (["count_all"] if need_count else []))
+    min_part_cols = [f"{c}_min" for c in min_cols]
+    max_part_cols = [f"{c}_max" for c in max_cols]
+    gb = g.groupby(keys, sort=False, dropna=False)
+    parts = []
+    if sum_part_cols:
+        parts.append(gb[sum_part_cols].sum(min_count=1))
+    if min_part_cols:
+        parts.append(gb[min_part_cols].min())
+    if max_part_cols:
+        parts.append(gb[max_part_cols].max())
+    agg = pd.concat(parts, axis=1).reset_index()
 
     out = {k: agg[k] for k in keys}
     for a, c in sums.items():

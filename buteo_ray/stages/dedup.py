@@ -1010,6 +1010,116 @@ def _components_numpy(u: np.ndarray, v: np.ndarray
     return ids, ids[lab]
 
 
+def _star_contraction(edges, max_rounds: int = 64):
+    """Connected components of a symmetrized edge Dataset[(u, v)] via
+    ALTERNATING LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+    rounds regardless of graph diameter, vs label propagation's
+    diameter rounds. This is the fallback :func:`dup_clusters` switches
+    to when propagation exhausts ``max_iters`` on an adversarially
+    chained dup graph (banded-LSH graphs are near-clique, diameter ≤4,
+    and never get here).
+
+    Each round is two bucketed vectorized folds over the node key plus
+    a bucketed distinct — the engine's standard unbounded-cardinality
+    primitives, never one Ray group per node:
+      large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v>u
+      small-star(u): over hi→lo oriented edges, m = min(N(u) ∪ {u});
+                     emit (x, m) for x ∈ N(u) ∪ {u}
+    Both outputs are naturally hi→lo oriented and self-loop-free.
+    Convergence: the distinct edge set's (count, wrapped-sum-of-hashes)
+    fingerprint is unchanged — the joint fixpoint of the two operations
+    is "every component is a star centered at its minimum id", so the
+    final edges ARE the (node → cluster_id) label table. Only the
+    distinct oriented edge list is pinned per round (≤ the input pair
+    count — both operations emit at most one edge per input edge).
+    Returns (labels Dataset[(node, lbl)], rounds used)."""
+    from buteo_ray.stages.aggregate import (bucketed_count, bucketed_fold,
+                                            nonempty_arrow_blocks)
+
+    def _orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        hi, lo = np.maximum(u, v), np.minimum(u, v)
+        keep = hi != lo
+        return pa.table({"u": hi[keep], "v": lo[keep]})
+
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([u, v]),
+                         "v": pa.concat_arrays([v, u])})
+
+    def _large_star_fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        m = np.minimum(
+            g.groupby("u", sort=False)["v"].transform("min").to_numpy(), u)
+        keep = v > u
+        return pd.DataFrame({"u": v[keep], "v": m[keep]})
+
+    def _small_star_fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        m = g.groupby("u", sort=False)["v"].transform("min").to_numpy()
+        first = ~pd.Series(u).duplicated().to_numpy()  # one (u, m) per group
+        out_u = np.concatenate([v, u[first]])
+        out_v = np.concatenate([m, m[first]])
+        keep = out_u != out_v
+        return pd.DataFrame({"u": out_u[keep], "v": out_v[keep]})
+
+    def _fingerprint(ed) -> tuple:
+        def _h(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False).view(np.uint64)
+            v = t["v"].to_numpy(zero_copy_only=False).view(np.uint64)
+            s = _splitmix64(u * _FNV_PRIME + _splitmix64(v)).sum(
+                dtype=np.uint64)
+            return pa.table({"s_hi": pa.array([int(s >> np.uint64(32))],
+                                              type=pa.int64()),
+                             "s_lo": pa.array([int(s & np.uint64(0xFFFFFFFF))],
+                                              type=pa.int64())})
+
+        # One row per block — the driver folds n_blocks partials, never rows.
+        tot = 0
+        for t in nonempty_arrow_blocks(
+                ed.map_batches(_h, batch_format="pyarrow", batch_size=None)):
+            part = (t["s_hi"].to_numpy().astype(object) * 2**32
+                    + t["s_lo"].to_numpy()).sum()
+            tot = (tot + int(part)) % 2**64
+        return ed.count(), tot
+
+    ed = edges.map_batches(_orient, batch_format="pyarrow", batch_size=None)
+    ed = bucketed_count(ed, ["u", "v"], alias="__n") \
+        .select_columns(["u", "v"]).materialize()
+    prev_fp = _fingerprint(ed)
+    for rounds in range(1, max_rounds + 1):
+        sym = ed.map_batches(_both_dirs, batch_format="pyarrow",
+                             batch_size=None)
+        ls = bucketed_fold(sym, ["u"], _large_star_fold)
+        ss = bucketed_fold(ls, ["u"], _small_star_fold)
+        ed = bucketed_count(ss, ["u", "v"], alias="__n") \
+            .select_columns(["u", "v"]).materialize()
+        fp = _fingerprint(ed)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in max_rounds={max_rounds} "
+            "(expected O(log n)); the edge list is pathological")
+
+    def _leaves(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["u"], "lbl": t["v"]})
+
+    def _roots(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["v"], "lbl": t["v"]})
+
+    leaves = ed.map_batches(_leaves, batch_format="pyarrow", batch_size=None)
+    roots = bucketed_count(ed.select_columns(["v"]), ["v"], alias="__n") \
+        .map_batches(_roots, batch_format="pyarrow", batch_size=None)
+    return leaves.union(roots), rounds
+
+
 def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
                  max_iters: int = 32,
                  driver_threshold: int = 64 << 20):
@@ -1044,11 +1154,11 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     smaller than the corpus — never the corpus itself.
 
     Rounds needed = dup-graph diameter. Banded-LSH dup graphs are
-    unions of band cliques (diameter 1-2; ≤4 rounds in practice). For
-    adversarially chained graphs switch to alternating large-star /
-    small-star contraction (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14 — O(log n) rounds) built from these
-    same join/fold primitives.
+    unions of band cliques (diameter 1-2; ≤4 rounds in practice). If
+    propagation exhausts ``max_iters`` (adversarially chained graph),
+    the plan switches to :func:`_star_contraction` — alternating
+    large-star / small-star (Kiveris et al., SoCC'14; O(log n) rounds
+    regardless of diameter), built from the same join/fold primitives.
     """
     import ray
     import pyarrow.compute as pc
@@ -1059,6 +1169,13 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     def _sym(t: pa.Table) -> pa.Table:
         a = t[id_a].cast(pa.int64()).combine_chunks()
         b = t[id_b].cast(pa.int64()).combine_chunks()
+        # Fail loud on null ids (same convention as assign_shuffle_shards):
+        # downstream to_numpy(zero_copy_only=False) would silently promote
+        # the column to float64/NaN and produce garbage cluster ids.
+        if a.null_count or b.null_count:
+            raise ValueError(
+                f"dup_clusters: pair list has null ids "
+                f"({id_a}: {a.null_count} nulls, {id_b}: {b.null_count})")
         return pa.table({"u": pa.concat_arrays([a, b]),
                          "v": pa.concat_arrays([b, a])})
 
@@ -1114,12 +1231,10 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
             break
         prev_sum = s
     else:
-        # Returning partially-propagated labels would silently split
-        # real clusters; fail loud instead.
-        raise RuntimeError(
-            f"dup_clusters did not converge in max_iters={max_iters} "
-            "rounds (dup-graph diameter exceeds it); raise max_iters or "
-            "switch to star-contraction for chained graphs")
+        # Dup-graph diameter exceeds max_iters (adversarially chained
+        # graph): switch to alternating star contraction — O(log n)
+        # rounds regardless of diameter, same join/fold primitives.
+        labels, _ = _star_contraction(edges)
 
     def _out(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster_id": t["lbl"]})

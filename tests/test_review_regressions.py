@@ -1444,19 +1444,75 @@ def test_bucketed_sum_all_null_group_is_null(ray_session):
     assert pd.isna(got[1]) and got[2] == 5.0
 
 
-def test_dup_clusters_raises_on_nonconvergence(ray_session):
-    """Partially-propagated labels must never be returned silently."""
+def test_bounded_aggregate_all_null_group_sum_is_null(ray_session):
+    """bounded_aggregate's driver fold must match grouped_aggregate /
+    SQL on an all-null group: sum → NULL (NaN), not pandas' default 0
+    (the dict-form .agg(plan) could not pass min_count=1)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import bounded_aggregate
+
+    t = pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                  "v": pa.array([None, None, 5.0], type=pa.float64())})
+    # Two blocks so the all-null group's partial sum (null) is folded.
+    out = bounded_aggregate(rd.from_arrow(t).repartition(2), ["k"],
+                            sums={"s": "v"}, means={"m": "v"}, count="n")
+    got = out.set_index("k")
+    assert pd.isna(got.loc[1, "s"]) and pd.isna(got.loc[1, "m"])
+    assert got.loc[1, "n"] == 2
+    assert got.loc[2, "s"] == 5.0 and got.loc[2, "m"] == 5.0
+
+
+def test_dup_clusters_star_fallback_on_nonconvergence(ray_session):
+    """When label propagation exhausts max_iters on a chained graph,
+    dup_clusters must switch to star contraction and still return the
+    EXACT components — never partially-propagated labels."""
     import pyarrow as pa
     import ray.data as rd
 
     from buteo_ray.stages.dedup import dup_clusters
 
-    chain = pa.table({"id_a": list(range(10)),
-                      "id_b": list(range(1, 11))})
-    with pytest.raises(RuntimeError, match="converge"):
-        # driver_threshold=0 forces the distributed superstep tier (the
-        # size-gated driver fold has no iteration cap to exhaust)
-        dup_clusters(rd.from_arrow(chain), max_iters=3, driver_threshold=0)
+    # Path graph 0-1-…-10 (diameter 10 > max_iters=3) plus a separate
+    # triangle component {100, 101, 102}.
+    chain = pa.table({
+        "id_a": list(range(10)) + [100, 101, 100],
+        "id_b": list(range(1, 11)) + [101, 102, 102],
+    })
+    # driver_threshold=0 forces the distributed tier (the size-gated
+    # driver fold has no iteration cap to exhaust).
+    out = dup_clusters(rd.from_arrow(chain), max_iters=3,
+                       driver_threshold=0).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    want = {i: 0 for i in range(11)}
+    want.update({100: 100, 101: 100, 102: 100})
+    assert got == want
+
+
+def test_star_contraction_olog_rounds(ray_session):
+    """Star contraction on a long path graph (diameter ≫ 4) must match
+    the numpy components oracle AND converge in O(log n) rounds
+    (Kiveris et al., SoCC'14), not diameter rounds."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import _components_numpy, _star_contraction
+
+    n = 33  # path 0-1-…-32, diameter 32
+    u = np.arange(n - 1, dtype=np.int64)
+    v = u + 1
+    # _star_contraction takes the symmetrized edge set (dup_clusters'
+    # pinned form).
+    sym = pa.table({"u": np.concatenate([u, v]),
+                    "v": np.concatenate([v, u])})
+    labels, rounds = _star_contraction(rd.from_arrow(sym))
+    got = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    ids, cl = _components_numpy(u, v)
+    assert got["node"].tolist() == ids.tolist()
+    assert got["lbl"].tolist() == cl.tolist()
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
 
 
 def test_bounded_aggregate_empty_nullable_dtypes(ray_session):
@@ -1471,6 +1527,21 @@ def test_bounded_aggregate_empty_nullable_dtypes(ray_session):
     out = bounded_aggregate(rd.from_pandas(empty), ["px"], count="n",
                             sums={"s": "v"})
     assert len(out) == 0 and set(out.columns) == {"px", "n", "s"}
+
+
+def test_dup_clusters_null_id_raises(ray_session):
+    """A null id in the pair list must fail loud — to_numpy on a null
+    int column would silently promote to float64/NaN and emit garbage
+    cluster ids (same convention as assign_shuffle_shards)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.dedup import dup_clusters
+
+    pairs = pa.table({"id_a": pa.array([1, None], type=pa.int64()),
+                      "id_b": pa.array([2, 3], type=pa.int64())})
+    with pytest.raises(Exception, match="null ids"):
+        dup_clusters(rd.from_arrow(pairs)).to_pandas()
 
 
 def test_assign_shuffle_shards_null_id_raises(ray_session):
