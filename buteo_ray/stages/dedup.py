@@ -242,10 +242,16 @@ def minhash_lsh_pairs(
     (matching signature fraction) ≥ threshold. Returns
     Dataset[(id_a, id_b, est_jaccard)] with id_a < id_b, deduped.
 
-    Driver-free plan: multi-member buckets are found with a distributed
-    count aggregate and the band rows are restricted to them via a
-    hash-partitioned ``left_semi`` join — no bucket keys ever reach the
-    driver. Per-bucket pairing is blockwise (``_PAIR_CHUNK``² pair tiles)
+    Driver-free plan: the ONLY pinned intermediate is a per-DOC
+    signature table (id, 512-B packed sig — 1/``bands`` the bytes of
+    pinning per-band rows, and the minhash/shingling pass runs exactly
+    once). Both consumers derive from it with a cheap FNV re-hash over
+    the 64 cached bins: (1) sig-free (band, band_hash) probe rows feed
+    a distributed count aggregate → multi-member buckets; (2) full
+    band rows are restricted to those hot buckets (size-gated
+    broadcast key filter, hash-partitioned ``left_semi`` join past the
+    gate — no bucket keys on the driver). Per-bucket pairing is
+    blockwise (``_PAIR_CHUNK``² pair tiles)
     so one degenerate boilerplate bucket cannot blow a worker's heap;
     ``max_bucket`` (optional) truncates pathological buckets to their
     ``max_bucket`` smallest ids (deterministic; documented recall trade —
@@ -256,8 +262,7 @@ def minhash_lsh_pairs(
         raise ValueError(f"bands must divide {_BINS} and be in [1, {_BINS}]")
     rows = _BINS // bands
 
-    def _bands(batch: pa.Table) -> pa.Table:
-        sig = oph_minhash(batch[text_col])
+    def _band_hashes(sig: np.ndarray) -> np.ndarray:
         n = sig.shape[0]
         band_hash = np.zeros((n, bands), dtype=np.uint64)
         for b in range(bands):
@@ -266,7 +271,49 @@ def minhash_lsh_pairs(
             for j in range(rows):
                 h = h * np.uint64(1099511628211) + chunk[:, j]
             band_hash[:, b] = _splitmix64(h + np.uint64(b))
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return band_hash
+
+    def _sig_docs(batch: pa.Table) -> pa.Table:
+        """One (id, sig) row per doc — the only pinned intermediate.
+        The signature is packed into ONE 512-B binary cell, zero-copy
+        from the contiguous (n, _BINS) uint64 array (offsets stay
+        int32, so a >2 GiB block falls back to the per-row path)."""
+        sig = oph_minhash(batch[text_col])
+        n = sig.shape[0]
+        width = _BINS * 8
+        if n * width < 2 ** 31:
+            flat = np.ascontiguousarray(sig)
+            offs = np.arange(n + 1, dtype=np.int32) * width
+            sig_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs), pa.py_buffer(flat)])
+        else:
+            sig_arr = pa.array([sig[i].tobytes() for i in range(n)],
+                               type=pa.binary())
+        return pa.table({id_col: batch[id_col], "sig": sig_arr})
+
+    def _unpack(t: pa.Table) -> np.ndarray:
+        col = t["sig"].to_numpy(zero_copy_only=False)
+        if len(col) == 0:
+            return np.empty((0, _BINS), dtype=np.uint64)
+        return np.frombuffer(b"".join(col.tolist()),
+                             dtype=np.uint64).reshape(len(col), _BINS)
+
+    def _band_keys(t: pa.Table) -> pa.Table:
+        """Sig-free probe rows — the count aggregate needs only the
+        bucket keys, so neither ids nor signatures cross its shuffle."""
+        band_hash = _band_hashes(_unpack(t))
+        n = band_hash.shape[0]
+        return pa.table({
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": band_hash.ravel().view(np.int64),
+        })
+
+    def _bands(t: pa.Table) -> pa.Table:
+        sig = _unpack(t)
+        n = sig.shape[0]
+        band_hash = _band_hashes(sig)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         # Signature packed into ONE binary column (512 B) instead of 64
         # uint64 columns — ~8× less shuffle width per band row. Built
         # zero-copy from one repeated buffer (offsets stay int32, so the
@@ -402,10 +449,12 @@ def minhash_lsh_pairs(
             "est_jaccard": np.concatenate(out_e).astype(np.float64),
         })
 
-    # Materialize: the band rows are consumed twice (count probe + pair
-    # stage) and are small (~0.5 KB/doc·bands); recomputing the minhash
-    # pass per consumer would double the whole job.
-    band_rows = ds.map_batches(_bands, batch_format="pyarrow", batch_size=None).materialize()
+    # The ONLY pinned intermediate: one (id, sig) row per doc —
+    # 1/bands the bytes of pinning per-band rows, the shingling/minhash
+    # pass runs exactly once, and both consumers below re-derive band
+    # hashes from the cached bins with a cheap FNV pass.
+    sig_docs = ds.map_batches(_sig_docs, batch_format="pyarrow",
+                              batch_size=None).materialize()
 
     # Nearly every bucket is a singleton: find multi-member buckets with a
     # vectorized count aggregate, then restrict the band rows to them with
@@ -414,11 +463,12 @@ def minhash_lsh_pairs(
     from buteo_ray.stages.aggregate import bucketed_count
     from buteo_ray.state.skew import derive_num_partitions
 
-    # Project the 512-B signatures off before the count shuffle — the
-    # aggregate only needs the keys. Bucket cardinality is ~n_docs·bands
-    # (unbounded): bucketed vectorized count, never one Ray group per
-    # LSH bucket.
-    counts = bucketed_count(band_rows.select_columns(["band", "band_hash"]),
+    # Bucket cardinality is ~n_docs·bands (unbounded): bucketed
+    # vectorized count, never one Ray group per LSH bucket. The probe
+    # rows are sig-free (band, band_hash) pairs only.
+    counts = bucketed_count(sig_docs.map_batches(_band_keys,
+                                                 batch_format="pyarrow",
+                                                 batch_size=None),
                             ["band", "band_hash"], alias="n")
     multi = counts.map_batches(
         lambda t: t.filter(np.greater_equal(t["n"].to_numpy(), 2)),
@@ -431,6 +481,17 @@ def minhash_lsh_pairs(
             {"id_a": pd.Series([], dtype="int64"),
              "id_b": pd.Series([], dtype="int64"),
              "est_jaccard": pd.Series([], dtype="float64")}))
+
+    # Size-gated broadcast of the hot-bucket key set: `multi` has one row
+    # per multi-member bucket (≈ near-dup clusters × bands), which is tiny
+    # relative to the corpus in every realistic dedup run — ray.put the
+    # packed keys once and filter band rows with a vectorized searchsorted
+    # (saves a full-width all-to-all). Above the threshold (duplicate-
+    # saturated corpora) fall back to the hash-partitioned left-semi join.
+    # Full band rows (with the packed sig) derive lazily from the pinned
+    # per-doc signatures, then restrict to the hot buckets.
+    band_rows = sig_docs.map_batches(_bands, batch_format="pyarrow",
+                                     batch_size=None)
 
     # Size-gated broadcast of the hot-bucket key set: `multi` has one row
     # per multi-member bucket (≈ near-dup clusters × bands), which is tiny
