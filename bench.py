@@ -135,42 +135,97 @@ def run_headline() -> dict:
     return {"sec": sec, "pages": N_PAGES, "pages_per_sec": N_PAGES / sec}
 
 
-def run_queries() -> dict:
-    from buteo_ray.pipelines.queries import ORACLE_SQL, QUERIES
+PARTIAL_PATH = os.environ.get("GRAFT_BENCH_PARTIAL",
+                              "/tmp/buteo_ray_bench/partial.json")
+
+
+def _flush_partial(payload: dict):
+    """Persist the in-progress result after every step: a mid-loop
+    raylet crash or truncated stdout (the r03/r04 artifact failures)
+    then still leaves a complete-as-of-the-crash JSON file on disk."""
+    try:
+        os.makedirs(os.path.dirname(PARTIAL_PATH), exist_ok=True)
+        tmp = PARTIAL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, PARTIAL_PATH)
+    except OSError:
+        pass  # a full disk must not kill the bench
+
+
+def _ensure_ray_alive(ray):
+    """Revive the local cluster if a query crashed it (degraded-host
+    raylet deaths killed two rounds' artifacts)."""
+    try:
+        if ray.is_initialized():
+            ray.cluster_resources()  # raises if the GCS/raylet died
+            return
+    except Exception:
+        try:
+            ray.shutdown()
+        except Exception:
+            pass
+    _init_ray(NUM_CPUS)
+
+
+def run_queries(ray, payload: dict) -> dict:
+    """Per-query try/except: one query hitting a host-degradation raylet
+    death must cost ONE {"err": ...} entry, never the whole artifact."""
+    from buteo_ray.pipelines.queries import QUERIES
 
     import ray.data
 
-    times = {}
+    times = payload.setdefault("queries", {})
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        out = fn(SF_DIR)
-        if isinstance(out, ray.data.Dataset):
-            out.count()  # force execution of lazy pipelines
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            t0 = time.perf_counter()
+            out = fn(SF_DIR)
+            if isinstance(out, ray.data.Dataset):
+                out.count()  # force execution of lazy pipelines
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record, revive, continue
+            times[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
+            _ensure_ray_alive(ray)
+        _flush_partial(payload)
     return times
 
 
 def main():
     probe_before = bandwidth_probe()
     ray = _init_ray(NUM_CPUS)
-    headline = run_headline()
-    mode = os.environ.get("GRAFT_BENCH_MODE", "full")
-    queries = run_queries() if mode == "full" else {}
-    ray.shutdown()
-    print(json.dumps({
+    payload = {
         "metric": "spatial-join+tiling headline seconds (pages/sec in extras)",
-        "value": round(headline["sec"], 3),
+        "value": None,
         "unit": "sec",
-        "queries": queries,
+        "queries": {},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "pages": headline["pages"],
-        "pages_per_sec": round(headline["pages_per_sec"], 1),
-        # Host-health context: healthy ≈0.5 s; >1 s means this run landed
-        # in a degraded window and its times are NOT comparable.
-        "bandwidth_probe_sec": [probe_before, bandwidth_probe()],
-    }))
+        "pages": N_PAGES,
+        "pages_per_sec": None,
+    }
+    try:
+        headline = run_headline()
+        payload["value"] = round(headline["sec"], 3)
+        payload["pages"] = headline["pages"]
+        payload["pages_per_sec"] = round(headline["pages_per_sec"], 1)
+    except Exception as e:  # noqa: BLE001 — keep the query loop alive
+        payload["headline_err"] = f"{type(e).__name__}: {e}"[:300]
+        _ensure_ray_alive(ray)
+    _flush_partial(payload)
+    if os.environ.get("GRAFT_BENCH_MODE", "full") == "full":
+        run_queries(ray, payload)
+    try:
+        ray.shutdown()
+    except Exception:
+        pass
+    # Host-health context: healthy ≈0.5 s; >1 s means this run landed
+    # in a degraded window and its times are NOT comparable.
+    payload["bandwidth_probe_sec"] = [probe_before, bandwidth_probe()]
+    _flush_partial(payload)
+    # Compact separators keep the line as short as possible (an r03
+    # artifact was lost to one-line truncation), printed LAST and flushed.
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
 def scaling():

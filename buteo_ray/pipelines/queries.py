@@ -1191,17 +1191,6 @@ def sql_pip_join_poly() -> str:
     )
 
 
-def q_embed_centroids(sf_dir: str):
-    """Per-label mean embedding via partial+final aggregation (IVF coarse
-    quantizer builder; rows-only — list-valued result)."""
-    import ray.data as rd
-
-    from buteo_ray.stages.ann import centroids_per_label
-
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return centroids_per_label(emb)
-
-
 def q_jaccard_pairs(sf_dir: str):
     """Distributed exact n-gram Jaccard over a deterministic pair set
     (id, id+20 for id % 40 == 0) — the verification stage downstream of
@@ -1283,10 +1272,13 @@ def sql_cosine_dup_pairs() -> str:
 
 
 def q_embed_centroids_flat(sf_dir: str):
-    """Per-label mean embedding, unnested to (label, dim, centroid) rows
-    so the value-hash oracle applies (the list-valued sibling
-    ``embed_centroids`` stays rows-only). Partial in-batch sums → tiny
-    final groupby; 4-decimal floor rounding absorbs summation order."""
+    """Per-label mean embedding (IVF coarse-quantizer builder,
+    stages/ann.py:centroids_per_label), unnested to (label, dim,
+    centroid) rows so the value-hash oracle applies to every element of
+    the list-valued centroid — this IS the registry entry for the
+    nested operator (a rows-only nested twin would add no evidence).
+    Partial in-batch sums → tiny final groupby; 4-decimal floor
+    rounding absorbs summation order."""
     import ray.data as rd
 
     from buteo_ray.stages.ann import centroids_per_label
@@ -2344,6 +2336,51 @@ def sql_training_pipeline() -> str:
     )
 
 
+def q_training_pipeline_cluster(sf_dir: str):
+    """The training pipeline with ``cluster_drop=True``: near-dup
+    removal keeps exactly ONE representative (the min id) per connected
+    COMPONENT of the pair graph instead of the default drop-the-larger-
+    id-of-each-pair rule, which under-drops star graphs
+    (pipelines/training_data.py:170 → stages/dedup.py:dup_clusters).
+    Oracle: the same composed stage CTEs, with the drop set replaced by
+    a recursive-CTE transitive closure (non-min members of each
+    component)."""
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = training_data_pipeline(
+        ds, id_col="doc_id", keep_langs={"en", "de", "fr", "es"},
+        min_tokens=5, near_dup_threshold=0.8, cluster_drop=True)
+    return out.select_columns(["doc_id", "lang_pred", "split"])
+
+
+def sql_training_pipeline_cluster() -> str:
+    """sql_training_pipeline with the pair-rule drop set swapped for the
+    connected-component one (see sql_dedup_clusters for the closure)."""
+    return (
+        "WITH RECURSIVE " + _sql_lang_pred_cte("documents") + ", "
+        "keep1 AS (SELECT d.doc_id, d.text, l.lang_pred FROM documents d "
+        "JOIN lp l ON l.doc_id = d.doc_id "
+        "WHERE l.lang_pred IN ('de', 'en', 'es', 'fr') "
+        "AND len(string_split(d.text, ' ')) >= 5), "
+        "dd AS (SELECT MIN(doc_id) AS doc_id, text FROM keep1 GROUP BY text), "
+        + _sql_minhash_pairs_cte("dd", 0.8) + ", "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM mpairs "
+        "UNION ALL SELECT id_b, id_a FROM mpairs), "
+        "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v), "
+        "cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach "
+        "GROUP BY u), "
+        "kept AS (SELECT doc_id FROM dd WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM cl WHERE doc_id <> cluster_id)), "
+        + _sql_split_unit_cte(seed=42, src="kept") + " "
+        "SELECT k.doc_id, l.lang_pred, "
+        "CASE WHEN u.u < 0.05 THEN 'val' ELSE 'train' END AS split "
+        "FROM kept k JOIN lp l ON l.doc_id = k.doc_id "
+        "JOIN u ON u.doc_id = k.doc_id"
+    )
+
+
 def q_dup_spans(sf_dir: str):
     """Duplicated-substring spans (stages/dedup.py:duplicate_spans —
     fixed-window simplification of suffix-array substring dedup): every
@@ -3374,64 +3411,14 @@ def sql_shuffle_shards() -> str:
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
     # --- Registration order is driver-visibility order: the driver's
-    # CORRECTNESS snapshot covers the FIRST 50 entries, so the queries
-    # never yet driver-attested (rounds 1-3 appended them past position
-    # 50) lead the registry this round; the 50 with two rounds of green
-    # driver history rotate to the back.
-    "augment_rot_mirror": q_augment_rot_mirror,
-    "raster_stack_extract": q_raster_stack_extract,
-    "dup_spans": q_dup_spans,
-    "sample_per_group": q_sample_per_group,
-    "doc_freq": q_doc_freq,
-    "pii_scrub": q_pii_scrub,
-    "rep_ngrams": q_rep_ngrams,
-    "chunk_documents": q_chunk_documents,
-    "buffer_points": q_buffer_points,
-    "hex_grid": q_hex_grid,
-    "vector_shapes": q_vector_shapes,
-    "url_canon": q_url_canon,
-    "clip_concave": q_clip_concave,
-    "vectorize_regions": q_vectorize_regions,
-    "warp_nearest": q_warp_nearest,
-    "simhash": q_simhash,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
-    "split_3way": q_split_3way,
-    "sample_random": q_sample_random,
-    "encode_position": q_encode_position,
-    "fill_classes": q_fill_classes,
-    "predict_pixel": q_predict_pixel,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "training_pipeline": q_training_pipeline,
-    "hex_bin_counts": q_hex_bin_counts,
-    "lm_score": q_lm_score,
-    "vector_extent": q_vector_extent,
-    "ann_lsh_exact": q_ann_lsh_exact,
-    "ann_ivf_exact": q_ann_ivf_exact,
-    # round-4 additions (oracle-checked; inside the first-50 window)
-    "dedup_clusters": q_dedup_clusters,
-    "decontaminate": q_decontaminate,
-    "shuffle_shards": q_shuffle_shards,
-    # rows-only (no ORACLE_SQL entry; each is pytest-verified against a
-    # brute-force/parity oracle instead; none has a driver row yet)
-    "mask_bezier": q_mask_bezier,
-    "dissolve_union": q_dissolve_union,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "coregister": q_coregister,
-    "multimodal_features": q_multimodal_features,
-    # --- driver-attested green in rounds 2 and 3 (CORRECTNESS_r0{2,3})
-    "geocode_cells": q_geocode_cells,
-    "pip_join_bbox": q_pip_join_bbox,
-    "pip_semi_join": q_pip_semi_join,
-    "pip_anti_join": q_pip_anti_join,
-    "tile_assign": q_tile_assign,
-    "filter_project": q_filter_project,
-    "agg_groupby": q_agg_groupby,
-    "join_broadcast": q_join_broadcast,
-    "sort_topk": q_sort_topk,
-    "distinct": q_distinct,
-    "union_all": q_union_all,
-    "knn": q_knn,
+    # CORRECTNESS snapshot covers the FIRST 50 entries. Round-5 window =
+    # the 38 queries whose driver hash rows date from round 3 (they ran
+    # on round-3 code; rounds 4-5 touched shared helpers — key hashing,
+    # bucketed folds, bounded_aggregate's fold, the LSH plan), plus the
+    # new round-5 query, the 3 round-4 ops, and the most-changed paths
+    # (the MinHash plan rewrite and everything downstream of it, plus
+    # the agg fold family). The 44 with a fresh round-4 hash row rotate
+    # to the back.
     "zonal_stats": q_zonal_stats,
     "zonal_stats_full": q_zonal_stats_full,
     "dissolve_bbox": q_dissolve_bbox,
@@ -3470,11 +3457,67 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bbox_ops": q_bbox_ops,
     "color_hsl": q_color_hsl,
     "predict_linear": q_predict_linear,
-    # rows-only with an r01 driver row + a brute-force pytest oracle;
-    # rotated out of the first-50 window to make room for the round-4
-    # ORACLE-checked queries (a hash row is stronger evidence than a
-    # repeat rows-only row)
-    "embed_centroids": q_embed_centroids,
+    # round-5 addition (cluster-representative training chain)
+    "training_pipeline_cluster": q_training_pipeline_cluster,
+    # round-4 additions — re-attest on round-5 code
+    "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
+    "shuffle_shards": q_shuffle_shards,
+    # most-changed paths this round (MinHash LSH plan rewrite + agg fold)
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "training_pipeline": q_training_pipeline,
+    "agg_groupby": q_agg_groupby,
+    "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "dup_spans": q_dup_spans,
+    "knn": q_knn,
+    "hex_bin_counts": q_hex_bin_counts,
+    # --- end of the 50-query driver window ---
+    # driver-attested green on round-4 code (CORRECTNESS_r04)
+    "augment_rot_mirror": q_augment_rot_mirror,
+    "raster_stack_extract": q_raster_stack_extract,
+    "sample_per_group": q_sample_per_group,
+    "doc_freq": q_doc_freq,
+    "pii_scrub": q_pii_scrub,
+    "rep_ngrams": q_rep_ngrams,
+    "chunk_documents": q_chunk_documents,
+    "buffer_points": q_buffer_points,
+    "hex_grid": q_hex_grid,
+    "vector_shapes": q_vector_shapes,
+    "url_canon": q_url_canon,
+    "clip_concave": q_clip_concave,
+    "vectorize_regions": q_vectorize_regions,
+    "warp_nearest": q_warp_nearest,
+    "split_3way": q_split_3way,
+    "sample_random": q_sample_random,
+    "encode_position": q_encode_position,
+    "fill_classes": q_fill_classes,
+    "predict_pixel": q_predict_pixel,
+    "lm_score": q_lm_score,
+    "vector_extent": q_vector_extent,
+    "ann_lsh_exact": q_ann_lsh_exact,
+    "ann_ivf_exact": q_ann_ivf_exact,
+    "geocode_cells": q_geocode_cells,
+    "pip_join_bbox": q_pip_join_bbox,
+    "pip_semi_join": q_pip_semi_join,
+    "pip_anti_join": q_pip_anti_join,
+    "tile_assign": q_tile_assign,
+    "filter_project": q_filter_project,
+    "join_broadcast": q_join_broadcast,
+    "sort_topk": q_sort_topk,
+    "distinct": q_distinct,
+    "union_all": q_union_all,
+    # rows-only (no ORACLE_SQL entry; each is pytest-verified against a
+    # brute-force/parity oracle instead — not SQL-expressible). The
+    # former rows-only `embed_centroids` entry is superseded by the
+    # oracle-checked embed_centroids_flat (same operator, hash-checked
+    # per element) and was dropped from the registry.
+    "mask_bezier": q_mask_bezier,
+    "dissolve_union": q_dissolve_union,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "coregister": q_coregister,
+    "multimodal_features": q_multimodal_features,
 }
 
 # Builders, not strings: sql_pip_join_poly() alone synthesises 1000
@@ -3563,6 +3606,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "predict_pixel": sql_predict_pixel,
     "dedup_minhash_pairs": sql_dedup_minhash_pairs,
     "training_pipeline": sql_training_pipeline,
+    "training_pipeline_cluster": sql_training_pipeline_cluster,
     "hex_bin_counts": sql_hex_bin_counts,
     "lm_score": sql_lm_score,
     "vector_extent": sql_vector_extent,
