@@ -202,11 +202,14 @@ def hash_join_auto(
     def _known_empty(ds) -> bool:
         # Metadata-exact only: _meta_count() knows the row count for
         # materialized / from_* / raw-read datasets and returns None
-        # (never executes) for lazy map-derived plans.
+        # (never executes) for lazy map-derived plans. PRIVATE API,
+        # validated on Ray 2.49.2 — if it disappears, the except arm
+        # just disables the short-circuit (degrades safe).
         try:
             return ds._meta_count() == 0
         except Exception:
             return False
+
 
     def _right_out_name(c: str, cols) -> str:
         """Output name of right column ``c`` given existing ``cols`` —
@@ -240,6 +243,12 @@ def hash_join_auto(
     # empty blocks; a LAZY pipeline that merely filters to empty can
     # still hit that upstream limitation — materialize a maybe-empty
     # side before joining on it.
+    # The short-circuit is deliberately unconditional: building the
+    # joined schema may run ONE probe block of a lazy other side at plan
+    # time (ds.schema() fetch), but that is bounded and strictly cheaper
+    # than the alternative — Ray 2.49's shuffle join crashing in Acero on
+    # the schemaless-empty side (verified by the join property test,
+    # which fails if this is gated on metadata-known schemas).
     if _known_empty(left_ds) or _known_empty(right_ds):
         return ray.data.from_arrow(pa.table(_joined_schema_cols()))
 
