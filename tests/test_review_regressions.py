@@ -1544,6 +1544,34 @@ def test_dup_clusters_null_id_raises(ray_session):
         dup_clusters(rd.from_arrow(pairs)).to_pandas()
 
 
+def test_bench_query_loop_survives_errors(ray_session, tmp_path, monkeypatch):
+    """bench.py's query loop must record {"err": ...} for a failing
+    query, keep running the rest, and flush partials to disk — a
+    mid-loop crash must never zero the whole artifact (it did, twice)."""
+    import json
+
+    import ray
+
+    import bench
+    from buteo_ray.pipelines import queries as q
+
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "partial.json"))
+
+    def boom(sf):
+        raise RuntimeError("synthetic query failure")
+
+    monkeypatch.setattr(q, "QUERIES", {
+        "boom": boom, "shuffle_shards": q.QUERIES["shuffle_shards"]})
+    payload = {"queries": {}}
+    times = bench.run_queries(ray, payload)
+    assert times["boom"] == {"err": "RuntimeError: synthetic query failure"}
+    assert isinstance(times["shuffle_shards"], float)
+    saved = json.loads((tmp_path / "partial.json").read_text())
+    assert saved["queries"]["boom"]["err"].startswith("RuntimeError")
+    assert ray.is_initialized()
+
+
 def test_assign_shuffle_shards_null_id_raises(ray_session):
     import pyarrow as pa
     import ray.data as rd
