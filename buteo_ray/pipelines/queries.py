@@ -2432,6 +2432,39 @@ def sql_doc_freq() -> str:
     """
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 salient terms by TF-IDF (stages/text.py::
+    tf_idf_topk) — the keyword-extraction step of a corpus-curation
+    pipeline. The idf is 1e-6-quantized BEFORE the tf multiply on both
+    engines (one libm-ulp exposure per distinct df value, not per
+    (doc, token) pair — the char-LM float discipline) and top-k
+    selection orders by (tfidf desc, token desc), a total order per
+    doc, so the k-boundary is deterministic on both sides."""
+    from buteo_ray.stages.text import tf_idf_topk
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    # Metadata-only count on the raw parquet read (no execution).
+    return tf_idf_topk(docs, n_docs=docs.count(), k=3)
+
+
+def sql_tfidf_topk() -> str:
+    return """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (SELECT tf.doc_id, tf.token,
+      FLOOR(tf.tf * (FLOOR(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000 + 0.5)
+                     / 1000000) * 10000 + 0.5) / 10000 AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tfidf FROM (
+      SELECT scored.*, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token DESC) AS rn
+      FROM scored) WHERE rn <= 3
+    """
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (stages/text.py:pii_scrub — email/IPv4/phone spans
     → placeholders, RE2 on both engine and oracle). The corpus has no
@@ -3471,8 +3504,12 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "dup_spans": q_dup_spans,
     "knn": q_knn,
-    "hex_bin_counts": q_hex_bin_counts,
+    # round-5 addition (TF-IDF keyword extraction) — takes the window
+    # slot of hex_bin_counts, which is attested green in BOTH r03 and
+    # r04 on an untouched code path.
+    "tfidf_topk": q_tfidf_topk,
     # --- end of the 50-query driver window ---
+    "hex_bin_counts": q_hex_bin_counts,
     # driver-attested green on round-4 code (CORRECTNESS_r04)
     "augment_rot_mirror": q_augment_rot_mirror,
     "raster_stack_extract": q_raster_stack_extract,
@@ -3587,6 +3624,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "dup_spans": sql_dup_spans,
     "sample_per_group": sql_sample_per_group,
     "doc_freq": sql_doc_freq,
+    "tfidf_topk": sql_tfidf_topk,
     "pii_scrub": sql_pii_scrub,
     "rep_ngrams": sql_rep_ngrams,
     "chunk_documents": sql_chunk_documents,

@@ -607,3 +607,92 @@ def decontaminate(docs_ds, eval_ds, n: int = 8, min_overlap: int = 1,
         return t.filter(pa.array(cnt < min_overlap))
 
     return docs_ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def term_frequencies(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact per-document term frequencies: (id, token, tf) rows via one
+    vectorized tokenize + grouped count per block. Exact without any
+    shuffle because every document is ONE input row, so all of a doc's
+    tokens land in the same block (the documents-table contract shared
+    with :func:`doc_freq`). Streams — a pure 1→N row explosion."""
+
+    def _tf(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t[text_col], ""), " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"d": ids[parents], "token": flat.to_pandas()})
+             .groupby(["d", "token"], sort=False).size().reset_index(name="tf"))
+        return pa.table({id_col: pa.array(g["d"].to_numpy(), pa.int64()),
+                         "token": pa.array(g["token"].to_numpy(), pa.string()),
+                         "tf": pa.array(g["tf"].to_numpy().astype(np.int64))})
+
+    return ds.map_batches(_tf, batch_format="pyarrow", batch_size=None)
+
+
+def tf_idf_topk(ds, n_docs: int, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 3):
+    """Per-document top-``k`` terms by TF-IDF — the keyword-extraction /
+    salient-term step of a web-corpus curation pipeline (topic tagging,
+    boilerplate discovery, per-domain vocabulary audits).
+
+    score = tf · idf_q, idf_q = round6(ln(n_docs / df)); the idf is
+    quantized to 1e-6 BEFORE the multiply so the only cross-engine
+    libm-ulp exposure is one rounding per DISTINCT df value (≤ |vocab|),
+    not one per (doc, token) pair — the float discipline established by
+    the char-LM scorer. The final score is round4-quantized and top-k
+    selection orders by (tfidf desc, token desc): a total order per doc,
+    so the k-boundary is deterministic on both engines.
+
+    Plan (all-streaming, two exchanges, both vocabulary-sized or
+    skinnier):
+      1. ``term_frequencies`` — per-block exact (id, token, tf), no
+         shuffle.
+      2. document frequency: per-block partial token counts (the (id,
+         token) rows are already distinct, so a row count IS the
+         distinct-doc count) → ``bucketed_sum`` — only (token, partial
+         n) rows cross the exchange.
+      3. ``hash_join_auto`` tf ⋈ df on token — the df side is
+         vocabulary-sized (orders below corpus size), so it broadcasts
+         under the 64 MB gate and falls back to the hash-partitioned
+         join beyond it.
+      4. score + ``topk_per_group`` (partial per-block top-k combiner:
+         ≤ k rows per doc per block cross the final exchange).
+    The tf stage executes twice (feeding the df fold and the join's left
+    side) — deliberate recompute-over-pin: materializing the tf table
+    would hold a corpus-scale intermediate in the object store, while
+    re-tokenizing is a cheap vectorized pass.
+
+    ``n_docs`` is the corpus document count — callers hold it from a
+    metadata-only ``ds.count()`` on the raw read; taking it as a
+    parameter keeps this stage lazy end-to-end.
+    """
+    from buteo_ray.stages.aggregate import bucketed_sum
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+    from buteo_ray.stages.selection import topk_per_group
+
+    tf = term_frequencies(ds, text_col=text_col, id_col=id_col)
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        vc = t["token"].to_pandas().value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(), pa.string()),
+                         "df": pa.array(vc.to_numpy().astype(np.int64))})
+
+    df = bucketed_sum(
+        tf.map_batches(_df_partial, batch_format="pyarrow", batch_size=None),
+        ["token"], {"df": "df"})
+
+    joined = hash_join_auto(tf, df, "token", "token")
+
+    def _score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log(float(n_docs) / dfv)
+        idf = np.floor(idf * 1e6 + 0.5) / 1e6
+        s = np.floor(tfv * idf * 10000.0 + 0.5) / 10000.0
+        return pa.table({id_col: t[id_col], "token": t["token"],
+                         "tfidf": pa.array(s)})
+
+    scored = joined.map_batches(_score, batch_format="pyarrow",
+                                batch_size=None)
+    return topk_per_group(scored, id_col, ["tfidf", "token"], k)

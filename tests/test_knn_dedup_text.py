@@ -673,6 +673,41 @@ def test_doc_freq_matches_brute(ray_session_module):
     assert got["n_docs"].iloc[0] == 30  # 'common' in every doc, once each
 
 
+def test_tfidf_topk_matches_brute(ray_session_module):
+    """tf_idf_topk == brute pandas TF-IDF with the same quantization:
+    k binds (docs with > k distinct tokens), short docs emit < k rows,
+    tf > 1 weights repeats, and score ties break by token desc."""
+    import ray.data as rd
+    from buteo_ray.stages.text import tf_idf_topk
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(24, dtype=np.int64),
+        # 'common' everywhere (idf 0), per-doc rares, a repeated token,
+        # and doc 0 with only two distinct tokens (< k output rows).
+        "text": (["common common short0"]
+                 + [f"common rep{i % 5} rep{i % 5} rare{i}a rare{i}b"
+                    for i in range(1, 24)]),
+    })
+    n = len(df)
+    out = (tf_idf_topk(rd.from_pandas(df).repartition(5), n_docs=n, k=3)
+           .to_pandas().sort_values(["doc_id", "token"])
+           .reset_index(drop=True))
+
+    pairs = (df.assign(token=df["text"].str.split(" ")).explode("token")
+             .groupby(["doc_id", "token"]).size().rename("tf").reset_index())
+    dfreq = pairs.groupby("token")["doc_id"].nunique().rename("df")
+    pairs = pairs.join(dfreq, on="token")
+    idf = np.floor(np.log(n / pairs["df"].to_numpy(np.float64)) * 1e6 + 0.5) / 1e6
+    pairs["tfidf"] = np.floor(pairs["tf"].to_numpy(np.float64) * idf * 1e4 + 0.5) / 1e4
+    want = (pairs.sort_values(["doc_id", "tfidf", "token"],
+                              ascending=[True, False, False], kind="stable")
+            .groupby("doc_id").head(3)[["doc_id", "token", "tfidf"]]
+            .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["doc_id", "token", "tfidf"]], want)
+    assert (out.groupby("doc_id").size() == 3).sum() == 23
+    assert (out[out["doc_id"] == 0]["token"] == ["common", "short0"]).all()
+
+
 def test_pii_scrub_patterns(ray_session_module):
     """pii_scrub redacts email/IPv4/phone spans, counts per row, and
     leaves clean rows untouched."""
