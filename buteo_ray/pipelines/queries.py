@@ -918,6 +918,96 @@ def sql_asof_join() -> str:
     )
 
 
+def _q_range_join(sf_dir: str, mode: str):
+    """Shared body of the two range-join queries: every click matched to
+    every purchase whose 1-hour attribution window contains it — a PURE
+    range join (no equi-key; ≙ task brief §custom operators 'range
+    join'; the reference's closest analog is the bbox candidate range
+    test in vector/clip.py, generalized to 1-D time)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.range_join import range_join
+
+    _HOUR_US = 3_600_000_000
+
+    def _clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("click")))
+        return pa.table({"click_id": t["event_id"],
+                         "click_value": t["value"],
+                         "__ts": t["ts"].cast(pa.int64())})
+
+    def _purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
+        lo = t["ts"].cast(pa.int64())
+        return pa.table({"purchase_id": t["event_id"],
+                         "purchase_value": t["value"],
+                         "__lo": lo,
+                         "__hi": pc.add(lo, pa.scalar(_HOUR_US, pa.int64()))})
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    probe = _read(sf_dir, "events", columns=cols).map_batches(
+        _clicks, batch_format="pyarrow", batch_size=None)
+    intervals = _read(sf_dir, "events", columns=cols).map_batches(
+        _purchases, batch_format="pyarrow", batch_size=None)
+    # Window width is statically 1 hour → pass it as the cell width so
+    # the partitioned tier skips its max-duration derivation pass.
+    out = range_join(probe, intervals, "__ts", "__lo", "__hi", mode=mode,
+                     cell_width=_HOUR_US)
+    return out.select_columns(
+        ["click_id", "purchase_id", "click_value", "purchase_value"])
+
+
+def q_range_join(sf_dir: str):
+    """Range join, auto tier (the small interval side broadcasts: one
+    sorted-array ray.put, two searchsorted per probe batch)."""
+    return _q_range_join(sf_dir, "auto")
+
+
+def q_range_join_part(sf_dir: str):
+    """Range join, FORCED partitioned tier (time-cell replication +
+    co-shuffled per-bucket merge) — the 100-TB path, attested against
+    the identical oracle as the broadcast tier."""
+    return _q_range_join(sf_dir, "partitioned")
+
+
+def sql_range_join() -> str:
+    return (
+        "SELECT c.event_id AS click_id, p.event_id AS purchase_id, "
+        "c.value AS click_value, p.value AS purchase_value "
+        "FROM events c JOIN events p "
+        "ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR "
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase'"
+    )
+
+
+def q_rolling_window(sf_dir: str):
+    """Per-user rolling row-window aggregate (3 PRECEDING + CURRENT ROW
+    over ts,event_id order): mean/sum/count of value — the ordered
+    window aggregate of task brief §custom operators. FLOOR half-up
+    4-dp rounding on both sides (window sums accumulate in different
+    orders across engines)."""
+    from buteo_ray.stages.streaming import rolling_window
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_window(ev, key_col="user_id",
+                         order_cols=["ts", "event_id"],
+                         value_col="value", preceding=3, round4=True)
+    return out.select_columns(
+        ["user_id", "event_id", "roll_mean", "roll_sum", "roll_n"])
+
+
+def sql_rolling_window() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "FLOOR(AVG(value) OVER w * 10000.0 + 0.5) / 10000.0 AS roll_mean, "
+        "FLOOR(SUM(value) OVER w * 10000.0 + 0.5) / 10000.0 AS roll_sum, "
+        "COUNT(value) OVER w AS roll_n "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -3500,15 +3590,22 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "training_pipeline": q_training_pipeline,
     "agg_groupby": q_agg_groupby,
-    "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "dup_spans": q_dup_spans,
-    "knn": q_knn,
-    # round-5 addition (TF-IDF keyword extraction) — takes the window
-    # slot of hex_bin_counts, which is attested green in BOTH r03 and
-    # r04 on an untouched code path.
+    # round-5 additions (TF-IDF keyword extraction, pure range join,
+    # per-key rolling row-window). They take the window slots of
+    # hex_bin_counts (attested green in BOTH r03 and r04 on an
+    # untouched code path), simhash (r04-attested; its signature path
+    # is a strict subset of in-window simhash_dup_pairs), and knn
+    # (r04-attested; knn.py untouched since, and in-window knn_cells
+    # shares the identical oracle).
     "tfidf_topk": q_tfidf_topk,
+    "range_join": q_range_join,
+    "rolling_window": q_rolling_window,
     # --- end of the 50-query driver window ---
+    "range_join_part": q_range_join_part,
+    "simhash": q_simhash,
+    "knn": q_knn,
     "hex_bin_counts": q_hex_bin_counts,
     # driver-attested green on round-4 code (CORRECTNESS_r04)
     "augment_rot_mirror": q_augment_rot_mirror,
@@ -3599,6 +3696,11 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "median_by_group": sql_median_by_group,
     "histogram": sql_histogram,
     "asof_join": sql_asof_join,
+    "range_join": sql_range_join,
+    # Both tiers attest against the SAME SQL — the containment
+    # predicate is tier-independent.
+    "range_join_part": sql_range_join,
+    "rolling_window": sql_rolling_window,
     "line_bbox_join": sql_line_bbox_join,
     "lang_pred": sql_lang_pred,
     "pip_join_poly": sql_pip_join_poly,

@@ -124,6 +124,51 @@ def sliding_window_counts(ds, ts_col: str = "ts", window: str = "1h",
     return bucketed_count(exploded, group_keys, alias="n_events")
 
 
+def rolling_window(ds, key_col: str = "user_id", order_cols=("ts",),
+                   value_col: str = "value", preceding: int = 3,
+                   round4: bool = False):
+    """Per-key rolling ROW-window aggregate: for every row, mean / sum /
+    non-null count of ``value_col`` over the ``preceding`` rows before
+    it plus itself, within its key partition ordered by ``order_cols``
+    (SQL: ``... OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    preceding PRECEDING AND CURRENT ROW)``). Deterministic iff
+    ``order_cols`` is a total order within each key — pass a unique
+    tiebreaker column (e.g. the event id) after the timestamp.
+
+    Output: the input rows + ``roll_mean`` / ``roll_sum`` / ``roll_n``.
+    ``round4=True`` applies the engine-wide FLOOR half-up 4-dp rounding
+    to mean/sum (use when comparing against a SQL window oracle — the
+    two sides accumulate the window sum in different orders).
+
+    Keys are unbounded: routed by hash bucket (one pandas
+    ``groupby.rolling`` per ≈64 MB bucket), never one Ray group per key.
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    order_cols = list(order_cols)
+    win = int(preceding) + 1
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols],
+                          kind="stable").reset_index(drop=True)
+        r = g.groupby(key_col, sort=False, dropna=False)[value_col] \
+            .rolling(window=win, min_periods=1)
+        # droplevel(0) restores the pre-group row index → positional
+        # alignment back onto g is exact regardless of group order.
+        mean = r.mean().droplevel(0).sort_index()
+        total = r.sum().droplevel(0).sort_index()
+        n = r.count().droplevel(0).sort_index()
+        if round4:
+            mean = np.floor(mean * 10000.0 + 0.5) / 10000.0
+            total = np.floor(total * 10000.0 + 0.5) / 10000.0
+        g["roll_mean"] = mean
+        g["roll_sum"] = total
+        g["roll_n"] = n.astype(np.int64)
+        return g
+
+    return bucketed_fold(ds, [key_col], _fold)
+
+
 def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
               right_cols: Optional[list] = None):
     """As-of join: each left row matched to the latest right row with
