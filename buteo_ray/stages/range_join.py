@@ -53,6 +53,50 @@ def _drop_null_rows(t: pa.Table, cols) -> pa.Table:
     return t.filter(mask)
 
 
+def _drop_unmatchable_intervals(t: pa.Table, lo_col: str, hi_col: str) -> pa.Table:
+    """Null bounds and inverted/empty intervals (``hi <= lo``) can never
+    satisfy ``lo <= ts < hi`` — drop them on entry. Dropping (rather
+    than clamping) keeps the broadcast tier's max-duration arithmetic
+    non-negative and both tiers byte-identical on malformed input."""
+    t = _drop_null_rows(t, [lo_col, hi_col])
+    return t.filter(pc.greater(t[hi_col], t[lo_col]))
+
+
+def _tick_unit(t: pa.DataType):
+    """Comparable tick domain of a ts/bound column: the timestamp unit,
+    or ``"int"`` for raw integer ticks."""
+    if pa.types.is_timestamp(t):
+        return t.unit
+    return "int"
+
+
+def _check_units(p_fields, i_fields, ts_col, lo_col, hi_col):
+    types = {n: t for n, t in list(p_fields) + list(i_fields)}
+    units = {c: _tick_unit(types[c]) for c in (ts_col, lo_col, hi_col)}
+    if len(set(units.values())) != 1:
+        raise ValueError(
+            "range_join: ts/lo/hi columns must share one tick domain "
+            f"(timestamp unit or raw int64), got {units} — cast "
+            "explicitly upstream; mixed units would produce a silently "
+            "empty or wrong join.")
+
+
+def _empty_joined(probe_ds, interval_ds):
+    """Zero-row result carrying the full joined schema (probe fields +
+    interval fields) — the empty-interval-side short-circuit of both
+    tiers."""
+    from buteo_ray.stages.aggregate import arrow_fields
+
+    joined = pa.schema(list(arrow_fields(probe_ds)) +
+                       list(arrow_fields(interval_ds)))
+
+    def _empty(t: pa.Table) -> pa.Table:
+        return joined.empty_table()
+
+    return probe_ds.map_batches(_empty, batch_format="pyarrow",
+                                batch_size=None)
+
+
 def _expand_candidates(start: np.ndarray, end: np.ndarray):
     """Vectorized expansion of per-probe candidate index ranges
     [start_i, end_i) → (probe_row_idx, candidate_idx) pair arrays."""
@@ -93,12 +137,13 @@ def range_join(
     from buteo_ray.stages.aggregate import arrow_fields
     from buteo_ray.state.skew import estimate_bytes
 
-    p_names = [n for n, _ in arrow_fields(probe_ds)]
-    i_names = [n for n, _ in arrow_fields(interval_ds)]
-    shared = set(p_names) & set(i_names)
+    p_fields = list(arrow_fields(probe_ds))
+    i_fields = list(arrow_fields(interval_ds))
+    shared = {n for n, _ in p_fields} & {n for n, _ in i_fields}
     if shared:
         raise ValueError(
             f"range_join: column names must be disjoint, shared={sorted(shared)}")
+    _check_units(p_fields, i_fields, ts_col, lo_col, hi_col)
     if mode == "auto":
         mode = ("broadcast"
                 if estimate_bytes(interval_ds) <= broadcast_limit
@@ -121,19 +166,9 @@ def _range_join_broadcast(probe_ds, interval_ds, ts_col, lo_col, hi_col):
     itab = (pa.concat_tables(blocks, promote_options="default")
             if blocks else None)
     if itab is not None:
-        itab = _drop_null_rows(itab, [lo_col, hi_col])
+        itab = _drop_unmatchable_intervals(itab, lo_col, hi_col)
     if itab is None or itab.num_rows == 0:
-        # Empty interval side → empty result with the joined schema.
-        from buteo_ray.stages.aggregate import arrow_fields
-
-        joined = pa.schema(list(arrow_fields(probe_ds)) +
-                           list(arrow_fields(interval_ds)))
-
-        def _empty(t: pa.Table) -> pa.Table:
-            return joined.empty_table()
-
-        return probe_ds.map_batches(_empty, batch_format="pyarrow",
-                                    batch_size=None)
+        return _empty_joined(probe_ds, interval_ds)
     lo = _as_ticks(itab[lo_col])
     hi = _as_ticks(itab[hi_col])
     order = np.argsort(lo, kind="stable")
@@ -167,7 +202,8 @@ def _range_join_broadcast(probe_ds, interval_ds, ts_col, lo_col, hi_col):
 def _range_join_partitioned(probe_ds, interval_ds, ts_col, lo_col, hi_col,
                             num_buckets: Optional[int] = None,
                             cell_width: Optional[int] = None):
-    from buteo_ray.stages.aggregate import _bucket_frame, _hash_key_column, arrow_fields
+    from buteo_ray.stages.aggregate import (BUCKET_COL, _bucket_frame,
+                                            append_key_bucket, arrow_fields)
     from buteo_ray.state.skew import derive_num_partitions
 
     if cell_width is None:
@@ -177,7 +213,7 @@ def _range_join_partitioned(probe_ds, interval_ds, ts_col, lo_col, hi_col,
         # strictly necessary — pass cell_width when the duration bound
         # is statically known.
         def _dur(t: pa.Table) -> pa.Table:
-            t = _drop_null_rows(t, [lo_col, hi_col])
+            t = _drop_unmatchable_intervals(t, lo_col, hi_col)
             if t.num_rows == 0:
                 return pa.table({"__dur": pa.array([], type=pa.int64())})
             d = _as_ticks(t[hi_col]) - _as_ticks(t[lo_col])
@@ -186,14 +222,7 @@ def _range_join_partitioned(probe_ds, interval_ds, ts_col, lo_col, hi_col,
         cell_width = interval_ds.map_batches(
             _dur, batch_format="pyarrow", batch_size=None).max("__dur")
     if cell_width is None:  # empty interval side
-        joined = pa.schema(list(arrow_fields(probe_ds)) +
-                           list(arrow_fields(interval_ds)))
-
-        def _empty(t: pa.Table) -> pa.Table:
-            return joined.empty_table()
-
-        return probe_ds.map_batches(_empty, batch_format="pyarrow",
-                                    batch_size=None)
+        return _empty_joined(probe_ds, interval_ds)
     width = max(int(cell_width), 1)
     n_buckets = int(num_buckets or
                     derive_num_partitions(probe_ds, interval_ds))
@@ -222,9 +251,10 @@ def _range_join_partitioned(probe_ds, interval_ds, ts_col, lo_col, hi_col,
 
     def _interval_rows(t: pa.Table) -> pa.Table:
         # Replicate each interval into every cell it overlaps — at most
-        # 2 since width >= max duration (end cell uses hi - 1: the hi
-        # bound is exclusive).
-        t = _drop_null_rows(t, [lo_col, hi_col])
+        # 2 when width >= max duration (end cell uses hi - 1: the hi
+        # bound is exclusive), more when the caller passed a smaller
+        # cell_width (still exact, just a higher replication factor).
+        t = _drop_unmatchable_intervals(t, lo_col, hi_col)
         lo = _as_ticks(t[lo_col])
         hi = _as_ticks(t[hi_col])
         c0 = lo // width
@@ -239,11 +269,9 @@ def _range_join_partitioned(probe_ds, interval_ds, ts_col, lo_col, hi_col,
         interval_ds.map_batches(_interval_rows, batch_format="pyarrow",
                                 batch_size=None))
 
-    def _bucket(t: pa.Table) -> pa.Table:
-        b = _hash_key_column(t["__cell"]) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(b.astype(np.int64)))
-
-    both = both.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+    # The engine-wide routing step (dtype-stable hash, null sentinel) —
+    # not a bespoke re-implementation.
+    both = append_key_bucket(both, ["__cell"], n_buckets)
     p_cols = [n for n, _ in p_fields]
     i_cols = [n for n, _ in i_fields]
 
@@ -263,4 +291,4 @@ def _range_join_partitioned(probe_ds, interval_ds, ts_col, lo_col, hi_col,
             m = m[np.asarray(keep, dtype=bool)]
         return m.drop(columns=["__cell"]).reset_index(drop=True)
 
-    return both.groupby("__bucket").map_groups(_join, batch_format="pyarrow")
+    return both.groupby(BUCKET_COL).map_groups(_join, batch_format="pyarrow")

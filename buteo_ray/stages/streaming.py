@@ -153,17 +153,17 @@ def rolling_window(ds, key_col: str = "user_id", order_cols=("ts",),
                           kind="stable").reset_index(drop=True)
         r = g.groupby(key_col, sort=False, dropna=False)[value_col] \
             .rolling(window=win, min_periods=1)
-        # droplevel(0) restores the pre-group row index → positional
-        # alignment back onto g is exact regardless of group order.
-        mean = r.mean().droplevel(0).sort_index()
-        total = r.sum().droplevel(0).sort_index()
-        n = r.count().droplevel(0).sort_index()
+        # One window scan for all three stats; droplevel(0) restores the
+        # pre-group row index → index alignment back onto g is exact
+        # regardless of group order.
+        agg = r.agg(["mean", "sum", "count"]).droplevel(0).sort_index()
+        mean, total = agg["mean"], agg["sum"]
         if round4:
             mean = np.floor(mean * 10000.0 + 0.5) / 10000.0
             total = np.floor(total * 10000.0 + 0.5) / 10000.0
         g["roll_mean"] = mean
         g["roll_sum"] = total
-        g["roll_n"] = n.astype(np.int64)
+        g["roll_n"] = agg["count"].astype(np.int64)
         return g
 
     return bucketed_fold(ds, [key_col], _fold)

@@ -102,6 +102,45 @@ def test_range_join_empty_interval_side(ray_session, mode):
     assert out.count() == 0
 
 
+@pytest.mark.parametrize("mode", ["broadcast", "partitioned"])
+def test_range_join_inverted_intervals_never_match(ray_session, mode):
+    """hi <= lo can never satisfy lo <= ts < hi: dropped on entry in
+    both tiers (the broadcast tier's max-duration arithmetic would
+    otherwise go negative and crash candidate expansion)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.range_join import range_join
+
+    probe = pd.DataFrame({"pid": [1, 2],
+                          "__ts": np.array([20, 5], dtype=np.int64)})
+    intervals = pd.DataFrame({
+        "iid": np.array([10, 11, 12], dtype=np.int64),
+        "__lo": np.array([22, 7, 0], dtype=np.int64),
+        "__hi": np.array([15, 7, 100], dtype=np.int64),  # two inverted/empty
+    })
+    out = range_join(rd.from_pandas(probe), rd.from_pandas(intervals),
+                     "__ts", "__lo", "__hi", mode=mode).to_pandas()
+    assert sorted(out["pid"].tolist()) == [1, 2]
+    assert set(out["iid"]) == {12}
+
+
+def test_range_join_rejects_mixed_tick_units(ray_session):
+    """timestamp[ns] probe vs int64 bounds (and mismatched timestamp
+    units) must raise, not silently return an empty join."""
+    import ray.data as rd
+
+    from buteo_ray.stages.range_join import range_join
+
+    probe = pd.DataFrame({"pid": [1],
+                          "__ts": [pd.Timestamp("2024-01-01")]})
+    intervals = pd.DataFrame({"iid": np.array([1], dtype=np.int64),
+                              "__lo": np.array([0], dtype=np.int64),
+                              "__hi": np.array([10], dtype=np.int64)})
+    with pytest.raises(ValueError, match="tick domain"):
+        range_join(rd.from_pandas(probe), rd.from_pandas(intervals),
+                   "__ts", "__lo", "__hi")
+
+
 def test_range_join_rejects_shared_columns(ray_session):
     import ray.data as rd
 
