@@ -3044,6 +3044,31 @@ def sql_sample_random() -> str:
             + " SELECT doc_id FROM u WHERE u < 0.3")
 
 
+def q_mixture_sample(sf_dir: str):
+    """Deterministic mixture resampling (stages/selection.py:
+    mixture_sample): per-source keep rates 0.1 + 0.05·(suffix % 16),
+    hash-thresholded on doc_id — the data-mixing step of a corpus
+    pipeline, map-only at any scale. The rate table is built from the
+    suffix formula (mirrored exactly in the oracle SQL: identical
+    float literals and op order → bit-equal rates)."""
+    from buteo_ray.stages.selection import mixture_sample
+
+    fractions = {f"src{i}": 0.1 + 0.05 * (i % 16) for i in range(256)}
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+    return mixture_sample(docs, key_col="source", fractions=fractions,
+                          id_col="doc_id", seed=42)
+
+
+def sql_mixture_sample() -> str:
+    # mixture_sample hashes with seed + 1, like sampling_random.
+    return (
+        "WITH " + _sql_split_unit_cte(seed=43)
+        + " SELECT d.doc_id, d.source FROM documents d "
+        "JOIN u ON d.doc_id = u.doc_id "
+        "WHERE u.u < 0.1 + 0.05 * (CAST(SUBSTR(d.source, 4) AS INT) % 16)"
+    )
+
+
 # ------------------------------- positional encodings / class fill / pixel
 
 def q_encode_position(sf_dir: str):
@@ -3604,6 +3629,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "rolling_window": q_rolling_window,
     # --- end of the 50-query driver window ---
     "range_join_part": q_range_join_part,
+    "mixture_sample": q_mixture_sample,
     "simhash": q_simhash,
     "knn": q_knn,
     "hex_bin_counts": q_hex_bin_counts,
@@ -3701,6 +3727,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     # predicate is tier-independent.
     "range_join_part": sql_range_join,
     "rolling_window": sql_rolling_window,
+    "mixture_sample": sql_mixture_sample,
     "line_bbox_join": sql_line_bbox_join,
     "lang_pred": sql_lang_pred,
     "pip_join_poly": sql_pip_join_poly,

@@ -97,6 +97,31 @@ def sampling_random(ds, fraction: float, id_col: str, seed: int = 42):
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+def mixture_sample(ds, key_col: str, fractions: dict, id_col: str,
+                   seed: int = 42, default: float = 0.0):
+    """Deterministic mixture resampling: keep each row with its key's
+    target rate — the data-mixing step of a training-corpus pipeline
+    (down-weight over-represented sources to hit a target mixture).
+
+    Per-row keep test is ``split_unit(id) < fractions[key]`` — the same
+    hash-threshold contract as :func:`sampling_random`, so the kept set
+    is independent of partitioning/order, identical on re-runs (resume
+    safe), and composes with the hash splits: a row kept at rate f is a
+    superset-stable choice (raising a source's rate only ADDS rows,
+    never swaps them). Keys missing from ``fractions`` keep at
+    ``default`` (0 = drop). Map-only — no shuffle at any scale.
+    """
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        u = _split_unit(batch[id_col].to_numpy(zero_copy_only=False),
+                        seed + 1)
+        keys = pd.Series(batch[key_col].to_numpy(zero_copy_only=False))
+        rate = keys.map(fractions).fillna(default).to_numpy(dtype=np.float64)
+        return batch.filter(pa.array(u < rate))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
 def sampling_stratified(ds, class_col: str, n_per_class: int, seed: int = 42):
     """Per-class fixed-size sample (≙ ``sampling_stratified``,
     selection.py:141-199): groupby(class) → seeded in-group choice."""

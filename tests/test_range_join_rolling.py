@@ -219,3 +219,31 @@ def test_rolling_window_nan_values_excluded(ray_session):
     out = out.sort_values("event_id")
     assert out["roll_n"].tolist() == [1, 1, 1, 1]
     np.testing.assert_allclose(out["roll_mean"], [1.0, 1.0, 3.0, 3.0])
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    """Per-key keep rates approximate the targets; re-runs keep the
+    identical row set; missing keys drop (default=0); raising a rate
+    only ADDS rows (superset stability)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.selection import mixture_sample
+
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "src": np.where(np.arange(n) % 2 == 0, "a", "b"),
+    })
+    ds = rd.from_pandas(df)
+    out1 = mixture_sample(ds, "src", {"a": 0.8, "b": 0.2}, "id").to_pandas()
+    out2 = mixture_sample(ds, "src", {"a": 0.8, "b": 0.2}, "id").to_pandas()
+    assert sorted(out1["id"]) == sorted(out2["id"])
+    ra = len(out1[out1["src"] == "a"]) / (n / 2)
+    rb = len(out1[out1["src"] == "b"]) / (n / 2)
+    assert abs(ra - 0.8) < 0.05 and abs(rb - 0.2) < 0.05
+    # superset stability: raising b's rate only adds rows
+    out3 = mixture_sample(ds, "src", {"a": 0.8, "b": 0.5}, "id").to_pandas()
+    assert set(out1["id"]) <= set(out3["id"])
+    # missing key → default 0 → dropped entirely
+    out4 = mixture_sample(ds, "src", {"a": 0.8}, "id").to_pandas()
+    assert (out4["src"] == "a").all()
