@@ -44,6 +44,9 @@ def training_data_pipeline(
     max_dup_bigram_frac: Optional[float] = None,
     chunk_tokens: Optional[int] = None,
     chunk_overlap: int = 16,
+    mixture_fractions: Optional[dict] = None,
+    mixture_key: str = "source",
+    mixture_seed: int = 42,
 ):
     """Run the chain over a page Dataset; returns the final Dataset (or
     lineage rows when ``write_to`` is set).
@@ -116,6 +119,19 @@ def training_data_pipeline(
         return t.filter(pa.array(n >= min_tokens))
 
     ds = ds.map_batches(_quality_filter, batch_format="pyarrow", batch_size=None)
+
+    if mixture_fractions is not None:
+        # Mixture resampling (per-source keep rates, hash-thresholded on
+        # id — stages/selection.py:mixture_sample). Applied EARLY — right
+        # after the row-level gates and before the dedup shuffles — so
+        # down-weighted sources never pay the expensive stages. Rates are
+        # per-row keep probabilities over the post-filter population, not
+        # achieved output proportions; keys absent from the dict drop.
+        from buteo_ray.stages.selection import mixture_sample
+
+        ds = mixture_sample(ds, key_col=mixture_key,
+                            fractions=mixture_fractions,
+                            id_col=id_col, seed=mixture_seed)
 
     if max_dup_bigram_frac is not None:
         # Gopher-style repetition gate: drop docs whose duplicate-bigram

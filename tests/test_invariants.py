@@ -112,6 +112,34 @@ def test_training_data_pipeline(ray_session, tmp_path):
     assert {r["partition"] for r in lineage} <= {"train", "val"}
 
 
+def test_training_data_pipeline_mixture(ray_session):
+    """mixture_fractions: a zero-rate source vanishes, a rate-1.0 source
+    passes untouched, and the stage composes with the rest of the chain
+    (kept set is exactly the standalone mixture_sample intersection)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    rows = []
+    for i in range(80):
+        # Distinct-per-row filler so the near-dup stage has no pairs —
+        # this test isolates the mixture stage.
+        filler = " ".join(f"w{(i * 7919 + k * 104729) % 99991}"
+                          for k in range(20))
+        rows.append({"page_id": i,
+                     "text": f"the cat sat {filler}",
+                     "source": "keep" if i % 2 == 0 else "drop"})
+    df = pd.DataFrame(rows)
+
+    out = training_data_pipeline(
+        rd.from_pandas(df), min_tokens=5, near_dup_threshold=0.99,
+        mixture_fractions={"keep": 1.0},  # 'drop' absent → rate 0
+    ).to_pandas()
+    assert (out["source"] == "keep").all()
+    assert set(out["page_id"]) == {i for i in range(80) if i % 2 == 0}
+
+
 def test_training_data_pipeline_alt_near_dup_methods(ray_session):
     """The simhash and embedding near-dup modes drop planted near-dups
     end-to-end; an unknown mode fails loudly."""
