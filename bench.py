@@ -144,7 +144,9 @@ def _flush_partial(payload: dict):
     raylet crash or truncated stdout (the r03/r04 artifact failures)
     then still leaves a complete-as-of-the-crash JSON file on disk."""
     try:
-        os.makedirs(os.path.dirname(PARTIAL_PATH), exist_ok=True)
+        d = os.path.dirname(PARTIAL_PATH)
+        if d:  # a bare filename means cwd — makedirs('') would raise
+            os.makedirs(d, exist_ok=True)
         tmp = PARTIAL_PATH + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -241,7 +243,10 @@ def scaling():
                                env=env, capture_output=True, text=True)
             lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
             if p.returncode == 0 and lines:
-                d = json.loads(lines[-1])
+                try:  # rc=0 with a truncated line must consume the retry
+                    d = json.loads(lines[-1])
+                except ValueError:
+                    d = {}
                 if d.get("value") is not None:
                     return d
             if attempt == 0:

@@ -482,12 +482,6 @@ def minhash_lsh_pairs(
              "id_b": pd.Series([], dtype="int64"),
              "est_jaccard": pd.Series([], dtype="float64")}))
 
-    # Size-gated broadcast of the hot-bucket key set: `multi` has one row
-    # per multi-member bucket (≈ near-dup clusters × bands), which is tiny
-    # relative to the corpus in every realistic dedup run — ray.put the
-    # packed keys once and filter band rows with a vectorized searchsorted
-    # (saves a full-width all-to-all). Above the threshold (duplicate-
-    # saturated corpora) fall back to the hash-partitioned left-semi join.
     # Full band rows (with the packed sig) derive lazily from the pinned
     # per-doc signatures, then restrict to the hot buckets.
     band_rows = sig_docs.map_batches(_bands, batch_format="pyarrow",
@@ -1138,16 +1132,20 @@ def _star_contraction(edges, max_rounds: int = 64):
             return pa.table({"s_hi": pa.array([int(s >> np.uint64(32))],
                                               type=pa.int64()),
                              "s_lo": pa.array([int(s & np.uint64(0xFFFFFFFF))],
-                                              type=pa.int64())})
+                                              type=pa.int64()),
+                             "n": pa.array([t.num_rows], type=pa.int64())})
 
-        # One row per block — the driver folds n_blocks partials, never rows.
-        tot = 0
+        # One row per block, count carried in the same partial — the
+        # driver folds n_blocks partials and the dataset executes ONCE
+        # per round (a separate ed.count() would execute it twice).
+        tot, n = 0, 0
         for t in nonempty_arrow_blocks(
                 ed.map_batches(_h, batch_format="pyarrow", batch_size=None)):
             part = (t["s_hi"].to_numpy().astype(object) * 2**32
                     + t["s_lo"].to_numpy()).sum()
             tot = (tot + int(part)) % 2**64
-        return ed.count(), tot
+            n += int(t["n"].to_numpy().sum())
+        return n, tot
 
     ed = edges.map_batches(_orient, batch_format="pyarrow", batch_size=None)
     ed = bucketed_count(ed, ["u", "v"], alias="__n") \
@@ -1295,7 +1293,16 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
         # Dup-graph diameter exceeds max_iters (adversarially chained
         # graph): switch to alternating star contraction — O(log n)
         # rounds regardless of diameter, same join/fold primitives.
-        labels, _ = _star_contraction(edges)
+        star_labels, _ = _star_contraction(edges)
+        # Min-fold the star labels with the propagation labels rather
+        # than replacing them: the contraction's _orient drops
+        # self-loops, so a node whose EVERY edge is a self-loop has no
+        # star row — its propagation row (label = itself) must survive.
+        # For contracted nodes the star label is the exact component
+        # minimum, always ≤ the partially-propagated label, so the min
+        # picks the star answer.
+        labels = bucketed_fold(star_labels.union(labels), ["node"],
+                               _min_fold).materialize()
 
     def _out(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster_id": t["lbl"]})

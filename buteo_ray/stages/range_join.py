@@ -228,6 +228,13 @@ def _range_join_partitioned(probe_ds, interval_ds, ts_col, lo_col, hi_col,
                     derive_num_partitions(probe_ds, interval_ds))
 
     p_fields, i_fields = list(arrow_fields(probe_ds)), list(arrow_fields(interval_ds))
+    reserved = {"__cell", "__side", BUCKET_COL} & \
+        {n for n, _ in p_fields + i_fields}
+    if reserved:
+        raise ValueError(
+            "range_join (partitioned): input columns collide with "
+            f"internal routing columns {sorted(reserved)} — rename them "
+            "upstream (a silent overwrite would mis-route rows).")
     order = [n for n, _ in p_fields] + [n for n, _ in i_fields]
     types = {n: t for n, t in p_fields + i_fields}
 

@@ -141,6 +141,23 @@ def test_range_join_rejects_mixed_tick_units(ray_session):
                    "__ts", "__lo", "__hi")
 
 
+def test_range_join_partitioned_rejects_reserved_columns(ray_session):
+    """A user column named __cell/__side would be silently overwritten
+    by the partitioned tier's routing columns — must raise instead."""
+    import ray.data as rd
+
+    from buteo_ray.stages.range_join import range_join
+
+    probe = pd.DataFrame({"pid": [1], "__ts": np.array([5], dtype=np.int64),
+                          "__cell": [9]})
+    intervals = pd.DataFrame({"iid": np.array([1], dtype=np.int64),
+                              "__lo": np.array([0], dtype=np.int64),
+                              "__hi": np.array([10], dtype=np.int64)})
+    with pytest.raises(ValueError, match="routing columns"):
+        range_join(rd.from_pandas(probe), rd.from_pandas(intervals),
+                   "__ts", "__lo", "__hi", mode="partitioned").count()
+
+
 def test_range_join_rejects_shared_columns(ray_session):
     import ray.data as rd
 

@@ -1474,10 +1474,12 @@ def test_dup_clusters_star_fallback_on_nonconvergence(ray_session):
     from buteo_ray.stages.dedup import dup_clusters
 
     # Path graph 0-1-…-10 (diameter 10 > max_iters=3) plus a separate
-    # triangle component {100, 101, 102}.
+    # triangle component {100, 101, 102} plus a SELF-LOOP-ONLY node 77
+    # (the contraction drops self-loops — its label row must still come
+    # back, matching the other two tiers).
     chain = pa.table({
-        "id_a": list(range(10)) + [100, 101, 100],
-        "id_b": list(range(1, 11)) + [101, 102, 102],
+        "id_a": list(range(10)) + [100, 101, 100, 77],
+        "id_b": list(range(1, 11)) + [101, 102, 102, 77],
     })
     # driver_threshold=0 forces the distributed tier (the size-gated
     # driver fold has no iteration cap to exhaust).
@@ -1485,7 +1487,7 @@ def test_dup_clusters_star_fallback_on_nonconvergence(ray_session):
                        driver_threshold=0).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     want = {i: 0 for i in range(11)}
-    want.update({100: 100, 101: 100, 102: 100})
+    want.update({100: 100, 101: 100, 102: 100, 77: 77})
     assert got == want
 
 
