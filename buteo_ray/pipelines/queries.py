@@ -944,6 +944,11 @@ def _q_range_join(sf_dir: str, mode: str):
                          "__lo": lo,
                          "__hi": pc.add(lo, pa.scalar(_HOUR_US, pa.int64()))})
 
+    # Two column-pruned scans of the same log (one per side). Unlike
+    # q_asof_join's tagged-union single scan, range_join takes two
+    # Datasets — at 100 TB, pre-split the log once into per-type
+    # partitions (or materialize the small interval side) rather than
+    # paying the second full scan.
     cols = ["event_id", "ts", "event_type", "value"]
     probe = _read(sf_dir, "events", columns=cols).map_batches(
         _clicks, batch_format="pyarrow", batch_size=None)
