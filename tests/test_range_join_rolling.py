@@ -66,6 +66,32 @@ def test_range_join_matches_brute_force(ray_session, rj_frames, mode,
 
 
 @pytest.mark.parametrize("mode", ["broadcast", "partitioned"])
+def test_range_join_negative_ticks(ray_session, mode):
+    """Ticks spanning zero: numpy floor-division cells and searchsorted
+    bounds must stay exact for negative timestamps (pre-epoch dates)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.range_join import range_join
+
+    rng = np.random.default_rng(3)
+    probe = pd.DataFrame({
+        "pid": np.arange(200, dtype=np.int64),
+        "__ts": rng.integers(-5_000, 5_000, 200).astype(np.int64),
+    })
+    lo = rng.integers(-5_000, 5_000, 40).astype(np.int64)
+    intervals = pd.DataFrame({
+        "iid": np.arange(40, dtype=np.int64),
+        "__lo": lo,
+        "__hi": lo + rng.integers(1, 1_500, 40).astype(np.int64),
+    })
+    out = range_join(rd.from_pandas(probe), rd.from_pandas(intervals),
+                     "__ts", "__lo", "__hi", mode=mode).to_pandas()
+    want = _brute_range_join(probe, intervals)
+    assert len(want) > 20
+    pd.testing.assert_frame_equal(_canon(out), _canon(want))
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "partitioned"])
 def test_range_join_null_bounds_never_match(ray_session, mode):
     import ray.data as rd
 
