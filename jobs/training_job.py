@@ -47,6 +47,13 @@ def main() -> None:
     p.add_argument("--chunk-tokens", type=int, default=None,
                    help="emit overlap-window chunks instead of whole docs")
     p.add_argument("--chunk-overlap", type=int, default=16)
+    p.add_argument("--mixture", default=None,
+                   help='JSON dict of per-key keep rates, e.g. '
+                        '\'{"src0": 0.5, "src1": 1.0}\' — keys absent '
+                        "from the dict drop (rate 0)")
+    p.add_argument("--mixture-key", default="source",
+                   help="column holding the mixture key (read only when "
+                        "--mixture is given)")
     args = p.parse_args()
 
     import ray
@@ -63,10 +70,17 @@ def main() -> None:
     from buteo_ray.pipelines.training_data import training_data_pipeline
     from buteo_ray.state.checkpoint import read_manifest
 
+    mixture = json.loads(args.mixture) if args.mixture else None
+    cols = [args.id_col, "text"]
+    if mixture is not None:
+        cols.append(args.mixture_key)
+
     t0 = time.perf_counter()
-    ds = rd.read_parquet(args.input, columns=[args.id_col, "text"])
+    ds = rd.read_parquet(args.input, columns=cols)
     written = training_data_pipeline(
         ds, id_col=args.id_col,
+        mixture_fractions=mixture,
+        mixture_key=args.mixture_key,
         keep_langs=set(args.langs.split(",")) if args.langs else None,
         min_tokens=args.min_tokens,
         near_dup_method=args.near_dup,
