@@ -2,8 +2,10 @@
 CONTAINS their timestamp (``lo <= ts < hi``) with NO equi-key — the
 pure range join the reference's batch model never needed but a
 log/attribution pipeline does (task brief §custom operators; the
-reference's closest analog is the per-feature bbox range test inside
-``vector/clip.py``'s candidate filter, generalized here to 1-D time).
+reference's closest analog is the bbox extent pre-filter of
+``vector/clip.py:63-105`` — a coordinate-range containment test used
+to restrict candidates before the exact op — generalized here to 1-D
+time with no GDAL layer).
 
 Two tiers, size-gated like every other small-side join in the engine:
 
