@@ -285,11 +285,21 @@ def _range_join_partitioned(probe_ds, interval_ds, ts_col, lo_col, hi_col,
     i_cols = [n for n, _ in i_fields]
 
     def _join(gt: pa.Table) -> pd.DataFrame:
-        g = _bucket_frame(gt, ["__cell"] +
-                          [f.name for f in gt.schema
-                           if pa.types.is_integer(f.type)])
-        left = g[g["__side"] == 0][["__cell", *p_cols]]
-        right = g[g["__side"] == 1][["__cell", *i_cols]]
+        # Split sides in ARROW, before the pandas conversion: dropping
+        # the other side's columns first removes every alignment-padding
+        # null, so int columns convert to native int64 (a whole-frame
+        # conversion would see padded nulls in every side-specific int
+        # column and pay nullable-dtype merges). _bucket_frame still
+        # guards genuinely null user int columns.
+        side = gt["__side"]
+        int_cols = [f.name for f in gt.schema
+                    if pa.types.is_integer(f.type)]
+        left = _bucket_frame(
+            gt.filter(pc.equal(side, 0)).select(["__cell", *p_cols]),
+            [c for c in int_cols if c == "__cell" or c in p_cols])
+        right = _bucket_frame(
+            gt.filter(pc.equal(side, 1)).select(["__cell", *i_cols]),
+            [c for c in int_cols if c == "__cell" or c in i_cols])
         m = left.merge(right, on="__cell", how="inner")
         if len(m):
             # Series comparisons (not .to_numpy()): nullable Int64 key
