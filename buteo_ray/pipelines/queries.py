@@ -1013,6 +1013,36 @@ def sql_rolling_window() -> str:
     )
 
 
+def q_lag_lead(sf_dir: str):
+    """Per-user ordered LAG / LEAD / ROW_NUMBER + previous-row delta
+    (the row-navigation window functions; SURVEY.md §2.12 family).
+    delta is one IEEE subtraction of two untouched input doubles —
+    bit-identical to the SQL side, no rounding needed. The -1.0
+    default keeps the schema null-free (pandas-NaN vs SQL-NULL)."""
+    from buteo_ray.stages.streaming import window_shift
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = window_shift(ev, key_col="user_id",
+                       order_cols=["ts", "event_id"],
+                       value_col="value", lag=1, lead=1, default=-1.0)
+    return out.select_columns(
+        ["user_id", "event_id", "row_num", "lag_value", "lead_value",
+         "delta"])
+
+
+def sql_lag_lead() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "ROW_NUMBER() OVER w AS row_num, "
+        "LAG(value, 1, -1.0) OVER w AS lag_value, "
+        "LEAD(value, 1, -1.0) OVER w AS lead_value, "
+        "COALESCE(value - LAG(value, 1) OVER w, -1.0) AS delta "
+        "FROM events WINDOW w AS "
+        "(PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -3584,11 +3614,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "rasterize_count": q_rasterize_count,
     "sessionize": q_sessionize,
     "join_multiway": q_join_multiway,
-    "scale_minmax": q_scale_minmax,
     "topk_per_group": q_topk_per_group,
     "filter_agg": q_filter_agg,
     "count_distinct": q_count_distinct,
-    "string_ops": q_string_ops,
     "median_by_group": q_median_by_group,
     "histogram": q_histogram,
     "asof_join": q_asof_join,
@@ -3605,10 +3633,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "distance_transform": q_distance_transform,
     "reproject_points": q_reproject_points,
     "morph_erode": q_morph_erode,
-    "encode_latlng": q_encode_latlng,
     "ts_slope": q_ts_slope,
-    "bbox_ops": q_bbox_ops,
-    "color_hsl": q_color_hsl,
     "predict_linear": q_predict_linear,
     # round-5 addition (cluster-representative training chain)
     "training_pipeline_cluster": q_training_pipeline_cluster,
@@ -3632,7 +3657,20 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "tfidf_topk": q_tfidf_topk,
     "range_join": q_range_join,
     "rolling_window": q_rolling_window,
+    # round-5 late additions (never attested — must sit in-window).
+    # They take the slots of map-only scalar-kernel queries (bbox_ops,
+    # color_hsl, string_ops, encode_latlng, scale_minmax — all
+    # r03-attested, pure per-row kernels untouched by the r04/r05
+    # shared-helper changes the rest of the window re-attests).
+    "lag_lead": q_lag_lead,
     # --- end of the 50-query driver window ---
+    # displaced from the window this round (r03-attested map-only
+    # scalar kernels, untouched since)
+    "scale_minmax": q_scale_minmax,
+    "string_ops": q_string_ops,
+    "encode_latlng": q_encode_latlng,
+    "bbox_ops": q_bbox_ops,
+    "color_hsl": q_color_hsl,
     "range_join_part": q_range_join_part,
     "mixture_sample": q_mixture_sample,
     "simhash": q_simhash,
@@ -3732,6 +3770,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     # predicate is tier-independent.
     "range_join_part": sql_range_join,
     "rolling_window": sql_rolling_window,
+    "lag_lead": sql_lag_lead,
     "mixture_sample": sql_mixture_sample,
     "line_bbox_join": sql_line_bbox_join,
     "lang_pred": sql_lang_pred,

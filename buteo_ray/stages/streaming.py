@@ -305,3 +305,47 @@ def asof_join_tagged(both, key_col: str = "user_id", ts_col: str = "ts",
     # __side/__bucket are dropped inside _join; output schema is
     # left columns + right_{col} + right_ts.
     return both.groupby("__bucket").map_groups(_join, batch_format="pyarrow")
+
+
+def window_shift(ds, key_col: str = "user_id", order_cols=("ts",),
+                 value_col: str = "value", lag: int = 1, lead: int = 1,
+                 default: float = -1.0):
+    """Per-key ordered LAG / LEAD / ROW_NUMBER (SQL: ``LAG(value, lag,
+    default) OVER (PARTITION BY key ORDER BY order_cols)`` etc.) — the
+    row-navigation window functions the reference's strictly-batch
+    engine has no analog for (SURVEY.md §2.12 family).
+
+    Output: the input rows + ``row_num`` (1-based within key),
+    ``lag_value`` / ``lead_value`` (``default`` where no such row —
+    a non-null default keeps the output schema null-free so oracle
+    comparison never hits the pandas-NaN vs SQL-NULL mismatch), and
+    ``delta`` = value - lag_value (``default`` on the first row of a
+    key). ``delta`` is ONE IEEE subtraction of two untouched input
+    doubles, so it is bit-identical across engines — no rounding
+    needed.
+
+    Deterministic iff ``order_cols`` is a total order within each key
+    (pass a unique tiebreaker, e.g. the event id). Keys are unbounded:
+    routed by hash bucket (one vectorized pandas groupby-shift per
+    ≈64 MB bucket), never one Ray group per key.
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    order_cols = list(order_cols)
+    lag, lead = int(lag), int(lead)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols],
+                          kind="stable").reset_index(drop=True)
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        g["row_num"] = grp.cumcount() + 1
+        v = grp[value_col]
+        lag_v = v.shift(lag)
+        g["lag_value"] = lag_v.fillna(default)
+        g["lead_value"] = v.shift(-lead).fillna(default)
+        # delta from the UNFILLED lag: a first-of-key row gets the
+        # default, not value - default.
+        g["delta"] = (g[value_col] - lag_v).fillna(default)
+        return g
+
+    return bucketed_fold(ds, [key_col], _fold)

@@ -290,3 +290,62 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     # missing key → default 0 → dropped entirely
     out4 = mixture_sample(ds, "src", {"a": 0.8}, "id").to_pandas()
     assert (out4["src"] == "a").all()
+
+
+def _brute_shift(df: pd.DataFrame, lag: int, lead: int,
+                 default: float) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"],
+                        kind="stable").reset_index(drop=True)
+    g = df.groupby("user_id", sort=False)
+    df["row_num"] = g.cumcount() + 1
+    lag_v = g["value"].shift(lag)
+    df["lag_value"] = lag_v.fillna(default)
+    df["lead_value"] = g["value"].shift(-lead).fillna(default)
+    df["delta"] = (df["value"] - lag_v).fillna(default)
+    return df
+
+
+def test_window_shift_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import window_shift
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        # 0..59 keys plus a few singleton keys (row_num=1, all defaults)
+        "user_id": np.concatenate([
+            rng.integers(0, 60, n - 3), [1000, 1001, 1002]]).astype(np.int64),
+        "ts": rng.integers(0, 40, n).astype(np.int64),
+        "value": rng.normal(0.0, 5.0, n),
+    })
+    for lag, lead in [(1, 1), (2, 3)]:
+        out = window_shift(rd.from_pandas(df), key_col="user_id",
+                           order_cols=["ts", "event_id"],
+                           value_col="value", lag=lag, lead=lead,
+                           default=-1.0).to_pandas()
+        want = _brute_shift(df.copy(), lag, lead, -1.0)
+        out = out.sort_values("event_id").reset_index(drop=True)
+        want = want.sort_values("event_id").reset_index(drop=True)
+        assert out["row_num"].tolist() == want["row_num"].tolist()
+        for c in ["lag_value", "lead_value", "delta"]:
+            # exact: shifts copy untouched doubles, delta is one IEEE op
+            np.testing.assert_array_equal(out[c].to_numpy(),
+                                          want[c].to_numpy(), err_msg=c)
+
+
+def test_window_shift_singleton_key_defaults(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.streaming import window_shift
+
+    df = pd.DataFrame({
+        "event_id": [0], "user_id": [7], "ts": [0], "value": [3.5]})
+    out = window_shift(rd.from_pandas(df), key_col="user_id",
+                       order_cols=["ts", "event_id"],
+                       value_col="value", default=-1.0).to_pandas()
+    assert out["row_num"].tolist() == [1]
+    assert out["lag_value"].tolist() == [-1.0]
+    assert out["lead_value"].tolist() == [-1.0]
+    assert out["delta"].tolist() == [-1.0]
