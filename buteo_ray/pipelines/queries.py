@@ -1043,6 +1043,43 @@ def sql_lag_lead() -> str:
     )
 
 
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_events(sf_dir: str):
+    """Per-user pivot of event_type into wide count + value-sum columns
+    (SQL PIVOT / conditional aggregation). Keys (user_id) unbounded →
+    Arrow indicator partials + bucketed fold. FLOOR half-up 4-dp on the
+    sums (accumulation order differs across engines)."""
+    from buteo_ray.stages.aggregate import pivot_counts
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+    out = pivot_counts(ev, ["user_id"], "event_type", _PIVOT_TYPES,
+                       value_col="value")
+    s_cols = [f"sum_{v}" for v in _PIVOT_TYPES]
+
+    def _round(df):
+        for c in s_cols:
+            df[c] = np.floor(df[c] * 10000.0 + 0.5) / 10000.0
+        return df
+
+    return out.map_batches(_round, batch_format="pandas",
+                           batch_size=None)
+
+
+def sql_pivot_events() -> str:
+    parts = []
+    for v in _PIVOT_TYPES:
+        parts.append(
+            f"COUNT(*) FILTER (event_type = '{v}') AS n_{v}")
+        parts.append(
+            f"FLOOR(SUM(CASE WHEN event_type = '{v}' THEN value "
+            f"ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS sum_{v}")
+    return ("SELECT user_id, " + ", ".join(parts) +
+            " FROM events GROUP BY user_id")
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -3663,6 +3700,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # r03-attested, pure per-row kernels untouched by the r04/r05
     # shared-helper changes the rest of the window re-attests).
     "lag_lead": q_lag_lead,
+    "pivot_events": q_pivot_events,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
@@ -3771,6 +3809,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "range_join_part": sql_range_join,
     "rolling_window": sql_rolling_window,
     "lag_lead": sql_lag_lead,
+    "pivot_events": sql_pivot_events,
     "mixture_sample": sql_mixture_sample,
     "line_bbox_join": sql_line_bbox_join,
     "lang_pred": sql_lang_pred,

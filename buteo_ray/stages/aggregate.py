@@ -477,3 +477,54 @@ def bounded_aggregate(
     if count is not None:
         out[count] = agg["count_all"].astype(np.int64)
     return pd.DataFrame(out)
+
+
+def pivot_counts(ds, keys: Sequence[str], pivot_col: str,
+                 values: Sequence, value_col: Optional[str] = None,
+                 num_buckets: Optional[int] = None):
+    """Pivot a bounded categorical column into wide per-key columns
+    (SQL: ``COUNT(*) FILTER (WHERE pivot = v)`` / ``SUM(CASE WHEN pivot
+    = v THEN value ELSE 0 END)`` per ``v``): for each key, one
+    ``n_{v}`` count column per pivot value, plus ``sum_{v}`` when
+    ``value_col`` is given. Rows whose pivot value is outside
+    ``values`` count toward no column (SQL FILTER semantics).
+
+    ``values`` must be the bounded IN-list the caller pivots on (like
+    SQL PIVOT's IN clause) — the output schema is static, never
+    data-dependent, so the plan stays streaming.
+
+    Scale: per-block Arrow indicator partials (one C++ hash aggregate
+    per block — at most one partial row per key per block crosses the
+    exchange) → bucketed vectorized fold; keys may be unbounded.
+    Null semantics match SQL: ``sum_{v}`` is NULL only when every
+    matching row's value is NULL (min_count=1 fold over skip-null
+    Arrow partials); counts are never NULL.
+    """
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    values = list(values)
+    n_cols = [f"n_{v}" for v in values]
+    s_cols = [f"sum_{v}" for v in values] if value_col else []
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pv = t[pivot_col]
+        cols = {k: t[k] for k in keys}
+        for v, nc in zip(values, n_cols):
+            m = pc.fill_null(pc.equal(pv, v), False)
+            cols[nc] = pc.cast(m, pa.int64())
+            if value_col:
+                # NULL where (matched AND value NULL) — Arrow's sum and
+                # the pandas min_count=1 fold both skip it, matching
+                # SQL SUM(CASE WHEN m THEN value ELSE 0 END).
+                cols[f"sum_{v}"] = pc.if_else(
+                    m, t[value_col], pa.scalar(0.0, pa.float64()))
+        tt = pa.table(cols)
+        out = tt.group_by(keys).aggregate(
+            [(c, "sum") for c in n_cols + s_cols])
+        return out.rename_columns(keys + n_cols + s_cols)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    return bucketed_sum(partials, keys,
+                        {c: c for c in n_cols + s_cols}, num_buckets)

@@ -349,3 +349,43 @@ def test_window_shift_singleton_key_defaults(ray_session):
     assert out["lag_value"].tolist() == [-1.0]
     assert out["lead_value"].tolist() == [-1.0]
     assert out["delta"].tolist() == [-1.0]
+
+
+def test_pivot_counts_semantics(ray_session):
+    """Counts/sums per pivot value; out-of-list and null pivot values
+    count nowhere. SQL CASE-WHEN null rules: a matched row with a null
+    value is skipped (k=2: NULL + ELSE-0 row → 0.0, like SQL
+    SUM({NULL, 0})); a key where EVERY row matches with a null value
+    sums to NULL (k=4: SQL SUM({NULL, NULL}))."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import pivot_counts
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3, 3, 4, 4],
+        "cat": ["a", "b", "zzz", "a", None, "b", "b", "a", "a"],
+        "v": [1.0, 2.0, 99.0, np.nan, 5.0, 3.0, 4.0, np.nan, np.nan],
+    })
+    out = pivot_counts(rd.from_pandas(df), ["k"], "cat", ["a", "b"],
+                       value_col="v").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["n_a"].tolist() == [1, 1, 0, 2]
+    assert out["n_b"].tolist() == [1, 0, 2, 0]
+    np.testing.assert_allclose(out["sum_a"].to_numpy(),
+                               [1.0, 0.0, 0.0, np.nan])
+    np.testing.assert_allclose(out["sum_b"].to_numpy(),
+                               [2.0, 0.0, 7.0, 0.0])
+
+
+def test_pivot_counts_no_value_col(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import pivot_counts
+
+    df = pd.DataFrame({"k": [1, 2, 1], "cat": ["x", "x", "y"]})
+    out = pivot_counts(rd.from_pandas(df), ["k"], "cat",
+                       ["x", "y"]).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out.columns) == ["k", "n_x", "n_y"]
+    assert out["n_x"].tolist() == [1, 1]
+    assert out["n_y"].tolist() == [1, 0]
