@@ -1080,6 +1080,48 @@ def sql_pivot_events() -> str:
             " FROM events GROUP BY user_id")
 
 
+def q_zscore_by_group(sf_dir: str):
+    """Per-(lang, source) z-score of document length: two streaming
+    passes (bucketed (n, Σv, Σv²) stats + size-gated broadcast join
+    back), no window shuffle. The oracle mirrors the engine's
+    Σv²/n − m² variance form op-for-op (NOT STDDEV_POP, whose Welford
+    accumulation differs in final ulps); FLOOR half-up 4-dp on the
+    derived floats (Σ accumulation order is the one remaining
+    cross-engine difference)."""
+    from buteo_ray.stages.aggregate import group_standardize
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "source", "n_chars"])
+    out = group_standardize(docs, ["lang", "source"], "n_chars")
+
+    def _round(df):
+        for src, dst in [("z", "z4"), ("grp_mean", "m4"),
+                         ("grp_std", "sd4")]:
+            df[dst] = np.floor(df[src] * 10000.0 + 0.5) / 10000.0
+        return df[["doc_id", "lang", "source", "z4", "m4", "sd4"]]
+
+    return out.map_batches(_round, batch_format="pandas",
+                           batch_size=None)
+
+
+def sql_zscore_by_group() -> str:
+    return (
+        "WITH s AS (SELECT lang, source, COUNT(n_chars) AS n, "
+        "SUM(CAST(n_chars AS DOUBLE)) AS s1, "
+        "SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS s2 "
+        "FROM documents GROUP BY 1, 2), "
+        "st AS (SELECT lang, source, s1 / CAST(n AS DOUBLE) AS m, "
+        "SQRT(GREATEST(s2 / CAST(n AS DOUBLE) "
+        "- (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)), 0.0)) "
+        "AS sd FROM s) "
+        "SELECT d.doc_id, d.lang, d.source, "
+        "FLOOR(((CAST(d.n_chars AS DOUBLE) - st.m) / st.sd) "
+        "* 10000.0 + 0.5) / 10000.0 AS z4, "
+        "FLOOR(st.m * 10000.0 + 0.5) / 10000.0 AS m4, "
+        "FLOOR(st.sd * 10000.0 + 0.5) / 10000.0 AS sd4 "
+        "FROM documents d JOIN st USING (lang, source) WHERE st.sd > 0"
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -3701,6 +3743,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # shared-helper changes the rest of the window re-attests).
     "lag_lead": q_lag_lead,
     "pivot_events": q_pivot_events,
+    "zscore_by_group": q_zscore_by_group,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
@@ -3810,6 +3853,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "rolling_window": sql_rolling_window,
     "lag_lead": sql_lag_lead,
     "pivot_events": sql_pivot_events,
+    "zscore_by_group": sql_zscore_by_group,
     "mixture_sample": sql_mixture_sample,
     "line_bbox_join": sql_line_bbox_join,
     "lang_pred": sql_lang_pred,

@@ -528,3 +528,87 @@ def pivot_counts(ds, keys: Sequence[str], pivot_col: str,
                               batch_size=None)
     return bucketed_sum(partials, keys,
                         {c: c for c in n_cols + s_cols}, num_buckets)
+
+
+def group_standardize(ds, keys: Sequence[str], value_col: str,
+                      z_col: str = "z", mean_col: str = "grp_mean",
+                      std_col: str = "grp_std"):
+    """Per-group z-score standardization: every row gains its group's
+    mean / population-std of ``value_col`` and ``z = (value - mean) /
+    std`` (SQL: ``(v - AVG(v) OVER (PARTITION BY keys)) / STDDEV_POP(v)
+    OVER (...)``) — the per-group feature scaling / outlier-scoring
+    step of a training-data pipeline (quality filtering per language
+    or per source).
+
+    Two streaming passes, no window shuffle: (1) per-key (n, Σv, Σv²)
+    via Arrow per-block partials + bucketed fold (keys unbounded);
+    (2) the derived (mean, std) table — one row per DISTINCT key —
+    joins back through :func:`hash_join_auto` (size-gated broadcast;
+    hash-partitioned fallback past 64 MB of distinct keys).
+
+    Variance uses the textbook Σv²/n − mean² form — document the SQL
+    oracle the same way (``SQRT(GREATEST(s2/n - m*m, 0))``) rather
+    than STDDEV_POP, whose Welford accumulation differs in final ulps.
+
+    SQL-matching edge rules: rows with a NULL key or a NULL value are
+    dropped (inner join on the key + division needs v), as are
+    CONSTANT groups (std = 0 — SQL raises/infs on the division;
+    filtering keeps both sides total). Population std (ddof=0).
+    """
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    keys = list(keys)
+    GK = "__gkey"
+
+    def _add_gkey(t: pa.Table) -> pa.Table:
+        # Composite key: US-delimited string concat. Nulls propagate
+        # (emit_null) → null gkey → filtered, mirroring SQL's
+        # NULL-never-joins rule.
+        parts = [pc.cast(t[k], pa.string()) for k in keys]
+        gk = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "\x1f",
+                                        null_handling="emit_null")
+        t = t.append_column(GK, gk)
+        return t.filter(pc.and_(pc.is_valid(gk),
+                                pc.is_valid(t[value_col])))
+
+    keyed = ds.map_batches(_add_gkey, batch_format="pyarrow",
+                           batch_size=None)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        tt = pa.table({GK: t[GK], "__v": v,
+                       "__vv": pc.multiply(v, v)})
+        out = tt.group_by([GK]).aggregate(
+            [("__v", "count"), ("__v", "sum"), ("__vv", "sum")])
+        return out.rename_columns([GK, "__n", "__s1", "__s2"])
+
+    folded = bucketed_sum(keyed.map_batches(_partial,
+                                            batch_format="pyarrow",
+                                            batch_size=None),
+                          [GK], {"__n": "__n", "__s1": "__s1",
+                                 "__s2": "__s2"})
+
+    def _stats(t: pa.Table) -> pa.Table:
+        n = t["__n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["__s1"].to_numpy(zero_copy_only=False)
+        s2 = t["__s2"].to_numpy(zero_copy_only=False)
+        m = s1 / n
+        sd = np.sqrt(np.maximum(s2 / n - m * m, 0.0))
+        out = pa.table({GK: t[GK], mean_col: m, std_col: sd})
+        return out.filter(pc.greater(out[std_col], 0.0))
+
+    stats = folded.map_batches(_stats, batch_format="pyarrow",
+                               batch_size=None)
+
+    joined = hash_join_auto(keyed, stats, GK, GK)
+
+    def _z(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        z = pc.divide(pc.subtract(v, t[mean_col]), t[std_col])
+        return t.append_column(z_col, z).drop_columns([GK])
+
+    return joined.map_batches(_z, batch_format="pyarrow",
+                              batch_size=None)

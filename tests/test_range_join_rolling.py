@@ -389,3 +389,38 @@ def test_pivot_counts_no_value_col(ray_session):
     assert list(out.columns) == ["k", "n_x", "n_y"]
     assert out["n_x"].tolist() == [1, 1]
     assert out["n_y"].tolist() == [1, 0]
+
+
+def test_group_standardize_matches_brute(ray_session):
+    """z/mean/std vs a pandas transform oracle; null-key and null-value
+    rows dropped; constant groups (std=0) dropped entirely."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import group_standardize
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "a": rng.choice(["x", "y", None], n),
+        "b": rng.integers(0, 3, n).astype(np.int64),
+        "v": rng.normal(50.0, 9.0, n),
+    })
+    df.loc[5, "v"] = np.nan          # null value → dropped
+    df.loc[df["b"] == 2, "v"] = 7.0  # constant groups → dropped
+
+    out = group_standardize(rd.from_pandas(df), ["a", "b"], "v") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+
+    want = df.dropna(subset=["a", "v"]).copy()
+    g = want.groupby(["a", "b"])["v"]
+    want["grp_mean"] = g.transform("mean")
+    want["grp_std"] = g.transform(lambda s: s.std(ddof=0))
+    want = want[want["grp_std"] > 0]
+    want["z"] = (want["v"] - want["grp_mean"]) / want["grp_std"]
+    want = want.sort_values("id").reset_index(drop=True)
+
+    assert out["id"].tolist() == want["id"].tolist()
+    for c in ["grp_mean", "grp_std", "z"]:
+        np.testing.assert_allclose(out[c], want[c], rtol=1e-9, atol=1e-12,
+                                   err_msg=c)
