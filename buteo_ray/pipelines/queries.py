@@ -1122,6 +1122,27 @@ def sql_zscore_by_group() -> str:
     )
 
 
+def q_event_paths(sf_dir: str):
+    """Per-user ordered event-type path (STRING_AGG ORDER BY — the
+    sequence-assembly collect). Deterministic: (ts, event_id) is a
+    total order within each user."""
+    from buteo_ray.stages.aggregate import collect_ordered
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return collect_ordered(ev, "user_id", ["ts", "event_id"],
+                           "event_type", sep=">")
+
+
+def sql_event_paths() -> str:
+    return (
+        "SELECT user_id, "
+        "STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path, "
+        "COUNT(event_type) AS n_items "
+        "FROM events GROUP BY user_id"
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -3744,6 +3765,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "lag_lead": q_lag_lead,
     "pivot_events": q_pivot_events,
     "zscore_by_group": q_zscore_by_group,
+    "event_paths": q_event_paths,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
@@ -3854,6 +3876,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "lag_lead": sql_lag_lead,
     "pivot_events": sql_pivot_events,
     "zscore_by_group": sql_zscore_by_group,
+    "event_paths": sql_event_paths,
     "mixture_sample": sql_mixture_sample,
     "line_bbox_join": sql_line_bbox_join,
     "lang_pred": sql_lang_pred,

@@ -612,3 +612,36 @@ def group_standardize(ds, keys: Sequence[str], value_col: str,
 
     return joined.map_batches(_z, batch_format="pyarrow",
                               batch_size=None)
+
+
+def collect_ordered(ds, key_col: str, order_cols: Sequence[str],
+                    value_col: str, sep: str = ">",
+                    alias: str = "path", count_alias: str = "n_items",
+                    num_buckets: Optional[int] = None):
+    """Ordered list-collect per key, emitted as a joined string (SQL:
+    ``STRING_AGG(value, sep ORDER BY order_cols)``) plus the non-null
+    item count — the sequence-assembly step of a training-data
+    pipeline (per-user event paths, per-conversation turn order).
+
+    NULL values are skipped (SQL STRING_AGG rule); a key whose values
+    are ALL null still emits a row with a NULL path and count 0 (SQL
+    GROUP BY keeps the group).
+
+    Keys are unbounded: hash-bucketed; inside a bucket one stable sort
+    + one pandas groupby-join. The join is inherently O(total output
+    chars) per group — there is no vectorized shortcut for string
+    concatenation, and each group's cost is its own output size, so
+    the bucket stays the unit of parallelism.
+    """
+    order_cols = list(order_cols)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        grp = g.groupby(key_col, sort=False, dropna=False)[value_col]
+        path = grp.agg(lambda s: sep.join(s.dropna().astype(str))
+                       if s.notna().any() else None)
+        n = grp.count().astype(np.int64)
+        return pd.DataFrame({key_col: path.index, alias: path.values,
+                             count_alias: n.values})
+
+    return bucketed_fold(ds, [key_col], _fold, num_buckets)

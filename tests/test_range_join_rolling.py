@@ -424,3 +424,25 @@ def test_group_standardize_matches_brute(ray_session):
     for c in ["grp_mean", "grp_std", "z"]:
         np.testing.assert_allclose(out[c], want[c], rtol=1e-9, atol=1e-12,
                                    err_msg=c)
+
+
+def test_collect_ordered_null_rules(ray_session):
+    """NULL values skipped in the path but the group row survives;
+    all-null group → NULL path, count 0; order follows order_cols with
+    the stable tiebreak."""
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import collect_ordered
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "o": [3, 1, 2, 1, 2, 1],
+        "t": [2, 9, 5, 0, 0, 0],
+        "v": ["c", "a", None, None, None, "solo"],
+    })
+    out = collect_ordered(rd.from_pandas(df), "k", ["o", "t"], "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["path"].tolist()[0] == "a>c"       # o=1 → 'a', o=2 None, o=3 'c'
+    assert out["path"].isna().tolist() == [False, True, False]
+    assert out["n_items"].tolist() == [2, 0, 1]
+    assert out["path"].tolist()[2] == "solo"
