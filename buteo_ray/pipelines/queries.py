@@ -1143,6 +1143,26 @@ def sql_event_paths() -> str:
     )
 
 
+def q_quality_topfrac(sf_dir: str):
+    """Keep docs strictly above their language's 75th discrete length
+    percentile (the keep-top-fraction-per-group quality gate). All-int
+    comparisons — zero float risk; the engine reproduces DuckDB's
+    quantile_disc rank ⌈q·n⌉ by exact integer arithmetic."""
+    from buteo_ray.stages.selection import quantile_threshold_filter
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return quantile_threshold_filter(docs, "lang", "n_chars", q=0.75)
+
+
+def sql_quality_topfrac() -> str:
+    return (
+        "WITH t AS (SELECT lang, quantile_disc(n_chars, 0.75) AS thr "
+        "FROM documents GROUP BY lang) "
+        "SELECT d.doc_id, d.lang, d.n_chars, t.thr "
+        "FROM documents d JOIN t USING (lang) WHERE d.n_chars > t.thr"
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 
 def q_dedup_minhash_pairs(sf_dir: str):
@@ -3766,6 +3786,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pivot_events": q_pivot_events,
     "zscore_by_group": q_zscore_by_group,
     "event_paths": q_event_paths,
+    "quality_topfrac": q_quality_topfrac,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
@@ -3877,6 +3898,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "pivot_events": sql_pivot_events,
     "zscore_by_group": sql_zscore_by_group,
     "event_paths": sql_event_paths,
+    "quality_topfrac": sql_quality_topfrac,
     "mixture_sample": sql_mixture_sample,
     "line_bbox_join": sql_line_bbox_join,
     "lang_pred": sql_lang_pred,

@@ -293,3 +293,76 @@ def assign_shuffle_shards(ds, id_col: str, n_shards: int = 16,
             (h & np.uint64(0xFFFFFFFF)).astype(np.int64)))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def quantile_threshold_filter(ds, group_col: str, value_col: str,
+                              q: float = 0.75, thr_col: str = "thr",
+                              max_pairs: int = 1 << 22):
+    """Keep the rows STRICTLY ABOVE their group's discrete q-quantile
+    of ``value_col`` (SQL: ``value > quantile_disc(value, q) OVER
+    group``) — the keep-top-fraction-per-language quality gate of a
+    training-data pipeline. Each kept row gains ``thr_col`` (its
+    group's threshold, an actual data value).
+
+    The discrete quantile is the value at 1-based rank ⌈q·n⌉ — matched
+    to DuckDB's quantile_disc by EXACT integer arithmetic
+    (``cum · 10⁴ ≥ round(q·10⁴) · n``, so q must carry ≤ 4 decimals):
+    naive double ``ceil(q*n)`` misranks exact-integer boundaries
+    (0.9 × 10 → 9.000000000000002). Null values are ignored for the
+    quantile and never kept; null groups are dropped (SQL join rule).
+
+    Scale: one bucketed (group, value) count pass — the distinct-pair
+    table, NOT the corpus, reaches the driver (bounded by the value
+    domain, e.g. ≤ group-count × max-doc-length for integer lengths;
+    ``max_pairs`` fail-louds past the gate) — then one ray.put
+    broadcast of the per-group thresholds and a streaming filter.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.aggregate import bucketed_count
+
+    q4 = int(round(q * 10000.0))
+    if not 0 < q4 <= 10000 or abs(q4 / 10000.0 - q) > 1e-12:
+        raise ValueError(f"q must be in (0, 1] with <= 4 decimals, got {q}")
+
+    valid = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.is_valid(t[group_col]),
+                                   pc.is_valid(t[value_col]))),
+        batch_format="pyarrow", batch_size=None)
+    pairs = bucketed_count(valid.select_columns([group_col, value_col]),
+                           [group_col, value_col], alias="__n")
+    pdf = pairs.materialize()
+    n_pairs = pdf.count()
+    if n_pairs > max_pairs:
+        raise ValueError(
+            f"distinct ({group_col}, {value_col}) pairs {n_pairs} exceed "
+            f"max_pairs={max_pairs}; quantile_threshold_filter needs a "
+            "bounded value domain (bucketize the value first)")
+    pdf = pdf.to_pandas().sort_values([group_col, value_col],
+                                      kind="stable")
+    grp = pdf.groupby(group_col, sort=False)
+    cum = grp["__n"].cumsum().to_numpy()
+    tot = grp["__n"].transform("sum").to_numpy()
+    # exact-rational rank test: rank ⌈q·n⌉ ⇔ first cum with cum·10⁴ ≥ q4·n
+    # (monotone within a group once it crosses, so 'first hit' = rank)
+    thr = pdf[cum * 10000 >= q4 * tot].groupby(
+        group_col, sort=False, as_index=False).first()
+    thr_ref = ray.put((pa.array(thr[group_col]),
+                       thr[value_col].to_numpy()))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        groups_arr, thr_np = ray.get(thr_ref)
+        thr_arr = pa.array(thr_np).cast(t[value_col].type)
+        idx = pc.index_in(t[group_col], value_set=groups_arr)
+        thr_v = pc.take(thr_arr, idx)  # null where group has no threshold
+        keep = pc.and_(pc.is_valid(thr_v),
+                       pc.fill_null(pc.greater(t[value_col], thr_v),
+                                    False))
+        out = t.filter(keep)
+        return out.append_column(
+            thr_col,
+            pc.take(thr_arr, pc.index_in(out[group_col],
+                                         value_set=groups_arr)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow", batch_size=None)

@@ -446,3 +446,61 @@ def test_collect_ordered_null_rules(ray_session):
     assert out["path"].isna().tolist() == [False, True, False]
     assert out["n_items"].tolist() == [2, 0, 1]
     assert out["path"].tolist()[2] == "solo"
+
+
+def test_quantile_threshold_filter_matches_duckdb(ray_session):
+    """Engine thresholds == DuckDB quantile_disc across q values on a
+    skewed small-domain distribution with heavy ties, including the
+    float-trap case q=0.9 with group sizes that make q*n integral."""
+    import duckdb
+    import ray.data as rd
+
+    from buteo_ray.stages.selection import quantile_threshold_filter
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "id": np.arange(1000, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], 1000, p=[0.5, 0.3, 0.2]),
+        "v": rng.integers(0, 12, 1000).astype(np.int64),  # heavy ties
+    })
+    # make group 'd' have exactly 10 rows → q=0.9 rank boundary
+    extra = pd.DataFrame({"id": np.arange(1000, 1010, dtype=np.int64),
+                          "g": "d",
+                          "v": np.arange(10, dtype=np.int64)})
+    df = pd.concat([df, extra], ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    for q in [0.25, 0.5, 0.75, 0.9]:
+        out = quantile_threshold_filter(
+            rd.from_pandas(df), "g", "v", q=q).to_pandas()
+        want = con.execute(
+            "WITH th AS (SELECT g, quantile_disc(v, ?) AS thr "
+            "FROM t GROUP BY g) SELECT t.id, t.g, t.v, th.thr "
+            "FROM t JOIN th USING (g) WHERE t.v > th.thr", [q]).fetchdf()
+        out = out.sort_values("id").reset_index(drop=True)
+        want = want.sort_values("id").reset_index(drop=True)
+        assert out["id"].tolist() == want["id"].tolist(), q
+        assert out["thr"].tolist() == want["thr"].tolist(), q
+
+
+def test_quantile_threshold_filter_null_and_gate(ray_session):
+    import ray.data as rd
+    import pytest as _pytest
+
+    from buteo_ray.stages.selection import quantile_threshold_filter
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "g": ["a", "a", "a", None, "a"],
+        "v": pd.array([1, 2, 3, 4, None], dtype="Int64"),
+    })
+    out = quantile_threshold_filter(rd.from_pandas(df), "g", "v",
+                                    q=0.5).to_pandas()
+    # threshold for 'a' over {1,2,3} at q=0.5 → 2; null group/value drop
+    assert sorted(out["id"].tolist()) == [3]
+    with _pytest.raises(ValueError, match="max_pairs"):
+        quantile_threshold_filter(rd.from_pandas(df), "g", "v",
+                                  q=0.5, max_pairs=1).to_pandas()
+    with _pytest.raises(ValueError, match="4 decimals"):
+        quantile_threshold_filter(rd.from_pandas(df), "g", "v",
+                                  q=0.33333)
