@@ -3710,6 +3710,108 @@ def sql_shuffle_shards() -> str:
     )
 
 
+# ------------------------------------------------- sketches / re-aggregation
+
+def q_heavy_tokens(sf_dir: str):
+    """EXACT heavy hitters (tokens appearing in >= 0.1 % of all token
+    occurrences) via the hashed-bucket prefilter — frequency mining
+    with O(num_buckets) driver state instead of a full-cardinality
+    token shuffle (stages/sketch.py:heavy_hitters). The result is
+    exactly SQL's GROUP BY ... HAVING COUNT(*) >= ceil(phi*n)."""
+    from buteo_ray.stages.sketch import heavy_hitters
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        toks = pd.Series(t["text"].to_pylist()).str.split(" ")
+        flat = toks.explode().to_numpy()
+        return pa.table({"token": pa.array(flat, type=pa.string())})
+
+    tok = ds.map_batches(_tok, batch_format="pyarrow", batch_size=None)
+    return heavy_hitters(tok, "token", phi=0.001)
+
+
+def sql_heavy_tokens() -> str:
+    return (
+        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents) "
+        "SELECT token, COUNT(*) AS n FROM toks GROUP BY token "
+        "HAVING COUNT(*) >= "
+        "CAST(CEIL(0.001 * (SELECT COUNT(*) FROM toks)) AS BIGINT)"
+    )
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus): finest level distributed,
+    coarser levels re-aggregated from the finest RESULT (the rollup
+    re-aggregation identity — one scan of the raw rows total). sum_qty
+    is integer-valued, so the cascaded float re-sum is order-exact."""
+    from buteo_ray.stages.aggregate import rollup_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                            sums={"sum_qty": "l_quantity"}, count="cnt")
+
+
+def sql_rollup_counts() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    )
+
+
+def q_mad_outliers(sf_dir: str):
+    """Per-group robust outlier stats over the heavy-tailed event
+    values: median, MAD and #{|x-med| > 3·MAD} — the robust quality
+    gate (mean/std z-scores break down on web-data tails). numpy and
+    DuckDB MEDIAN were verified bit-identical on these doubles at
+    sf0.001/0.01/0.1; the 4-dp FLOOR rounding on med/mad guards the
+    hash compare across engine builds anyway."""
+    from buteo_ray.stages.aggregate import robust_group_stats
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = robust_group_stats(ds, "event_type", "value", z=3.0)
+
+    def _round(t: pa.Table) -> pa.Table:
+        med = np.floor(t["med"].to_numpy() * 1e4 + 0.5) / 1e4
+        mad = np.floor(t["mad"].to_numpy() * 1e4 + 0.5) / 1e4
+        return pa.table({"event_type": t["event_type"], "med": med,
+                         "mad": mad, "n_out": t["n_out"]})
+
+    return out.map_batches(_round, batch_format="pyarrow", batch_size=None)
+
+
+def sql_mad_outliers() -> str:
+    return (
+        "WITH med AS (SELECT event_type, MEDIAN(value) AS med "
+        "FROM events GROUP BY 1), "
+        "d AS (SELECT e.event_type, m.med, ABS(e.value - m.med) AS ad "
+        "FROM events e JOIN med m USING (event_type)), "
+        "md AS (SELECT event_type, MEDIAN(ad) AS mad FROM d GROUP BY 1) "
+        "SELECT d.event_type, "
+        "FLOOR(ANY_VALUE(d.med) * 10000.0 + 0.5) / 10000.0 AS med, "
+        "FLOOR(ANY_VALUE(md.mad) * 10000.0 + 0.5) / 10000.0 AS mad, "
+        "CAST(COUNT(*) FILTER (WHERE d.ad > 3.0 * md.mad) AS BIGINT) "
+        "AS n_out "
+        "FROM d JOIN md USING (event_type) GROUP BY d.event_type"
+    )
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct users per event type (p=12, ~1.6 % rms
+    error) — the fixed-memory scale path of `count_distinct` (its
+    exact twin in this registry). Rows-only: the estimate is not
+    SQL-reproducible; tests/test_sketch_rollup.py bounds its relative
+    error against the exact count and pins split-invariance (register
+    max-merge is order-free)."""
+    from buteo_ray.stages.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_distinct(ds, ["event_type"], "user_id", p=12)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -3748,11 +3850,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "dem_slope": q_dem_slope,
-    "focal_sum": q_focal_sum,
     "resample_avg": q_resample_avg,
     "distance_transform": q_distance_transform,
-    "reproject_points": q_reproject_points,
-    "morph_erode": q_morph_erode,
     "ts_slope": q_ts_slope,
     "predict_linear": q_predict_linear,
     # round-5 addition (cluster-representative training chain)
@@ -3787,9 +3886,21 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "zscore_by_group": q_zscore_by_group,
     "event_paths": q_event_paths,
     "quality_topfrac": q_quality_topfrac,
+    # round-5 sketch/re-aggregation additions (never attested — must
+    # sit in-window). They take the slots of focal_sum, morph_erode
+    # and reproject_points — r03-attested pure numpy kernels
+    # (convolution.py / filters.py / projection.py) untouched by the
+    # r04/r05 shared-helper changes the rest of the window re-attests,
+    # each still pinned by exact-equality pytests.
+    "heavy_tokens": q_heavy_tokens,
+    "rollup_counts": q_rollup_counts,
+    "mad_outliers": q_mad_outliers,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
+    "focal_sum": q_focal_sum,
+    "morph_erode": q_morph_erode,
+    "reproject_points": q_reproject_points,
     "scale_minmax": q_scale_minmax,
     "string_ops": q_string_ops,
     "encode_latlng": q_encode_latlng,
@@ -3839,6 +3950,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # former rows-only `embed_centroids` entry is superseded by the
     # oracle-checked embed_centroids_flat (same operator, hash-checked
     # per element) and was dropped from the registry.
+    "approx_distinct": q_approx_distinct,
     "mask_bezier": q_mask_bezier,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -3951,6 +4063,9 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "vector_extent": sql_vector_extent,
     "ann_lsh_exact": sql_ann_lsh_exact,
     "ann_ivf_exact": sql_ann_ivf_exact,
+    "heavy_tokens": sql_heavy_tokens,
+    "rollup_counts": sql_rollup_counts,
+    "mad_outliers": sql_mad_outliers,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -645,3 +645,83 @@ def collect_ordered(ds, key_col: str, order_cols: Sequence[str],
                              count_alias: n.values})
 
     return bucketed_fold(ds, [key_col], _fold, num_buckets)
+
+
+def rollup_aggregate(ds, keys: Sequence[str],
+                     sums: Optional[Dict[str, str]] = None,
+                     count: Optional[str] = None) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(keys)`` — finest level plus every prefix
+    level, rolled-out key columns NULL, one grand-total row last.
+
+    The finest level runs distributed (:func:`grouped_aggregate`:
+    Arrow per-block partials, bucketed fold); every coarser level is
+    re-aggregated FROM THE FINEST RESULT, not the raw rows — the
+    standard rollup re-aggregation identity (sums and counts are
+    re-aggregable; means/medians are not accepted here). The finest
+    aggregate is collected to the driver, which is bounded by the
+    rollup key domain — rollup keys are enum-like by construction (a
+    rollup over an unbounded data-derived key is a different query).
+
+    Float caveat: cascading re-sums add in a different order than a
+    raw-row scan; callers needing bit-exact SQL parity roll up
+    integer-valued columns (order-independent in float64 below 2^53)
+    or round.
+
+    Returns a pandas DataFrame (keys, sums..., count), finest level
+    first, then each prefix level, then the grand total.
+    """
+    sums = dict(sums or {})
+    keys = list(keys)
+    agg_cols = list(sums) + ([count] if count else [])
+
+    finest_ds = grouped_aggregate(ds, keys, sums=sums, count=count)
+    blocks = nonempty_arrow_blocks(finest_ds)
+    if not blocks:
+        return pd.DataFrame(columns=keys + agg_cols)
+    finest = pa.concat_tables(
+        blocks, promote_options="permissive").to_pandas()
+
+    levels = [finest[keys + agg_cols]]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        kept = keys[:i]
+        if kept:
+            lv = (cur.groupby(kept, sort=False, dropna=False,
+                              as_index=False)[agg_cols].sum(min_count=1))
+        else:
+            lv = pd.DataFrame({c: [cur[c].sum(min_count=1)]
+                               for c in agg_cols})
+        for k in keys[i:]:
+            lv[k] = None
+        levels.append(lv[keys + agg_cols])
+        cur = lv
+    out = pd.concat(levels, ignore_index=True)
+    if count:
+        out[count] = out[count].astype(np.int64)
+    return out
+
+
+def robust_group_stats(ds, key: str, col: str, z: float = 3.0):
+    """Per-group robust location/scale + outlier count: median, MAD
+    (median absolute deviation) and ``n_out = #{|x - med| > z*MAD}`` —
+    the robust-scaler sibling of :func:`group_standardize` (mean/std
+    z-scores break down under the heavy-tailed value distributions of
+    web data; median/MAD have a 50 % breakdown point).
+
+    Scale contract: exact medians need each group's values gathered
+    (same contract as the exact per-group median query) — groups must
+    be partition-sized. For unbounded groups use an approximate
+    quantile instead.
+
+    Returns Dataset[(key, med, mad, n_out:int64)].
+    """
+    def _f(g: pd.DataFrame) -> pd.DataFrame:
+        x = g[col].to_numpy(dtype=np.float64)
+        med = float(np.median(x))
+        ad = np.abs(x - med)
+        mad = float(np.median(ad))
+        return pd.DataFrame({key: [g[key].iloc[0]], "med": [med],
+                             "mad": [mad],
+                             "n_out": [np.int64((ad > z * mad).sum())]})
+
+    return ds.groupby(key).map_groups(_f, batch_format="pandas")

@@ -1,0 +1,227 @@
+"""Sketch + re-aggregation operators: exact heavy hitters (bucket
+prefilter admits false positives, never false negatives), HyperLogLog
+(error bound, split-invariance of the register max-merge), ROLLUP
+re-aggregation, robust median/MAD group stats."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_counts(col: pd.Series) -> pd.Series:
+    return col.value_counts()
+
+
+# --------------------------------------------------------------- clz64
+
+def test_clz64_matches_bit_length():
+    from buteo_ray.stages.sketch import _clz64
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 2**63, 1000, dtype=np.int64).astype(np.uint64)
+    x = np.concatenate([x, np.array([0, 1, 2**63, 2**64 - 1],
+                                    dtype=np.uint64)])
+    got = _clz64(x)
+    want = np.array([64 - int(v).bit_length() for v in x], dtype=np.int64)
+    assert (got == want).all()
+
+
+# -------------------------------------------------------- heavy hitters
+
+def test_heavy_hitters_exact_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import heavy_hitters
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    got = (heavy_hitters(ds, "user_id", threshold=20).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    vc = _exact_counts(pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id"])["user_id"])
+    want = (vc[vc >= 20].rename("n").rename_axis("user_id").reset_index()
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n": "int64"}), check_dtype=False)
+
+
+def test_heavy_hitters_tiny_bucket_count_still_exact(ray_session):
+    """With B=2 every bucket is hot — the prefilter stops pruning but
+    the result must stay exact (degenerates to a plain exact count)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import heavy_hitters
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    got = (heavy_hitters(ds, "event_type", threshold=1, num_buckets=2)
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    vc = _exact_counts(pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type"])["event_type"])
+    want = (vc.rename("n").rename_axis("event_type").reset_index()
+            .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_heavy_hitters_phi_mode(ray_session):
+    """phi derives the threshold from the pass-1 totals: ceil(phi*n)."""
+    import math
+
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import heavy_hitters
+
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    ds = rd.from_pandas(df)
+    got = heavy_hitters(ds, "event_type", phi=0.15).to_pandas()
+    thr = math.ceil(0.15 * len(df))
+    vc = _exact_counts(df["event_type"])
+    want = set(vc[vc >= thr].index)
+    assert want, "fixture drifted: pick a phi that keeps survivors"
+    assert set(got["event_type"]) == want
+    # Above every key's frequency the result is empty.
+    assert heavy_hitters(ds, "event_type", phi=0.9).count() == 0
+
+
+def test_heavy_hitters_rejects_both_modes(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a"]}))
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "k", threshold=1, phi=0.1)
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "k")
+
+
+# ---------------------------------------------------------- HyperLogLog
+
+def test_hll_error_bound_high_cardinality(ray_session):
+    """5k distinct int keys in one group: estimate within 5 % (rms
+    error at p=12 is ~1.6 %; 5 % leaves 3 sigma)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 5000, 40_000, dtype=np.int64)
+    n_true = len(np.unique(vals))
+    df = pd.DataFrame({"g": np.repeat("x", len(vals)), "v": vals})
+    est = hll_distinct(rd.from_pandas(df), ["g"], "v", p=12).to_pandas()
+    assert len(est) == 1
+    rel = abs(est["n_distinct_est"].iloc[0] - n_true) / n_true
+    assert rel < 0.05, (est, n_true)
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    """Tiny cardinalities ride the linear-counting correction and are
+    near-exact."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import hll_distinct
+
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    est = (hll_distinct(rd.from_pandas(df), ["event_type"], "user_id",
+                        p=12).to_pandas().set_index("event_type"))
+    truth = df.groupby("event_type")["user_id"].nunique()
+    rel = ((est["n_distinct_est"] - truth) / truth).abs()
+    assert rel.max() < 0.02
+
+
+def test_hll_split_invariance(ray_session):
+    """Register max-merge is commutative/associative/idempotent — the
+    estimate must be IDENTICAL across block layouts."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import hll_distinct
+
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    a = (hll_distinct(rd.from_pandas(df).repartition(1),
+                      ["event_type"], "user_id").to_pandas()
+         .sort_values("event_type").reset_index(drop=True))
+    b = (hll_distinct(rd.from_pandas(df).repartition(8),
+                      ["event_type"], "user_id").to_pandas()
+         .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hll_rejects_silly_precision(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import hll_distinct
+
+    ds = rd.from_pandas(pd.DataFrame({"g": ["a"], "v": [1]}))
+    with pytest.raises(ValueError):
+        hll_distinct(ds, ["g"], "v", p=2)
+
+
+# --------------------------------------------------------------- rollup
+
+def test_rollup_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import rollup_aggregate
+
+    df = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    got = rollup_aggregate(
+        rd.from_pandas(df), ["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "l_quantity"}, count="cnt")
+    con = duckdb.connect()
+    con.register("lineitem", df)
+    want = con.execute(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ).df()
+    key = ["l_returnflag", "l_linestatus"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    want = want.sort_values(key, na_position="last").reset_index(drop=True)
+    # Rolled-out keys: pandas None == SQL NULL.
+    pd.testing.assert_frame_equal(
+        got.fillna({"l_linestatus": "␀", "l_returnflag": "␀"}),
+        want.fillna({"l_linestatus": "␀", "l_returnflag": "␀"}),
+        check_dtype=False)
+
+
+def test_rollup_empty_input(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import rollup_aggregate
+
+    df = pd.DataFrame({"a": pd.Series([], dtype="object"),
+                       "x": pd.Series([], dtype="float64")})
+    out = rollup_aggregate(rd.from_pandas(df), ["a"], sums={"sx": "x"},
+                          count="n")
+    assert len(out) == 0
+    assert list(out.columns) == ["a", "sx", "n"]
+
+
+# ----------------------------------------------------- robust group stats
+
+def test_robust_group_stats_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import robust_group_stats
+
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    got = (robust_group_stats(rd.from_pandas(df), "event_type", "value",
+                              z=3.0).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    rows = []
+    for k, g in df.groupby("event_type"):
+        x = g["value"].to_numpy(np.float64)
+        med = float(np.median(x))
+        ad = np.abs(x - med)
+        mad = float(np.median(ad))
+        rows.append((k, med, mad, int((ad > 3.0 * mad).sum())))
+    want = pd.DataFrame(rows, columns=["event_type", "med", "mad",
+                                       "n_out"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_out"] > 0).any()  # heavy tail actually exercised
