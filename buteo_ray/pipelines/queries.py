@@ -3799,6 +3799,25 @@ def sql_mad_outliers() -> str:
     )
 
 
+def q_json_extract(sf_dir: str):
+    """Flat-JSON field extraction from the event props payload —
+    vectorized RE2 scan per batch (stages/semistruct.py), row-level so
+    the oracle attests every extracted value. DuckDB twin uses the real
+    json_extract_string; agreement pins the regex fast path to true
+    JSON semantics on flat objects."""
+    from buteo_ray.stages.semistruct import json_extract_scalar
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    return (json_extract_scalar(ds, "props", "k", "k", dtype="int64")
+            .select_columns(["event_id", "k"]))
+
+
+def sql_json_extract() -> str:
+    return ("SELECT event_id, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events")
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct users per event type (p=12, ~1.6 % rms
     error) — the fixed-memory scale path of `count_distinct` (its
@@ -3851,7 +3870,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "dem_slope": q_dem_slope,
     "resample_avg": q_resample_avg,
-    "distance_transform": q_distance_transform,
     "ts_slope": q_ts_slope,
     "predict_linear": q_predict_linear,
     # round-5 addition (cluster-representative training chain)
@@ -3895,12 +3913,17 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "heavy_tokens": q_heavy_tokens,
     "rollup_counts": q_rollup_counts,
     "mad_outliers": q_mad_outliers,
+    # round-5 semi-structured addition (never attested — in-window; it
+    # takes distance_transform's slot: r03-attested pure numpy EDT
+    # kernel, untouched since, pinned by exact pytests).
+    "json_extract": q_json_extract,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
     "focal_sum": q_focal_sum,
     "morph_erode": q_morph_erode,
     "reproject_points": q_reproject_points,
+    "distance_transform": q_distance_transform,
     "scale_minmax": q_scale_minmax,
     "string_ops": q_string_ops,
     "encode_latlng": q_encode_latlng,
@@ -4066,6 +4089,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "heavy_tokens": sql_heavy_tokens,
     "rollup_counts": sql_rollup_counts,
     "mad_outliers": sql_mad_outliers,
+    "json_extract": sql_json_extract,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

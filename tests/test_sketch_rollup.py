@@ -225,3 +225,58 @@ def test_robust_group_stats_vs_numpy(ray_session):
                                        "n_out"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["n_out"] > 0).any()  # heavy tail actually exercised
+
+
+# ------------------------------------------------------- json extraction
+
+def test_json_extract_fast_matches_json_loads(ray_session):
+    import json
+
+    import ray.data as rd
+
+    from buteo_ray.stages.semistruct import json_extract_scalar
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "props"])
+    got = (json_extract_scalar(ds, "props", "k", "k", dtype="int64")
+           .select_columns(["event_id", "k"]).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "props"])
+    want = (df.assign(k=[json.loads(s)["k"] for s in df["props"]])
+            [["event_id", "k"]].sort_values("event_id")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_json_extract_edge_payloads(ray_session):
+    """Missing key, null row, malformed JSON, string-typed value and
+    scientific notation — fast and strict paths agree: non-numbers
+    null out of a numeric extraction, never crash."""
+    import ray.data as rd
+
+    from buteo_ray.stages.semistruct import json_extract_scalar
+
+    rows = ['{"a": 1, "k": "x"}', '{"a": 2}', None, 'notjson',
+            '{"k": -3.5e2}', '{"k": 7}']
+    for strict in (False, True):
+        ds = rd.from_pandas(pd.DataFrame({"p": rows}))
+        out = json_extract_scalar(ds, "p", "k", "kf", dtype="float64",
+                                  strict=strict).to_pandas()["kf"]
+        assert out.tolist()[4:] == [-350.0, 7.0]
+        assert out[:4].isna().all(), (strict, out.tolist())
+        outs = json_extract_scalar(ds, "p", "k", "ks", dtype="string",
+                                   strict=strict).to_pandas()["ks"]
+        assert outs.iloc[0] == "x"
+
+
+def test_json_extract_rejects_weird_key(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.semistruct import json_extract_scalar
+
+    ds = rd.from_pandas(pd.DataFrame({"p": ['{"k": 1}']}))
+    with pytest.raises(ValueError):
+        json_extract_scalar(ds, "p", 'k"ey', "x")
+    with pytest.raises(ValueError):
+        json_extract_scalar(ds, "p", "k", "x", dtype="bool")
