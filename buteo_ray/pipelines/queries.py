@@ -3685,6 +3685,31 @@ def sql_decontaminate() -> str:
     )
 
 
+def q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination (the scale hatch of
+    eval_ngram_hashes: fixed 1-MiB broadcast regardless of eval-set
+    size). Rows-only: bloom bit collisions aren't SQL-replayable;
+    tests/test_sketch_rollup.py pins the one-sided-error guarantee
+    (drops ⊇ exact decontaminate's drops) and bounds the measured
+    false-positive rate."""
+    from buteo_ray.stages.text import bloom_decontaminate
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _split(eq: bool):
+        def _fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % _DECON_MOD == 0
+            return t.filter(pa.array(m if eq else ~m))
+        return _fn
+
+    ev = docs.map_batches(_split(True), batch_format="pyarrow",
+                          batch_size=None)
+    cand = docs.map_batches(_split(False), batch_format="pyarrow",
+                            batch_size=None)
+    return bloom_decontaminate(cand, ev, n=_DECON_N) \
+        .select_columns(["doc_id"])
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle sharding for training output: a
     map-only splitmix64 key per doc and shard = key % 16 — the no-
@@ -3799,6 +3824,43 @@ def sql_mad_outliers() -> str:
     )
 
 
+def q_zorder_key(sf_dir: str):
+    """Z-order (Morton) locality key over the geocoded quadcells — the
+    engine's S2-cell analog (grid/cells.py:latlon_to_morton). Range-
+    partitioning or sorting on this key co-locates spatial neighbours
+    in the same output file, the write-layout primitive the 100-TB
+    spatial pipeline partitions by. The SQL twin interleaves the same
+    15+15 bits with unrolled shift/mask terms — bit-for-bit."""
+    from buteo_ray.grid.cells import cell_xy, morton_encode
+    from buteo_ray.stages.geocode import geocode
+
+    ds = geocode(_docs(sf_dir, columns=["doc_id"]))
+
+    def _z(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        x, y = cell_xy(lat, lon, 15)
+        z = morton_encode(x, y).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "cell_x": x, "cell_y": y,
+                         "zkey": z})
+
+    return ds.map_batches(_z, batch_format="pyarrow", batch_size=None)
+
+
+def sql_zorder_key() -> str:
+    from buteo_ray.stages.cell_assign import cell_xy_sql_exprs
+
+    x_sql, y_sql = cell_xy_sql_exprs(15, _LAT_SQL, _LON_SQL)
+    terms = [f"(((cx >> {i}) & 1) << {2 * i})" for i in range(15)]
+    terms += [f"(((cy >> {i}) & 1) << {2 * i + 1})" for i in range(15)]
+    z = " | ".join(terms)
+    return (
+        f"WITH g AS (SELECT doc_id, {x_sql} AS cx, {y_sql} AS cy "
+        "FROM documents) "
+        f"SELECT doc_id, cx AS cell_x, cy AS cell_y, ({z}) AS zkey FROM g"
+    )
+
+
 def q_json_extract(sf_dir: str):
     """Flat-JSON field extraction from the event props payload —
     vectorized RE2 scan per batch (stages/semistruct.py), row-level so
@@ -3869,7 +3931,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "dem_slope": q_dem_slope,
-    "resample_avg": q_resample_avg,
     "ts_slope": q_ts_slope,
     "predict_linear": q_predict_linear,
     # round-5 addition (cluster-representative training chain)
@@ -3917,6 +3978,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # takes distance_transform's slot: r03-attested pure numpy EDT
     # kernel, untouched since, pinned by exact pytests).
     "json_extract": q_json_extract,
+    # round-5 Z-order key (never attested — in-window; takes
+    # resample_avg's slot: r03-attested pure numpy block-mean kernel,
+    # untouched since, pinned by exact pytests).
+    "zorder_key": q_zorder_key,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
@@ -3924,6 +3989,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "morph_erode": q_morph_erode,
     "reproject_points": q_reproject_points,
     "distance_transform": q_distance_transform,
+    "resample_avg": q_resample_avg,
     "scale_minmax": q_scale_minmax,
     "string_ops": q_string_ops,
     "encode_latlng": q_encode_latlng,
@@ -3974,6 +4040,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # oracle-checked embed_centroids_flat (same operator, hash-checked
     # per element) and was dropped from the registry.
     "approx_distinct": q_approx_distinct,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "mask_bezier": q_mask_bezier,
     "dissolve_union": q_dissolve_union,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -4090,6 +4157,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "rollup_counts": sql_rollup_counts,
     "mad_outliers": sql_mad_outliers,
     "json_extract": sql_json_extract,
+    "zorder_key": sql_zorder_key,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

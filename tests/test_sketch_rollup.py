@@ -280,3 +280,63 @@ def test_json_extract_rejects_weird_key(ray_session):
         json_extract_scalar(ds, "p", 'k"ey', "x")
     with pytest.raises(ValueError):
         json_extract_scalar(ds, "p", "k", "x", dtype="bool")
+
+
+# ---------------------------------------------------- bloom decontamination
+
+def test_bloom_filter_no_false_negatives_and_fp_bound():
+    import math
+
+    from buteo_ray.stages.text import bloom_from_hashes, bloom_probe_hashes
+
+    rng = np.random.default_rng(11)
+    members = rng.integers(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+    m_bits, k = 1 << 20, 4
+    bits = bloom_from_hashes(members, m_bits=m_bits, num_hashes=k)
+    # Every member tests positive — no false negatives, ever.
+    assert bloom_probe_hashes(bits, members, k).all()
+    # Non-members: measured FP rate within 2x of (1 - e^(-kn/m))^k.
+    probes = rng.integers(0, 2**63, 100_000, dtype=np.int64).astype(np.uint64)
+    probes = probes[~np.isin(probes, members)]
+    fp = bloom_probe_hashes(bits, probes, k).mean()
+    bound = (1.0 - math.exp(-k * len(members) / m_bits)) ** k
+    assert fp < 2.0 * bound, (fp, bound)
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    """One-sided error: everything the exact path drops, the bloom
+    path drops too (no contamination leaks); extra bloom drops are
+    bounded."""
+    import ray.data as rd
+
+    from buteo_ray.stages.text import bloom_decontaminate, decontaminate
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _split(eq):
+        def _fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 53 == 0
+            return t.filter(pa.array(m if eq else ~m))
+        return _fn
+
+    ev = docs.map_batches(_split(True), batch_format="pyarrow")
+    cand = docs.map_batches(_split(False), batch_format="pyarrow")
+    exact_kept = set(decontaminate(cand, ev, n=4)
+                     .to_pandas()["doc_id"])
+    bloom_kept = set(bloom_decontaminate(cand, ev, n=4)
+                     .to_pandas()["doc_id"])
+    n_cand = cand.count()
+    exact_dropped = n_cand - len(exact_kept)
+    # bloom keeps a SUBSET of exact's keeps (drops a superset).
+    assert bloom_kept <= exact_kept
+    # and the collateral (clean docs lost to bit collisions) is small.
+    assert len(exact_kept) - len(bloom_kept) <= max(2, 0.01 * n_cand), (
+        len(exact_kept), len(bloom_kept), exact_dropped)
+
+
+def test_bloom_rejects_unaligned_bits():
+    from buteo_ray.stages.text import bloom_from_hashes
+
+    with pytest.raises(ValueError):
+        bloom_from_hashes(np.array([1], dtype=np.uint64), m_bits=100)
