@@ -3748,9 +3748,16 @@ def q_heavy_tokens(sf_dir: str):
     ds = _docs(sf_dir, columns=["text"])
 
     def _tok(t: pa.Table) -> pa.Table:
-        toks = pd.Series(t["text"].to_pylist()).str.split(" ")
-        flat = toks.explode().to_numpy()
-        return pa.table({"token": pa.array(flat, type=pa.string())})
+        # NULL text emits no tokens — SQL's unnest(string_split(NULL))
+        # produces 0 rows, and a counted None token would also inflate
+        # the phi denominator. All-Arrow kernels (no pandas detour):
+        # this explosion runs TWICE (heavy_hitters' two passes).
+        import pyarrow.compute as pc
+
+        txt = t["text"].combine_chunks()
+        txt = txt.filter(pc.is_valid(txt))
+        return pa.table({"token": pc.list_flatten(
+            pc.split_pattern(txt, " "))})
 
     tok = ds.map_batches(_tok, batch_format="pyarrow", batch_size=None)
     return heavy_hitters(tok, "token", phi=0.001)

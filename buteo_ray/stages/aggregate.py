@@ -677,7 +677,14 @@ def rollup_aggregate(ds, keys: Sequence[str],
     finest_ds = grouped_aggregate(ds, keys, sums=sums, count=count)
     blocks = nonempty_arrow_blocks(finest_ds)
     if not blocks:
-        return pd.DataFrame(columns=keys + agg_cols)
+        # SQL GROUP BY ROLLUP always emits the () grouping set: one
+        # grand-total row (NULL keys, NULL sums, count 0) even over an
+        # empty input.
+        row = {k: [None] for k in keys}
+        row.update({a: [np.nan] for a in sums})
+        if count:
+            row[count] = np.array([0], dtype=np.int64)
+        return pd.DataFrame(row)[keys + agg_cols]
     finest = pa.concat_tables(
         blocks, promote_options="permissive").to_pandas()
 
@@ -716,12 +723,20 @@ def robust_group_stats(ds, key: str, col: str, z: float = 3.0):
     Returns Dataset[(key, med, mad, n_out:int64)].
     """
     def _f(g: pd.DataFrame) -> pd.DataFrame:
-        x = g[col].to_numpy(dtype=np.float64)
-        med = float(np.median(x))
-        ad = np.abs(x - med)
-        mad = float(np.median(ad))
+        # NULLs are skipped, matching SQL MEDIAN — without the dropna a
+        # single null would poison np.median into NaN for the whole
+        # group. An ALL-null group still emits its row (SQL GROUP BY
+        # keeps it) with NaN stats and n_out 0.
+        x = g[col].dropna().to_numpy(dtype=np.float64)
+        if len(x):
+            med = float(np.median(x))
+            ad = np.abs(x - med)
+            mad = float(np.median(ad))
+            n_out = np.int64((ad > z * mad).sum())
+        else:
+            med = mad = float("nan")
+            n_out = np.int64(0)
         return pd.DataFrame({key: [g[key].iloc[0]], "med": [med],
-                             "mad": [mad],
-                             "n_out": [np.int64((ad > z * mad).sum())]})
+                             "mad": [mad], "n_out": [n_out]})
 
     return ds.groupby(key).map_groups(_f, batch_format="pandas")

@@ -145,10 +145,19 @@ def hll_distinct(ds, keys: Sequence[str], col: str, p: int = 12):
         alpha = {4: 0.673, 5: 0.697, 6: 0.709}[p]
 
     def _partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
         h = _hash_key_column(t[col])
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = (h << np.uint64(p)).astype(np.uint64)
         rho = np.where(rest == 0, 64 - p + 1, _clz64(rest) + 1).astype(np.uint8)
+        # NULL values must not set registers — COUNT(DISTINCT) skips
+        # NULLs (the exact twin count_distinct does too). rho=0 never
+        # beats a real register, so masking to 0 drops them while the
+        # group row itself survives (an all-null group estimates 0 via
+        # linear counting, and SQL GROUP BY keeps the group).
+        valid = ~pc.is_null(t[col]).to_numpy(zero_copy_only=False)
+        rho = np.where(valid, rho, np.uint8(0))
         df = t.select(keys).to_pandas()
         df["__idx"] = idx
         df["__rho"] = rho

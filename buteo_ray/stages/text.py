@@ -546,26 +546,38 @@ def eval_ngram_hashes(eval_ds, n: int = 8, text_col: str = "text",
     return ev
 
 
-def _overlap_counts(t: pa.Table, ev: np.ndarray, n: int,
-                    text_col: str) -> np.ndarray:
-    """Per-row count of DISTINCT word-n-gram hashes present in the
-    sorted eval array ``ev`` — the probe kernel ngram_overlap and
-    decontaminate share (per-doc distinct via lexsort + first-mask,
-    membership via one searchsorted)."""
+def _probe_counts(t: pa.Table, n: int, text_col: str, probe) -> np.ndarray:
+    """Per-row count of DISTINCT word-n-gram hashes accepted by
+    ``probe(gu) -> bool[]`` — the ONE dedup kernel (lexsort +
+    first-mask + bincount) every membership variant shares, so a fix
+    here cannot diverge between the exact and Bloom paths."""
     g, off = _doc_ngram_hashes(t[text_col], n)
     n_doc = len(t)
     cnt = np.zeros(n_doc, dtype=np.int64)
-    if len(g) and len(ev):
+    if len(g):
         di = np.repeat(np.arange(n_doc, dtype=np.int64), np.diff(off))
         order = np.lexsort((g, di))
         gs, ds_ = g[order], di[order]
         first = np.ones(len(gs), dtype=bool)
         first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
         gu, du = gs[first], ds_[first]
-        pos = np.searchsorted(ev, gu)
-        hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gu)
+        hit = probe(gu)
         cnt = np.bincount(du[hit], minlength=n_doc).astype(np.int64)
     return cnt
+
+
+def _overlap_counts(t: pa.Table, ev: np.ndarray, n: int,
+                    text_col: str) -> np.ndarray:
+    """Per-row count of DISTINCT word-n-gram hashes present in the
+    sorted eval array ``ev`` (exact membership via one searchsorted)."""
+    if not len(ev):
+        return np.zeros(len(t), dtype=np.int64)
+
+    def _probe(gu: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(ev, gu)
+        return (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == gu)
+
+    return _probe_counts(t, n, text_col, _probe)
 
 
 def ngram_overlap(docs_ds, eval_grams, n: int = 8,
@@ -744,8 +756,7 @@ def bloom_probe_hashes(bits: np.ndarray, hashes: np.ndarray,
 
 def bloom_decontaminate(docs_ds, eval_ds, n: int = 8,
                         min_overlap: int = 1, m_bits: int = 1 << 23,
-                        num_hashes: int = 4, text_col: str = "text",
-                        id_col: str = "doc_id"):
+                        num_hashes: int = 4, text_col: str = "text"):
     """Bloom-filter variant of :func:`decontaminate` — the documented
     scale hatch of :func:`eval_ngram_hashes` for when the eval side's
     DISTINCT gram set outgrows an exact broadcast array: the broadcast
@@ -767,18 +778,9 @@ def bloom_decontaminate(docs_ds, eval_ds, n: int = 8,
 
     def _fn(t: pa.Table) -> pa.Table:
         bits = ray.get(ref)
-        g, off = _doc_ngram_hashes(t[text_col], n)
-        n_doc = len(t)
-        cnt = np.zeros(n_doc, dtype=np.int64)
-        if len(g):
-            di = np.repeat(np.arange(n_doc, dtype=np.int64), np.diff(off))
-            order = np.lexsort((g, di))
-            gs, ds_ = g[order], di[order]
-            first = np.ones(len(gs), dtype=bool)
-            first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
-            gu, du = gs[first], ds_[first]
-            hit = bloom_probe_hashes(bits, gu, num_hashes)
-            cnt = np.bincount(du[hit], minlength=n_doc).astype(np.int64)
+        cnt = _probe_counts(
+            t, n, text_col,
+            lambda gu: bloom_probe_hashes(bits, gu, num_hashes))
         return t.filter(pa.array(cnt < min_overlap))
 
     return docs_ds.map_batches(_fn, batch_format="pyarrow",

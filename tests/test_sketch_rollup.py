@@ -189,7 +189,11 @@ def test_rollup_matches_duckdb(ray_session):
         check_dtype=False)
 
 
-def test_rollup_empty_input(ray_session):
+def test_rollup_empty_input_emits_grand_total(ray_session):
+    """SQL GROUP BY ROLLUP always emits the () grouping set: one
+    grand-total row (NULL key, NULL sum, count 0) over empty input —
+    verified against DuckDB."""
+    import duckdb
     import ray.data as rd
 
     from buteo_ray.stages.aggregate import rollup_aggregate
@@ -198,8 +202,14 @@ def test_rollup_empty_input(ray_session):
                        "x": pd.Series([], dtype="float64")})
     out = rollup_aggregate(rd.from_pandas(df), ["a"], sums={"sx": "x"},
                           count="n")
-    assert len(out) == 0
     assert list(out.columns) == ["a", "sx", "n"]
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("SELECT a, SUM(x) AS sx, COUNT(*) AS n FROM t "
+                       "GROUP BY ROLLUP (a)").df()
+    assert len(out) == len(want) == 1
+    assert out["a"].iloc[0] is None and np.isnan(out["sx"].iloc[0])
+    assert out["n"].iloc[0] == 0 == want["n"].iloc[0]
 
 
 # ----------------------------------------------------- robust group stats
@@ -340,3 +350,83 @@ def test_bloom_rejects_unaligned_bits():
 
     with pytest.raises(ValueError):
         bloom_from_hashes(np.array([1], dtype=np.uint64), m_bits=100)
+
+
+# ----------------------------------------------- review-fix regressions (r05)
+
+def test_hll_skips_nulls_like_count_distinct(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import hll_distinct
+
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 3,
+        "v": pd.array([1, 2, 3, None, None, 1, None, None, None],
+                      dtype="Int64"),
+    })
+    est = (hll_distinct(rd.from_pandas(df), ["g"], "v", p=12)
+           .to_pandas().set_index("g")["n_distinct_est"])
+    # COUNT(DISTINCT v): a → 3 (nulls skipped), b → 0 (group kept).
+    assert abs(est["a"] - 3) < 0.5
+    assert est["b"] == 0.0
+
+
+def test_robust_stats_skip_nulls(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import robust_group_stats
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"],
+                       "v": [1.0, 2.0, 3.0, None, 100.0, None]})
+    out = (robust_group_stats(rd.from_pandas(df), "k", "v", z=3.0)
+           .to_pandas().set_index("k"))
+    # group a: median/MAD of [1,2,3,100] — the null must not poison it
+    assert out.loc["a", "med"] == 2.5 and out.loc["a", "mad"] == 1.0
+    assert out.loc["a", "n_out"] == 1  # 100 is the outlier
+    # group b is ALL null: row survives with NaN stats, n_out 0
+    assert np.isnan(out.loc["b", "med"]) and out.loc["b", "n_out"] == 0
+
+
+def test_json_extract_int64_exact_or_null(ray_session):
+    """Exact-or-null contract: large ints past 2^53 stay exact, out-of-
+    range / fractional values null (never INT64_MIN garbage)."""
+    import ray
+
+    import ray.data as rd
+
+    from buteo_ray.stages.semistruct import json_extract_scalar
+
+    rows = ['{"k": 9007199254740993}', '{"k": 1e30}', '{"k": 3.7}',
+            '{"k": 87.0}', '{"k": -9223372036854775808}']
+    ds = rd.from_pandas(pd.DataFrame({"p": rows}))
+    for strict in (False, True):
+        out = json_extract_scalar(ds, "p", "k", "v", dtype="int64",
+                                  strict=strict)
+        t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        got = t["v"].to_pylist()
+        assert got == [9007199254740993, None, None, 87,
+                       -9223372036854775808], (strict, got)
+
+
+def test_heavy_tokens_null_text(ray_session):
+    """NULL text emits no tokens (SQL unnest(string_split(NULL, ' '))
+    rule) and does not inflate the phi denominator."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"token": pd.array(["a", "a", "b", None], dtype="object")}))
+    # the operator itself counts a null KEY group if present (SQL
+    # GROUP BY does too) — the q_heavy_tokens tokenizer is what must
+    # never PRODUCE null tokens; emulate it here:
+    import pyarrow.compute as pc
+
+    def _tok(t: pa.Table) -> pa.Table:
+        txt = t["token"].combine_chunks()
+        return pa.table({"token": txt.filter(pc.is_valid(txt))})
+
+    tok = ds.map_batches(_tok, batch_format="pyarrow")
+    got = heavy_hitters(tok, "token", threshold=1).to_pandas()
+    assert set(got["token"]) == {"a", "b"}
+    assert got.set_index("token")["n"].to_dict() == {"a": 2, "b": 1}
