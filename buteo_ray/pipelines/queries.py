@@ -3887,6 +3887,20 @@ def sql_json_extract() -> str:
             "FROM events")
 
 
+def q_approx_quantile(sf_dir: str):
+    """Per-group approximate quantiles (p50/p90/p99 of event values)
+    via two-pass fixed-bin histogram CDF inversion — the unbounded-
+    group scale path of the exact median/MAD family (no per-group
+    gather; 32-KiB state per group). Rows-only: the result is a bin
+    lower edge, not SQL-reproducible; tests pin it within one bin
+    width below DuckDB's quantile_disc and split-invariant."""
+    from buteo_ray.stages.sketch import approx_quantile_by_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return approx_quantile_by_group(ds, ["event_type"], "value",
+                                    [0.5, 0.9, 0.99])
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct users per event type (p=12, ~1.6 % rms
     error) — the fixed-memory scale path of `count_distinct` (its
@@ -4047,6 +4061,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # oracle-checked embed_centroids_flat (same operator, hash-checked
     # per element) and was dropped from the registry.
     "approx_distinct": q_approx_distinct,
+    "approx_quantile": q_approx_quantile,
     "bloom_decontaminate": q_bloom_decontaminate,
     "mask_bezier": q_mask_bezier,
     "dissolve_union": q_dissolve_union,

@@ -206,3 +206,122 @@ def hll_distinct(ds, keys: Sequence[str], col: str, p: int = 12):
         return out
 
     return bucketed_fold(partials, keys, _fold)
+
+
+# ------------------------------------------------- approximate quantiles
+
+def approx_quantile_by_group(ds, keys: Sequence[str], col: str,
+                             qs: Sequence[float], num_bins: int = 4096):
+    """Per-group approximate quantiles with a DETERMINISTIC error
+    bound: two linear passes, no per-group gather — the scale path
+    where the exact :func:`~buteo_ray.stages.aggregate.robust_group_stats`
+    / exact-median contract (whole group in one task) stops holding.
+
+    Pass 1: per-group min/max (grouped partials + bucketed fold).
+    Pass 2: per-group fixed-width histogram over [min, max] — per-batch
+    ``np.bincount`` partials keyed by (group, bin), folded by sum.
+    Quantile q = lower edge of the first bin where the cumulative count
+    reaches ``ceil(q * n)`` (a lower bound of the true quantile_disc),
+    so the error is at most one bin width: (max-min)/num_bins, with
+    ZERO error when the group's value domain has ≤ num_bins distinct
+    equally-spaced values (e.g. integer grades narrower than the bin
+    count). NULLs are skipped, SQL-style; an all-null group emits NaN
+    quantiles. State: num_bins int64 per (group, in-flight batch) —
+    32 KiB at the default — regardless of group size.
+
+    Like ``ds`` being scanned twice, the two passes re-execute upstream
+    transforms; materialize upstream first if it is expensive.
+
+    Returns Dataset[(keys..., q_<q>: float64 ...)].
+    """
+    from buteo_ray.stages.aggregate import (bucketed_fold,
+                                            grouped_aggregate,
+                                            nonempty_arrow_blocks)
+
+    keys = list(keys)
+    qs = [float(q) for q in qs]
+    if not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    B = int(num_bins)
+
+    # Pass 1 — per-group [min, max]. Group cardinality of a quantile
+    # report is bounded by construction (it IS the report's row count),
+    # so a driver-side dict broadcast by closure is safe.
+    mm = grouped_aggregate(ds, keys, mins={"__lo": col},
+                           maxs={"__hi": col})
+    mm_tab = nonempty_arrow_blocks(mm)
+    bounds: dict = {}
+    for t in mm_tab:
+        df = t.to_pandas()
+        los = df["__lo"].to_numpy()
+        his = df["__hi"].to_numpy()
+        kcols = [df[k].to_numpy() for k in keys]
+        for i in range(len(df)):
+            bounds[tuple(c[i] for c in kcols)] = (los[i], his[i])
+
+    def _hist(t: pa.Table) -> pd.DataFrame:
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        kdf = t.select(keys).to_pandas()
+        out_rows = {k: [] for k in keys}
+        h_bins, h_cnts = [], []
+        for kv, g in kdf.groupby(keys, sort=False, dropna=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            lo, hi = bounds.get(kv, (np.nan, np.nan))
+            x = vals[g.index.to_numpy()]
+            x = x[~np.isnan(x)]
+            if not len(x) or not np.isfinite(lo) or hi <= lo:
+                # single-valued group: everything lands in bin 0
+                # (quantile = lo exactly). An all-null slice still
+                # emits a ZERO-COUNT marker so the group's row survives
+                # to the fold (SQL GROUP BY keeps all-null groups; the
+                # fold turns n=0 into NaN quantiles).
+                b = np.zeros(len(x), dtype=np.int64)
+            else:
+                b = np.minimum(((x - lo) / (hi - lo) * B)
+                               .astype(np.int64), B - 1)
+            cnt = np.bincount(b, minlength=1)
+            nz = np.flatnonzero(cnt)
+            if not len(nz):
+                nz = np.array([0], dtype=np.int64)  # zero-count marker
+            for k, v in zip(keys, kv):
+                out_rows[k].extend([v] * len(nz))
+            h_bins.extend(nz.tolist())
+            h_cnts.extend(cnt[nz].tolist())
+        out = pd.DataFrame(out_rows)
+        out["__bin"] = np.asarray(h_bins, dtype=np.int64)
+        out["__cnt"] = np.asarray(h_cnts, dtype=np.int64)
+        return out
+
+    partials = ds.map_batches(_hist, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        merged = (g.groupby(keys + ["__bin"], sort=False, dropna=False,
+                            as_index=False)["__cnt"].sum())
+        out_rows = {k: [] for k in keys}
+        qcols: dict = {f"q_{q}": [] for q in qs}
+        for kv, grp in merged.groupby(keys, sort=False, dropna=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            grp = grp.sort_values("__bin")
+            bins = grp["__bin"].to_numpy()
+            cum = grp["__cnt"].to_numpy().cumsum()
+            n = int(cum[-1]) if len(cum) else 0
+            lo, hi = bounds.get(kv, (np.nan, np.nan))
+            width = (hi - lo) / B if (np.isfinite(lo) and hi > lo) else 0.0
+            for k, v in zip(keys, kv):
+                out_rows[k].append(v)
+            for q in qs:
+                if n == 0:
+                    qcols[f"q_{q}"].append(float("nan"))
+                    continue
+                rank = max(int(np.ceil(q * n)), 1)
+                i = int(np.searchsorted(cum, rank))
+                qcols[f"q_{q}"].append(float(lo + bins[i] * width))
+        out = pd.DataFrame(out_rows)
+        for c, v in qcols.items():
+            out[c] = np.asarray(v, dtype=np.float64)
+        return out
+
+    return bucketed_fold(partials, keys, _fold)

@@ -430,3 +430,64 @@ def test_heavy_tokens_null_text(ray_session):
     got = heavy_hitters(tok, "token", threshold=1).to_pandas()
     assert set(got["token"]) == {"a", "b"}
     assert got.set_index("token")["n"].to_dict() == {"a": 2, "b": 1}
+
+
+# ------------------------------------------------- approximate quantiles
+
+def test_approx_quantile_within_one_bin_of_quantile_disc(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import approx_quantile_by_group
+
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    B = 4096
+    out = (approx_quantile_by_group(
+        rd.from_pandas(df), ["event_type"], "value", [0.5, 0.9, 0.99],
+        num_bins=B).to_pandas().set_index("event_type"))
+    for k, g in df.groupby("event_type"):
+        sv = np.sort(g["value"].to_numpy())
+        n = len(sv)
+        width = (sv[-1] - sv[0]) / B
+        for q in (0.5, 0.9, 0.99):
+            exact = sv[max(int(np.ceil(q * n)), 1) - 1]  # quantile_disc
+            got = out.loc[k, f"q_{q}"]
+            assert got <= exact + 1e-12, (k, q, got, exact)
+            assert exact - got <= width + 1e-12, (k, q, got, exact)
+
+
+def test_approx_quantile_split_invariance(ray_session):
+    """Histogram partial-sum is layout-free: identical output across
+    block layouts."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import approx_quantile_by_group
+
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    a = (approx_quantile_by_group(rd.from_pandas(df).repartition(1),
+                                  ["event_type"], "value", [0.5])
+         .to_pandas().sort_values("event_type").reset_index(drop=True))
+    b = (approx_quantile_by_group(rd.from_pandas(df).repartition(8),
+                                  ["event_type"], "value", [0.5])
+         .to_pandas().sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_approx_quantile_edge_groups(ray_session):
+    """Constant-valued group → exact value; all-null group → NaN row;
+    nulls skipped inside mixed groups; bad q rejected."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import approx_quantile_by_group
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 2 + ["c"],
+                       "v": [1.0, 2.0, 3.0, None, 5.0, 5.0, None]})
+    out = (approx_quantile_by_group(rd.from_pandas(df), ["k"], "v",
+                                    [0.5]).to_pandas()
+           .set_index("k")["q_0.5"])
+    assert out["b"] == 5.0             # constant group: exact
+    assert np.isnan(out["c"])          # all-null group kept, NaN
+    assert abs(out["a"] - 2.0) < (3.0 - 1.0) / 4096 + 1e-12
+    with pytest.raises(ValueError):
+        approx_quantile_by_group(rd.from_pandas(df), ["k"], "v", [1.5])
