@@ -3901,6 +3901,33 @@ def q_approx_quantile(sf_dir: str):
                                     [0.5, 0.9, 0.99])
 
 
+def q_cms_freq(sf_dir: str):
+    """Count-min frequency estimates for a deterministic probe set of
+    users (user_id % 7 == 0) — fixed 2-MiB driver state regardless of
+    user cardinality. Rows-only: estimates depend on counter
+    collisions; tests pin the never-undercount guarantee, the 2n/width
+    bound and sum-merge split-invariance."""
+    from buteo_ray.stages.aggregate import bucketed_count
+    from buteo_ray.stages.sketch import cms_estimate, count_min_sketch
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    grid, _n = count_min_sketch(ds, "user_id")
+
+    def _mod(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": u[u % 7 == 0]})
+
+    # Deterministic probe set: users ≡ 0 (mod 7), deduped via the
+    # bucketed count (probe cardinality is data-derived).
+    probes = (bucketed_count(
+        ds.map_batches(_mod, batch_format="pyarrow", batch_size=None),
+        ["user_id"]).select_columns(["user_id"]).to_pandas())
+    probes = probes.sort_values("user_id").reset_index(drop=True)
+    est = cms_estimate(grid, probes["user_id"].to_numpy())
+    return pd.DataFrame({"user_id": probes["user_id"].to_numpy(),
+                         "est_freq": est.astype("int64")})
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct users per event type (p=12, ~1.6 % rms
     error) — the fixed-memory scale path of `count_distinct` (its
@@ -4062,6 +4089,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # per element) and was dropped from the registry.
     "approx_distinct": q_approx_distinct,
     "approx_quantile": q_approx_quantile,
+    "cms_freq": q_cms_freq,
     "bloom_decontaminate": q_bloom_decontaminate,
     "mask_bezier": q_mask_bezier,
     "dissolve_union": q_dissolve_union,

@@ -1,14 +1,19 @@
 """Sketch-based distributed operators: exact heavy hitters behind a
-hashed-bucket prefilter, and HyperLogLog approximate distinct counts.
+hashed-bucket prefilter, HyperLogLog distinct counts, fixed-bin
+approximate group quantiles, and a count-min frequency sketch.
 
 The reference engine's aggregation surface stops at exact per-key
 statistics over bounded key domains (its zonal/attribute-table family,
 see core_vector/core_vector_attributes.py and the raster zonal paths);
 a 100-TB web corpus also needs the sub-linear-memory variants —
-frequency mining and cardinality estimation whose driver/actor state is
-a FIXED-SIZE array regardless of key cardinality. Both operators here
-keep every per-row step vectorized (numpy over Arrow buffers) and move
-only reduced state across the exchange.
+frequency mining, cardinality and quantile estimation whose
+driver/actor state is a FIXED-SIZE array regardless of key cardinality.
+Every operator here keeps the per-row step vectorized (numpy over Arrow
+buffers), moves only reduced MERGEABLE state across the exchange (sum
+for counters, max for registers — so block layout, retries and
+re-splits cannot change the answer), and documents its error direction:
+heavy_hitters is exact, CMS never undercounts, Bloom (text.py) never
+misses, HLL/quantiles carry symmetric bounded error.
 """
 from __future__ import annotations
 
@@ -325,3 +330,84 @@ def approx_quantile_by_group(ds, keys: Sequence[str], col: str,
         return out
 
     return bucketed_fold(partials, keys, _fold)
+
+
+# ------------------------------------------------------- count-min sketch
+
+def _cms_positions(h: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) positions: row d probes splitmix64(h + d·golden) % w —
+    the same salt family as the Bloom filter, so the d rows are
+    pairwise-independent enough in practice."""
+    from buteo_ray.stages.dedup import _splitmix64
+
+    out = np.empty((depth, len(h)), dtype=np.int64)
+    for d in range(depth):
+        salt = np.uint64((d * 0x9E3779B97F4A7C15) % (1 << 64))
+        out[d] = (_splitmix64(h + salt) % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def count_min_sketch(ds, col: str, width: int = 1 << 16,
+                     depth: int = 4) -> "tuple[np.ndarray, int]":
+    """Count-min sketch of ``col`` (Cormode & Muthukrishnan, J.Alg
+    2005): a (depth × width) int64 counter grid estimating EVERY key's
+    frequency in fixed memory (2 MiB at the defaults), one-sided —
+    estimates never undercount, and overshoot ≤ 2n/width with
+    probability 1 − 2^-depth.
+
+    Distributed shape mirrors :func:`heavy_hitters` pass 1: per-batch
+    sparse (row, pos, cnt) partials (np.bincount per depth row; counter
+    grids are SUM-mergeable, so block layout cannot change the result)
+    → streamed driver fold into the dense grid. Driver memory is
+    O(depth · width), never O(|keys|).
+
+    Returns (sketch grid, total row count n).
+    """
+    from buteo_ray.stages.aggregate import _hash_key_column
+
+    W, D = int(width), int(depth)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        h = _hash_key_column(t[col])
+        pos = _cms_positions(h, W, D)
+        rows, cols, cnts = [], [], []
+        for d in range(D):
+            c = np.bincount(pos[d], minlength=0)
+            nz = np.flatnonzero(c)
+            rows.append(np.full(len(nz), d, dtype=np.int64))
+            cols.append(nz)
+            cnts.append(c[nz])
+        # Batch row count rides in the FIRST row's ``n`` (zeros after),
+        # so the driver fold recovers total n with a plain column sum.
+        n_col = np.zeros(sum(len(r) for r in rows), dtype=np.int64)
+        if len(n_col):
+            n_col[0] = len(t)
+        return pa.table({"row": np.concatenate(rows),
+                         "pos": np.concatenate(cols),
+                         "cnt": np.concatenate(cnts),
+                         "n": n_col})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    grid = np.zeros((D, W), dtype=np.int64)
+    n_total = 0
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        np.add.at(grid, (b["row"].to_numpy(), b["pos"].to_numpy()),
+                  b["cnt"].to_numpy())
+        n_total += int(b["n"].to_numpy().sum())
+    return grid, n_total
+
+
+def cms_estimate(grid: np.ndarray, values, hash_like=None) -> np.ndarray:
+    """Point-frequency estimates for ``values`` (an Arrow array /
+    numpy array matching the sketched column's type): min over the
+    depth rows — never an undercount."""
+    from buteo_ray.stages.aggregate import _hash_key_column
+
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(values)
+    h = _hash_key_column(arr)
+    D, W = grid.shape
+    pos = _cms_positions(h, W, D)
+    ests = np.stack([grid[d, pos[d]] for d in range(D)])
+    return ests.min(axis=0)

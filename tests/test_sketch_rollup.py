@@ -491,3 +491,40 @@ def test_approx_quantile_edge_groups(ray_session):
     assert abs(out["a"] - 2.0) < (3.0 - 1.0) / 4096 + 1e-12
     with pytest.raises(ValueError):
         approx_quantile_by_group(rd.from_pandas(df), ["k"], "v", [1.5])
+
+
+# ------------------------------------------------------- count-min sketch
+
+def test_cms_never_undercounts_and_bound(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import cms_estimate, count_min_sketch
+
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    W, D = 1 << 14, 4
+    grid, n = count_min_sketch(rd.from_pandas(df), "user_id",
+                               width=W, depth=D)
+    assert n == len(df)
+    vc = df["user_id"].value_counts()
+    probes = vc.index.to_numpy()
+    est = cms_estimate(grid, probes)
+    true = vc.to_numpy()
+    assert (est >= true).all()                 # one-sided: never under
+    assert (est - true).max() <= 2 * n / W + 1  # CM guarantee w.h.p.
+    # absent keys estimate near zero
+    ghost = cms_estimate(grid, np.array([10**12 + 7], dtype=np.int64))
+    assert ghost[0] <= 2 * n / W + 1
+
+
+def test_cms_split_invariance(ray_session):
+    """Counter grids are sum-mergeable: identical across block layouts."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import count_min_sketch
+
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    g1, n1 = count_min_sketch(rd.from_pandas(df).repartition(1),
+                              "user_id", width=1 << 12, depth=3)
+    g8, n8 = count_min_sketch(rd.from_pandas(df).repartition(8),
+                              "user_id", width=1 << 12, depth=3)
+    assert n1 == n8 and (g1 == g8).all()
