@@ -3737,6 +3737,38 @@ def sql_shuffle_shards() -> str:
 
 # ------------------------------------------------- sketches / re-aggregation
 
+def q_union_by_name(sf_dir: str):
+    """Schema-evolution union (SQL UNION ALL BY NAME): documents and
+    events project onto overlapping-but-different schemas; the engine
+    aligns by column NAME with typed null padding and first-seen type
+    order — no shuffle (stages/vector_ops.py:union_by_name)."""
+    from buteo_ray.stages.vector_ops import union_by_name
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+
+    def _d(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["doc_id"], "tag": t["lang"]})
+
+    def _e(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["event_id"], "tag": t["event_type"],
+                         "value": t["value"]})
+
+    return union_by_name([
+        docs.map_batches(_d, batch_format="pyarrow", batch_size=None),
+        ev.map_batches(_e, batch_format="pyarrow", batch_size=None),
+    ])
+
+
+def sql_union_by_name() -> str:
+    return (
+        "SELECT doc_id AS id, lang AS tag FROM documents "
+        "UNION ALL BY NAME "
+        "SELECT event_id AS id, event_type AS tag, value FROM events"
+    )
+
+
 def q_heavy_tokens(sf_dir: str):
     """EXACT heavy hitters (tokens appearing in >= 0.1 % of all token
     occurrences) via the hashed-bucket prefilter — frequency mining
@@ -3978,7 +4010,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embed_centroids_flat": q_embed_centroids_flat,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
-    "dem_slope": q_dem_slope,
     "ts_slope": q_ts_slope,
     "predict_linear": q_predict_linear,
     # round-5 addition (cluster-representative training chain)
@@ -4030,6 +4061,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # resample_avg's slot: r03-attested pure numpy block-mean kernel,
     # untouched since, pinned by exact pytests).
     "zorder_key": q_zorder_key,
+    # round-5 schema-evolution union (never attested — in-window; takes
+    # dem_slope's slot: r03-attested pure numpy Horn-slope kernel,
+    # untouched since, pinned by exact pytests).
+    "union_by_name": q_union_by_name,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
@@ -4038,6 +4073,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "reproject_points": q_reproject_points,
     "distance_transform": q_distance_transform,
     "resample_avg": q_resample_avg,
+    "dem_slope": q_dem_slope,
     "scale_minmax": q_scale_minmax,
     "string_ops": q_string_ops,
     "encode_latlng": q_encode_latlng,
@@ -4208,6 +4244,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "mad_outliers": sql_mad_outliers,
     "json_extract": sql_json_extract,
     "zorder_key": sql_zorder_key,
+    "union_by_name": sql_union_by_name,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -815,3 +815,63 @@ def vector_to_extent(ds, wkb_col: str = "geom_wkb"):
     return (ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
             .repartition(1)
             .map_batches(_fold, batch_format="pyarrow", batch_size=None))
+
+
+def union_by_name(datasets, strict_types: bool = False):
+    """SQL ``UNION ALL BY NAME`` over heterogeneous-schema Datasets —
+    the schema-evolution union a long-lived 100-TB corpus needs (old
+    shards lack columns added later; per-source tables share some
+    fields). The reference's layer merge (core_vector_merge.py:24-122)
+    requires IDENTICAL layer definitions; this is its by-name
+    generalization.
+
+    Output column order = first-seen across inputs. Each dataset gains
+    typed null columns for the names it lacks; a shared name whose
+    Arrow type differs is cast to the first-seen type
+    (``strict_types=True`` raises instead — fail-loud mode for
+    pipelines where an implicit cast would hide producer drift).
+    Map-only batch alignment + ``Dataset.union``: no shuffle, streams.
+    The alignment must happen BEFORE the union — Ray does not unify
+    block schemas, so a side-only column would vanish from some blocks
+    downstream (same rule as asof_join's tagged union,
+    streaming.py:190-198)."""
+    from buteo_ray.stages.aggregate import arrow_fields
+
+    datasets = list(datasets)
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    fields_per = [dict(arrow_fields(d)) for d in datasets]
+    order: list = []
+    union_fields: dict = {}
+    for f in fields_per:
+        for n, t in f.items():
+            if n not in union_fields:
+                order.append(n)
+                union_fields[n] = t
+            elif strict_types and union_fields[n] != t:
+                raise TypeError(
+                    f"column {n!r}: {union_fields[n]} vs {t} — pass "
+                    "strict_types=False to cast to the first-seen type")
+
+    def _align(have: dict):
+        def _fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for n in order:
+                if n not in have:
+                    cols[n] = pa.nulls(t.num_rows, type=union_fields[n])
+                else:
+                    c = t[n]
+                    if c.type != union_fields[n]:
+                        c = c.cast(union_fields[n])
+                    cols[n] = c
+            return pa.table(cols)
+
+        return _fn
+
+    out = datasets[0].map_batches(_align(fields_per[0]),
+                                  batch_format="pyarrow",
+                                  batch_size=None)
+    for d, f in zip(datasets[1:], fields_per[1:]):
+        out = out.union(d.map_batches(_align(f), batch_format="pyarrow",
+                                      batch_size=None))
+    return out
