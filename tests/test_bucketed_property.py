@@ -355,3 +355,80 @@ def _sample_per_group_property(rows, n):
 
 def test_sample_per_group_deterministic_cap(ray_session):
     _sample_per_group_property()
+
+
+@given(keys=st.lists(st.one_of(st.integers(-3, 3), st.just(None),
+                               st.just(2**61)),
+                     min_size=1, max_size=120),
+       thr=st.integers(1, 8),
+       nb=st.sampled_from([2, 16, 1 << 14]),
+       nblocks=st.sampled_from([1, 3]))
+@settings(max_examples=6, deadline=None)
+def test_heavy_hitters_matches_pandas(ray_session, keys, thr, nb,
+                                      nblocks):
+    """heavy_hitters == GROUP BY HAVING count >= thr for any data,
+    threshold, bucket count (incl. degenerate B=2) and block layout —
+    the exactness invariant behind the prefilter."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import heavy_hitters
+
+    df = pd.DataFrame({"k": pd.array(keys, dtype="Int64")})
+    ds = rd.from_pandas(df).repartition(nblocks)
+    got = heavy_hitters(ds, "k", threshold=thr, num_buckets=nb) \
+        .to_pandas()
+    vc = df.groupby("k", sort=False, dropna=False).size()
+    want = {(_key(k)): int(v) for k, v in vc.items() if v >= thr}
+    got_d = {} if got.empty else \
+        {_key(k): int(v) for k, v in zip(got["k"], got["n"])}
+    assert got_d == want
+
+
+@given(vals=st.lists(st.floats(-100, 100, allow_nan=False),
+                     min_size=1, max_size=200),
+       q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+       nblocks=st.sampled_from([1, 4]))
+@settings(max_examples=6, deadline=None)
+def test_approx_quantile_bound_property(ray_session, vals, q, nblocks):
+    """quantile_disc(q) - one bin width <= approx <= quantile_disc(q)
+    for arbitrary data, q and block layout."""
+    import ray.data as rd
+
+    from buteo_ray.stages.sketch import approx_quantile_by_group
+
+    B = 512
+    df = pd.DataFrame({"g": ["x"] * len(vals), "v": vals})
+    out = approx_quantile_by_group(
+        rd.from_pandas(df).repartition(nblocks), ["g"], "v", [q],
+        num_bins=B).to_pandas()
+    sv = np.sort(np.asarray(vals, dtype=np.float64))
+    exact = sv[max(int(np.ceil(q * len(sv))), 1) - 1]
+    width = (sv[-1] - sv[0]) / B
+    got = out[f"q_{q}"].iloc[0]
+    assert got <= exact + 1e-9
+    assert exact - got <= width + 1e-9
+
+
+@given(ncols=st.integers(1, 3), nblocks=st.sampled_from([1, 2]))
+@settings(max_examples=6, deadline=None)
+def test_union_by_name_matches_pandas_concat(ray_session, ncols,
+                                             nblocks):
+    """union_by_name == pd.concat (by-name alignment, null padding)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.vector_ops import union_by_name
+
+    a = pd.DataFrame({"x": [1, 2], "y": ["p", "q"]})
+    cols = {"x": [9.0], "z": [7], "w": ["r"]}
+    b = pd.DataFrame({k: cols[k] for k in list(cols)[:ncols]})
+    got = union_by_name([
+        rd.from_pandas(a).repartition(nblocks),
+        rd.from_pandas(b).repartition(nblocks),
+    ]).to_pandas()
+    want = pd.concat([a, b], ignore_index=True)
+    want = want[[c for c in got.columns]]
+    got_s = got.sort_values(list(got.columns), na_position="last") \
+        .reset_index(drop=True)
+    want_s = want.sort_values(list(want.columns), na_position="last") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
