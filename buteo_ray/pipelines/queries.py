@@ -3826,6 +3826,27 @@ def sql_rollup_counts() -> str:
     )
 
 
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus) — every grouping set from
+    ONE distributed scan (finest level) + driver re-aggregation
+    (stages/aggregate.py:cube_aggregate). Integer-valued sum keeps the
+    cascaded float re-sum order-exact."""
+    from buteo_ray.stages.aggregate import cube_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return cube_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                          sums={"sum_qty": "l_quantity"}, count="cnt")
+
+
+def sql_cube_counts() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+
+
 def q_mad_outliers(sf_dir: str):
     """Per-group robust outlier stats over the heavy-tailed event
     values: median, MAD and #{|x-med| > 3·MAD} — the robust quality
@@ -4010,7 +4031,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embed_centroids_flat": q_embed_centroids_flat,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
-    "ts_slope": q_ts_slope,
+
     "predict_linear": q_predict_linear,
     # round-5 addition (cluster-representative training chain)
     "training_pipeline_cluster": q_training_pipeline_cluster,
@@ -4065,6 +4086,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # dem_slope's slot: r03-attested pure numpy Horn-slope kernel,
     # untouched since, pinned by exact pytests).
     "union_by_name": q_union_by_name,
+    # round-5 CUBE (never attested — in-window; takes ts_slope's slot:
+    # r03-attested per-group least-squares kernel, untouched since,
+    # pinned by exact pytests).
+    "cube_counts": q_cube_counts,
     # --- end of the 50-query driver window ---
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
@@ -4074,6 +4099,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "distance_transform": q_distance_transform,
     "resample_avg": q_resample_avg,
     "dem_slope": q_dem_slope,
+    "ts_slope": q_ts_slope,
     "scale_minmax": q_scale_minmax,
     "string_ops": q_string_ops,
     "encode_latlng": q_encode_latlng,
@@ -4245,6 +4271,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "json_extract": sql_json_extract,
     "zorder_key": sql_zorder_key,
     "union_by_name": sql_union_by_name,
+    "cube_counts": sql_cube_counts,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -740,3 +740,54 @@ def robust_group_stats(ds, key: str, col: str, z: float = 3.0):
                              "mad": [mad], "n_out": [n_out]})
 
     return ds.groupby(key).map_groups(_f, batch_format="pandas")
+
+
+def cube_aggregate(ds, keys: Sequence[str],
+                   sums: Optional[Dict[str, str]] = None,
+                   count: Optional[str] = None) -> pd.DataFrame:
+    """``GROUP BY CUBE(keys)`` — every subset of the key set, rolled-out
+    columns NULL. Same single-scan shape as :func:`rollup_aggregate`
+    (finest level distributed, every coarser grouping set re-aggregated
+    from the FINEST RESULT), same bounded-domain contract and float
+    caveat; 2^len(keys) grouping sets, so keys stays short by
+    construction. Grouping sets emit finest-first, grand total last."""
+    import itertools
+
+    sums = dict(sums or {})
+    keys = list(keys)
+    agg_cols = list(sums) + ([count] if count else [])
+
+    finest_ds = grouped_aggregate(ds, keys, sums=sums, count=count)
+    blocks = nonempty_arrow_blocks(finest_ds)
+    if not blocks:
+        finest = pd.DataFrame(columns=keys + agg_cols)
+    else:
+        finest = pa.concat_tables(
+            blocks, promote_options="permissive").to_pandas()
+
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for kept in itertools.combinations(keys, r):
+            kept = list(kept)
+            if len(kept) == len(keys):
+                lv = finest[keys + agg_cols].copy()
+            elif kept:
+                lv = (finest.groupby(kept, sort=False, dropna=False,
+                                     as_index=False)[agg_cols]
+                      .sum(min_count=1))
+            else:
+                # the () set always exists — one grand-total row, even
+                # over an empty input (count 0, NULL sums).
+                lv = pd.DataFrame(
+                    {c: [finest[c].sum(min_count=1)
+                         if len(finest) else
+                         (np.int64(0) if c == count else np.nan)]
+                     for c in agg_cols})
+            for k in keys:
+                if k not in kept:
+                    lv[k] = None
+            levels.append(lv[keys + agg_cols])
+    out = pd.concat(levels, ignore_index=True)
+    if count:
+        out[count] = out[count].fillna(0).astype(np.int64)
+    return out

@@ -528,3 +528,45 @@ def test_cms_split_invariance(ray_session):
     g8, n8 = count_min_sketch(rd.from_pandas(df).repartition(8),
                               "user_id", width=1 << 12, depth=3)
     assert n1 == n8 and (g1 == g8).all()
+
+
+# ----------------------------------------------------------------- cube
+
+def test_cube_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import cube_aggregate
+
+    df = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    got = cube_aggregate(rd.from_pandas(df),
+                         ["l_returnflag", "l_linestatus"],
+                         sums={"sum_qty": "l_quantity"}, count="cnt")
+    con = duckdb.connect()
+    con.register("lineitem", df)
+    want = con.execute(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ).df()
+    key = ["l_returnflag", "l_linestatus", "sum_qty"]
+    g = (got.sort_values(key, na_position="last").reset_index(drop=True)
+         .fillna({"l_returnflag": "␀", "l_linestatus": "␀"}))
+    w = (want.sort_values(key, na_position="last").reset_index(drop=True)
+         .fillna({"l_returnflag": "␀", "l_linestatus": "␀"}))
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_cube_empty_input_emits_grand_total(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.aggregate import cube_aggregate
+
+    df = pd.DataFrame({"a": pd.Series([], dtype="object"),
+                       "x": pd.Series([], dtype="float64")})
+    out = cube_aggregate(rd.from_pandas(df), ["a"], sums={"sx": "x"},
+                         count="n")
+    assert len(out) == 1
+    assert out["a"].iloc[0] is None and out["n"].iloc[0] == 0
