@@ -3994,6 +3994,152 @@ def q_approx_distinct(sf_dir: str):
     return hll_distinct(ds, ["event_type"], "user_id", p=12)
 
 
+def q_corr_by_group(sf_dir: str):
+    """Per-user Pearson correlation + population covariance between
+    event value and payload size (SQL CORR / COVAR_POP per group) —
+    single-scan moment partials + bucketed fold, keys unbounded. The
+    oracle mirrors the engine's Σ-moment forms op-for-op (NOT DuckDB's
+    CORR, whose Welford accumulation differs in final ulps); FLOOR
+    half-up 4-dp on the two derived floats (Σ accumulation order is
+    the one remaining cross-engine difference)."""
+    from buteo_ray.stages.aggregate import group_corr
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value", "props"])
+
+    def _plen(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "plen", pc.cast(pc.utf8_length(t["props"]), pa.float64()))
+
+    ev = ev.map_batches(_plen, batch_format="pyarrow", batch_size=None)
+    out = group_corr(ev, ["user_id"], "value", "plen")
+
+    def _round(t: pa.Table) -> pa.Table:
+        cov = np.floor(t["cov_pop"].to_numpy() * 10000.0 + 0.5) / 10000.0
+        cor = np.floor(t["corr"].to_numpy() * 10000.0 + 0.5) / 10000.0
+        return pa.table({"user_id": t["user_id"], "n": t["n"],
+                         "cov4": pa.array(cov, pa.float64()),
+                         "corr4": pa.array(cor, pa.float64())})
+
+    return out.map_batches(_round, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def sql_corr_by_group() -> str:
+    return (
+        "WITH s AS (SELECT user_id, COUNT(*) AS n, SUM(value) AS sx, "
+        "SUM(CAST(LENGTH(props) AS DOUBLE)) AS sy, "
+        "SUM(value * value) AS sxx, "
+        "SUM(CAST(LENGTH(props) AS DOUBLE) "
+        "* CAST(LENGTH(props) AS DOUBLE)) AS syy, "
+        "SUM(value * CAST(LENGTH(props) AS DOUBLE)) AS sxy "
+        "FROM events WHERE value IS NOT NULL AND props IS NOT NULL "
+        "GROUP BY user_id), "
+        "d AS (SELECT user_id, n, sxy/n - (sx/n)*(sy/n) AS cov, "
+        "sxx/n - (sx/n)*(sx/n) AS vx, syy/n - (sy/n)*(sy/n) AS vy "
+        "FROM s) "
+        "SELECT user_id, n, FLOOR(cov*10000.0 + 0.5)/10000.0 AS cov4, "
+        "FLOOR((cov/SQRT(vx*vy))*10000.0 + 0.5)/10000.0 AS corr4 "
+        "FROM d WHERE n >= 2 AND vx > 0 AND vy > 0"
+    )
+
+
+def q_ntile_bucket(sf_dir: str):
+    """Per-user NTILE(4) equi-depth bucketing over the event order —
+    exact standard NTILE rank arithmetic, all-integer (zero float
+    risk); keys unbounded → one hash-bucketed vectorized fold."""
+    from buteo_ray.stages.selection import ntile
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = ntile(ev, "user_id", ["ts", "event_id"], 4)
+    return out.select_columns(["user_id", "event_id", "tile"])
+
+
+def sql_ntile_bucket() -> str:
+    return (
+        "SELECT user_id, event_id, NTILE(4) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS tile "
+        "FROM events"
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix over the events log (cohort =
+    first-activity week per user; cells count distinct returning users
+    + raw events). All-integer epoch-week arithmetic — exact."""
+    from buteo_ray.stages.aggregate import cohort_retention
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def sql_cohort_retention() -> str:
+    # DuckDB's integer // TRUNCATES toward zero; the engine FLOORS.
+    # Equal on the positive epoch micros this table carries —
+    # tests/test_r05_ops.py pins the engine's floor rule on negatives.
+    return (
+        "WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk "
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "f AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id) "
+        "SELECT f.cw AS cohort_week, w.wk - f.cw AS week_offset, "
+        "COUNT(DISTINCT w.user_id) AS n_users, COUNT(*) AS n_events "
+        "FROM w JOIN f USING (user_id) GROUP BY 1, 2"
+    )
+
+
+def q_event_transitions(sf_dir: str):
+    """Global first-order Markov transition counts of event types
+    within each user's ordered stream (LEAD + GROUP BY) — integer
+    counts, exact."""
+    from buteo_ray.stages.streaming import transition_counts
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ev, "user_id", ["ts", "event_id"],
+                             "event_type")
+
+
+def sql_event_transitions() -> str:
+    return (
+        "WITH s AS (SELECT event_type AS src, LEAD(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS dst "
+        "FROM events) "
+        "SELECT src, dst, COUNT(*) AS n FROM s "
+        "WHERE dst IS NOT NULL GROUP BY src, dst"
+    )
+
+
+def q_prune_tokens(sf_dir: str):
+    """Corpus-frequency token pruning (the C4 frequent-line-dedup
+    machinery with sep=' '): drop every token whose corpus count
+    reaches ceil(phi·total), reassemble documents, report original and
+    kept token counts. Exact string membership (hashes only
+    prefilter); the ceil(phi·n) threshold is one double multiply +
+    ceil on both engines — bit-identical."""
+    from buteo_ray.stages.text import prune_frequent_tokens
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return prune_frequent_tokens(docs, phi=0.033)
+
+
+def sql_prune_tokens() -> str:
+    return (
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "freq AS (SELECT w FROM tok GROUP BY w HAVING COUNT(*) >= "
+        "CAST(CEIL(0.033 * (SELECT COUNT(*) FROM tok)) AS BIGINT)), "
+        "fl AS (SELECT COALESCE(LIST(w), []) AS ws FROM freq) "
+        "SELECT d.doc_id, "
+        "len(string_split(d.text, ' ')) AS n_tokens, "
+        "len(list_filter(string_split(d.text, ' '), "
+        "x -> NOT list_contains(fl.ws, x))) AS n_kept, "
+        "array_to_string(list_filter(string_split(d.text, ' '), "
+        "x -> NOT list_contains(fl.ws, x)), ' ') AS clean_text "
+        "FROM documents d, fl"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -4012,9 +4158,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "explode_tokens": q_explode_tokens,
     "text_stats": q_text_stats,
     "dedup_exact": q_dedup_exact,
-    "ann_topk": q_ann_topk,
     "window_agg": q_window_agg,
-    "add_field": q_add_field,
     "rasterize_count": q_rasterize_count,
     "sessionize": q_sessionize,
     "join_multiway": q_join_multiway,
@@ -4027,12 +4171,24 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "line_bbox_join": q_line_bbox_join,
     "lang_pred": q_lang_pred,
     "knn_cells": q_knn_cells,
-    "pip_join_poly": q_pip_join_poly,
-    "embed_centroids_flat": q_embed_centroids_flat,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
 
-    "predict_linear": q_predict_linear,
+    # round-5 late additions (never attested — must sit in-window).
+    # They take the slots of ann_topk, embed_centroids_flat (ann.py
+    # untouched in r05; in-window-era rows ann_lsh_exact/ann_ivf_exact
+    # from r04 cover the module, plus recall pytests), predict_linear
+    # (predict.py untouched since r04; predict_pixel holds an r04 hash
+    # row on the same module), pip_join_poly (join.py/geom untouched in
+    # r05; pip_join_bbox/semi/anti + clip_concave hold r04 rows on the
+    # same modules), and add_field (trivial projection, r03-attested,
+    # pytest-pinned; vector_ops' r05 change is the self-contained
+    # union_by_name, itself in-window).
+    "corr_by_group": q_corr_by_group,
+    "ntile_bucket": q_ntile_bucket,
+    "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
+    "prune_tokens": q_prune_tokens,
     # round-5 addition (cluster-representative training chain)
     "training_pipeline_cluster": q_training_pipeline_cluster,
     # round-4 additions — re-attest on round-5 code
@@ -4091,6 +4247,13 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # pinned by exact pytests).
     "cube_counts": q_cube_counts,
     # --- end of the 50-query driver window ---
+    # displaced from the window this round (see the in-window comments
+    # above for the per-query justification)
+    "ann_topk": q_ann_topk,
+    "add_field": q_add_field,
+    "pip_join_poly": q_pip_join_poly,
+    "embed_centroids_flat": q_embed_centroids_flat,
+    "predict_linear": q_predict_linear,
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
     "focal_sum": q_focal_sum,
@@ -4272,6 +4435,11 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "zorder_key": sql_zorder_key,
     "union_by_name": sql_union_by_name,
     "cube_counts": sql_cube_counts,
+    "corr_by_group": sql_corr_by_group,
+    "ntile_bucket": sql_ntile_bucket,
+    "cohort_retention": sql_cohort_retention,
+    "event_transitions": sql_event_transitions,
+    "prune_tokens": sql_prune_tokens,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

@@ -791,3 +791,163 @@ def cube_aggregate(ds, keys: Sequence[str],
     if count:
         out[count] = out[count].fillna(0).astype(np.int64)
     return out
+
+
+def group_corr(ds, keys: Sequence[str], x_col: str, y_col: str,
+               min_n: int = 2, num_buckets: Optional[int] = None):
+    """Per-group Pearson correlation + population covariance of two
+    columns (SQL ``CORR(x, y)`` / ``COVAR_POP(x, y)`` per group) — the
+    feature-relationship scan of a quality pipeline (does doc length
+    track score? does value track payload size per user?).
+
+    One streaming pass: rows with a null in EITHER column are dropped
+    (SQL's pairwise rule), then an Arrow per-block hash aggregate
+    reduces each block to per-key ``(n, Σx, Σy, Σx², Σy², Σxy)``
+    partials and a bucketed fold sums them — keys may be unbounded,
+    only six doubles per distinct key cross the exchange, and the sums
+    are order-free up to IEEE rounding (oracles round the derived
+    floats; see q_corr_by_group).
+
+    Derivation uses the textbook moment forms ``cov = Σxy/n − mx·my``,
+    ``var = Σv²/n − m²`` — mirror the SQL oracle the same way, NOT
+    DuckDB's CORR/COVAR_POP (Welford accumulation, differs in final
+    ulps). Groups with ``n < min_n`` or a zero variance on either side
+    are dropped (SQL CORR yields NULL there; filtering keeps both
+    sides total — constant groups sum identical doubles exactly, so
+    the var==0 test cannot diverge across engines).
+
+    Returns Dataset[(*keys, n:int64, cov_pop:float64, corr:float64)].
+    """
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.float64())
+        y = pc.cast(t[y_col], pa.float64())
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        tt = pa.table({**{k: t[k] for k in keys}, "__x": x, "__y": y}
+                      ).filter(ok)
+        x = tt["__x"]
+        y = tt["__y"]
+        tt = tt.append_column("__xx", pc.multiply(x, x))
+        tt = tt.append_column("__yy", pc.multiply(y, y))
+        tt = tt.append_column("__xy", pc.multiply(x, y))
+        out = tt.group_by(keys).aggregate(
+            [("__x", "count"), ("__x", "sum"), ("__y", "sum"),
+             ("__xx", "sum"), ("__yy", "sum"), ("__xy", "sum")])
+        return out.rename_columns(
+            keys + ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    folded = bucketed_sum(
+        partials, keys,
+        {c: c for c in ("__n", "__sx", "__sy", "__sxx", "__syy",
+                        "__sxy")},
+        num_buckets)
+
+    def _derive(t: pa.Table) -> pa.Table:
+        n_i = t["__n"].to_numpy(zero_copy_only=False)
+        n = n_i.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mx = t["__sx"].to_numpy(zero_copy_only=False) / n
+            my = t["__sy"].to_numpy(zero_copy_only=False) / n
+            cov = t["__sxy"].to_numpy(zero_copy_only=False) / n - mx * my
+            vx = t["__sxx"].to_numpy(zero_copy_only=False) / n - mx * mx
+            vy = t["__syy"].to_numpy(zero_copy_only=False) / n - my * my
+            corr = cov / np.sqrt(vx * vy)
+        keep = (n_i >= min_n) & (vx > 0.0) & (vy > 0.0)
+        out = pa.table({**{k: t[k] for k in keys},
+                        "n": t["__n"],
+                        "cov_pop": pa.array(cov, pa.float64()),
+                        "corr": pa.array(corr, pa.float64())})
+        return out.filter(pa.array(keep))
+
+    return folded.map_batches(_derive, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def cohort_retention(ds, user_col: str, ts_col: str,
+                     period_us: int = 7 * 86400 * 10 ** 6,
+                     num_buckets: Optional[int] = None):
+    """Cohort retention matrix: each user's cohort = the period (week
+    by default) of their FIRST event; each cell (cohort, offset) counts
+    the distinct users from that cohort active ``offset`` periods later
+    plus their raw event count — the standard activity-retention
+    rollup, and the shape of any "when did this crawl's documents
+    reappear" lineage scan.
+
+    All-integer arithmetic (period id = FLOOR-div of epoch micros —
+    uniform bucket widths across the epoch; note DuckDB's integer
+    ``//`` TRUNCATES toward zero instead, so an oracle over pre-epoch
+    timestamps must spell out floor division — for positive epochs the
+    two agree) — zero float risk. Three bounded
+    exchanges, each over reduced rows, never raw events:
+
+    1. per-user MIN(period) — Arrow per-block min partials + bucketed
+       min-fold (users unbounded);
+    2. the (user, cohort) table joins back through
+       :func:`~buteo_ray.stages.join_partitioned.hash_join_auto`
+       (size-gated broadcast, hash-partitioned past 64 MB);
+    3. distinct (cohort, offset, user) via ``bucketed_count``, then the
+       cell rollup — ≤ cohorts × offsets rows — via a second bucketed
+       fold summing users and events.
+
+    Rows with a null user or null timestamp are dropped (SQL: the join
+    and MIN skip them). Returns Dataset[(cohort_week:int64,
+    week_offset:int64, n_users:int64, n_events:int64)].
+    """
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    def _week(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(ok)
+        # normalize the unit FIRST — a raw int64 cast yields the
+        # column's native unit (ns for pandas-born frames, us for the
+        # parquet tables), which would scale every period id
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        wk = us // np.int64(period_us)  # numpy // FLOORS (see docstring)
+        return pa.table({user_col: t[user_col], "__wk": wk})
+
+    weeks = ds.map_batches(_week, batch_format="pyarrow", batch_size=None)
+
+    def _min_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by([user_col]).aggregate([("__wk", "min")])
+        return out.rename_columns([user_col, "__cw"])
+
+    def _min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby([user_col], sort=False, dropna=False,
+                          as_index=False)["__cw"].min())
+
+    cohorts = bucketed_fold(
+        weeks.map_batches(_min_partial, batch_format="pyarrow",
+                          batch_size=None),
+        [user_col], _min_fold, num_buckets)
+
+    joined = hash_join_auto(weeks, cohorts, user_col, user_col)
+
+    def _offset(t: pa.Table) -> pa.Table:
+        off = pc.subtract(t["__wk"], t["__cw"])
+        return pa.table({"cohort_week": t["__cw"], "week_offset": off,
+                         user_col: t[user_col]})
+
+    cells = joined.map_batches(_offset, batch_format="pyarrow",
+                               batch_size=None)
+    per_user = bucketed_count(
+        cells, ["cohort_week", "week_offset", user_col],
+        alias="__ev", num_buckets=num_buckets)
+
+    def _cell_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cohort_week", "week_offset"], sort=False,
+                         dropna=False, as_index=False)
+               .agg(n_users=(user_col, "size"), n_events=("__ev", "sum")))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return bucketed_fold(per_user, ["cohort_week", "week_offset"],
+                         _cell_fold, num_buckets)

@@ -366,3 +366,43 @@ def quantile_threshold_filter(ds, group_col: str, value_col: str,
                                          value_set=groups_arr)))
 
     return ds.map_batches(_keep, batch_format="pyarrow", batch_size=None)
+
+
+def ntile(ds, key_col: str, order_cols: list, k: int,
+          alias: str = "tile", num_buckets: Optional[int] = None):
+    """Per-key equi-depth bucketing — SQL ``NTILE(k) OVER (PARTITION BY
+    key ORDER BY order_cols)`` — the per-group quartile/decile labeling
+    step (quality tiers per language, activity tiers per user).
+
+    Exact NTILE semantics (DuckDB / standard): with ``n`` rows and
+    ``q = n // k``, ``rem = n % k``, the first ``rem`` tiles hold
+    ``q + 1`` rows and the rest ``q``; when ``n < k`` each row gets its
+    own tile ``1..n``. All-integer rank arithmetic — zero float risk.
+
+    Keys are unbounded: one hash-bucketed fold, inside which a single
+    stable sort + two vectorized groupby transforms label every key's
+    rows at once (no per-key Python). ``order_cols`` must be a total
+    order within each key for a deterministic result. Returns the
+    input rows + ``alias:int64``.
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    order_cols = list(order_cols)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key_col, *order_cols], kind="stable")
+             .reset_index(drop=True))
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        r = grp.cumcount().to_numpy()
+        n = grp[key_col].transform("size").to_numpy()
+        q, rem = n // k, n % k
+        cut = rem * (q + 1)
+        big = r < cut
+        tile = np.where(big, r // np.maximum(q + 1, 1),
+                        rem + (r - cut) // np.maximum(q, 1)) + 1
+        g[alias] = tile.astype(np.int64)
+        return g
+
+    return bucketed_fold(ds, [key_col], _fold, num_buckets)

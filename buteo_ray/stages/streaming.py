@@ -349,3 +349,50 @@ def window_shift(ds, key_col: str = "user_id", order_cols=("ts",),
         return g
 
     return bucketed_fold(ds, [key_col], _fold)
+
+
+def transition_counts(ds, key_col: str, order_cols: list,
+                      value_col: str, src: str = "src",
+                      dst: str = "dst", alias: str = "n",
+                      num_buckets: Optional[int] = None):
+    """First-order transition matrix over per-key ordered sequences:
+    count every adjacent ``(value, next value)`` pair within a key —
+    SQL ``LEAD(value) OVER (PARTITION BY key ORDER BY ...)`` then
+    ``GROUP BY value, next``. The Markov-chain summary of an event log
+    (page-flow mining, crawler state transitions, session path stats).
+
+    One bucketed pass builds per-bucket pair partials (stable sort +
+    vectorized groupby-shift — no per-key Python), then a second
+    bucketed fold sums partials per (src, dst); pair cardinality may be
+    unbounded, only reduced counts cross the second exchange. The last
+    row of each key has no successor and is dropped (SQL: ``WHERE next
+    IS NOT NULL``); a null value mid-sequence drops the pair it ends
+    (its dst is null) but still starts the next pair as a null src —
+    matching the window-SQL rule exactly. ``order_cols`` must totally
+    order each key. Returns Dataset[(src, dst, alias:int64)].
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold, bucketed_sum
+
+    order_cols = list(order_cols)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key_col, *order_cols], kind="stable")
+             .reset_index(drop=True))
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        nxt = grp[value_col].shift(-1)
+        keep = nxt.notna().to_numpy()
+        p = pd.DataFrame({src: g[value_col].to_numpy()[keep],
+                          dst: nxt.to_numpy()[keep]})
+        out = (p.groupby([src, dst], sort=False, dropna=False)
+               .size().reset_index(name="__pn"))
+        if len(out) == 0 and out[src].dtype == object:
+            # An all-singleton bucket emits zero pairs; empty OBJECT
+            # columns type as Arrow null and cannot union with the
+            # string blocks other buckets emit — pin them to string
+            # (object value columns are strings engine-wide).
+            out = out.astype({src: "string", dst: "string"})
+        return out
+
+    partials = bucketed_fold(ds, [key_col], _pairs, num_buckets)
+    return bucketed_sum(partials, [src, dst], {alias: "__pn"},
+                        num_buckets)

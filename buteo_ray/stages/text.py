@@ -785,3 +785,103 @@ def bloom_decontaminate(docs_ds, eval_ds, n: int = 8,
 
     return docs_ds.map_batches(_fn, batch_format="pyarrow",
                                batch_size=None)
+
+
+def prune_frequent_tokens(ds, id_col: str = "doc_id",
+                          text_col: str = "text", sep: str = " ",
+                          phi: float | None = None,
+                          min_count: int | None = None,
+                          max_frequent: int = 1 << 20):
+    """Corpus-frequency token pruning — the C4-style frequent-line
+    dedup machinery with a caller-chosen separator: split every
+    document on ``sep``, find the segments whose CORPUS-WIDE count
+    reaches a threshold, drop those segments from every document, and
+    reassemble. With ``sep='\\n'`` this is exactly C4's repeated-line
+    removal (Raffel et al. 2020 §2.2, boilerplate nav/footer lines);
+    with ``sep=' '`` it is corpus-frequency vocabulary pruning.
+
+    The frequent set is found by :func:`~buteo_ray.stages.sketch.heavy_hitters`
+    — EXACT counts behind a hashed-bucket prefilter, O(buckets) driver
+    state — and is bounded by construction: at most ``total_segments /
+    threshold`` (≤ 1/phi) segments can reach the threshold, so the
+    broadcast is ≤ ``1/phi`` strings regardless of corpus size
+    (``max_frequent`` is the loud guard on that invariant, not a
+    silent cap). The rewrite pass is a single stream: Arrow
+    ``split_pattern`` → flat values + offsets, one ``np.isin`` against
+    the sorted frequent array, ``np.add.reduceat`` for per-doc kept
+    counts, rebuilt ``ListArray`` → ``binary_join``. Set membership is
+    on the SEGMENT STRINGS themselves (the hashes only prefilter), so
+    collisions cannot drop an innocent segment.
+
+    ``ds`` is consumed three times (two heavy-hitter passes + the
+    rewrite) — it is lazy, so materialize upstream first if it is
+    expensive. Rows with a null ``id_col`` or ``text_col`` are dropped
+    (SQL: unnest/aggregation skip them). Returns
+    Dataset[(id_col, n_tokens:int64, n_kept:int64, clean_text:string)].
+    """
+    from buteo_ray.stages.sketch import heavy_hitters
+
+    if (phi is None) == (min_count is None):
+        raise ValueError("pass exactly one of phi= / min_count=")
+
+    def _valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t[id_col]),
+                                pc.is_valid(t[text_col])))
+
+    docs = ds.map_batches(_valid, batch_format="pyarrow", batch_size=None)
+
+    def _tokens(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t[text_col], pattern=sep))
+        return pa.table({"tok": toks})
+
+    tok_ds = docs.map_batches(_tokens, batch_format="pyarrow",
+                              batch_size=None)
+    freq = heavy_hitters(tok_ds, "tok", threshold=min_count, phi=phi)
+    freq_df = freq.to_pandas()  # bounded: <= total/threshold segments
+    if len(freq_df) > max_frequent:
+        raise ValueError(
+            f"frequent-segment set has {len(freq_df)} entries > "
+            f"max_frequent={max_frequent} — threshold too low for this "
+            "corpus; raise phi/min_count or max_frequent")
+    frequent = np.sort(freq_df["tok"].to_numpy())
+
+    import ray
+    freq_ref = ray.put(frequent)  # ship once, read per task
+
+    def _rewrite(t: pa.Table) -> pa.Table:
+        fr = ray.get(freq_ref)
+        lists = pc.split_pattern(t[text_col], pattern=sep)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = lists.values.to_numpy(zero_copy_only=False)
+        # .values is the FULL buffer — rebase when the array is a slice
+        vals = vals[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        keep = ~np.isin(vals, fr)
+        n_tok = np.diff(offs)
+        # per-doc kept counts; reduceat misbehaves on empty slices
+        # (repeated/equal indices return x[i], out-of-range raises) —
+        # clamp the indices and mask zero-token docs after. split
+        # never yields a zero-token list ('' -> ['']), so this only
+        # triggers on degenerate inputs.
+        if len(vals):
+            idx = np.minimum(offs[:-1], len(vals) - 1)
+            kept = np.add.reduceat(keep.astype(np.int64), idx)
+            kept[n_tok == 0] = 0
+        else:
+            kept = np.zeros(len(n_tok), dtype=np.int64)
+        new_offs = np.concatenate(
+            [[0], np.cumsum(kept)]).astype(np.int32)
+        new_vals = pa.array(vals[keep], pa.string())
+        new_lists = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), new_vals)
+        clean = pc.binary_join(new_lists, sep)
+        return pa.table({id_col: t[id_col],
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_kept": pa.array(kept, pa.int64()),
+                         "clean_text": clean})
+
+    return docs.map_batches(_rewrite, batch_format="pyarrow",
+                            batch_size=None)
