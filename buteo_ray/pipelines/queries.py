@@ -4140,6 +4140,56 @@ def sql_prune_tokens() -> str:
     )
 
 
+def q_value_ranks(sf_dir: str):
+    """Per-user RANK / DENSE_RANK / PERCENT_RANK of event value — exact
+    SQL tie semantics (value has real ties in this table). PERCENT_RANK
+    is one integer subtraction + one IEEE division of exact ints —
+    bit-identical across engines, no rounding needed."""
+    from buteo_ray.stages.streaming import rank_stats
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    out = rank_stats(ev, "user_id", "value")
+    return out.select_columns(["user_id", "event_id", "rnk", "drnk",
+                               "prnk"])
+
+
+def sql_value_ranks() -> str:
+    return (
+        "SELECT user_id, event_id, RANK() OVER w AS rnk, "
+        "DENSE_RANK() OVER w AS drnk, PERCENT_RANK() OVER w AS prnk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value)"
+    )
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running SUM / non-null COUNT over the ordered event
+    stream (ROWS UNBOUNDED PRECEDING). The prefix sum is sequential on
+    both sides, but SQL engines may re-associate via segment trees —
+    FLOOR half-up 4-dp on the float; the running count is exact."""
+    from buteo_ray.stages.streaming import running_total
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    out = running_total(ev, "user_id", ["ts", "event_id"], "value")
+
+    def _round(df):
+        df["rsum4"] = np.floor(df["run_sum"] * 10000.0 + 0.5) / 10000.0
+        return df[["user_id", "event_id", "rsum4", "run_n"]]
+
+    return out.map_batches(_round, batch_format="pandas",
+                           batch_size=None)
+
+
+def sql_running_total() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "FLOOR(SUM(value) OVER w * 10000.0 + 0.5) / 10000.0 AS rsum4, "
+        "COUNT(value) OVER w AS run_n "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -4154,12 +4204,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # to the back.
     "zonal_stats": q_zonal_stats,
     "zonal_stats_full": q_zonal_stats_full,
-    "dissolve_bbox": q_dissolve_bbox,
     "explode_tokens": q_explode_tokens,
     "text_stats": q_text_stats,
     "dedup_exact": q_dedup_exact,
     "window_agg": q_window_agg,
-    "rasterize_count": q_rasterize_count,
     "sessionize": q_sessionize,
     "join_multiway": q_join_multiway,
     "topk_per_group": q_topk_per_group,
@@ -4189,6 +4237,15 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
     "prune_tokens": q_prune_tokens,
+    # round-5 window-function completions (never attested — in-window).
+    # They take the slots of rasterize_count (sources/raster.py
+    # untouched in r05; raster_stack_extract holds an r04 hash row on
+    # the module, plus exact pytests) and dissolve_bbox (r03-attested;
+    # vector_ops' r05 change is the self-contained union_by_name,
+    # itself in-window; dissolve is pinned by the rasterized-oracle
+    # pytest).
+    "value_ranks": q_value_ranks,
+    "running_total": q_running_total,
     # round-5 addition (cluster-representative training chain)
     "training_pipeline_cluster": q_training_pipeline_cluster,
     # round-4 additions — re-attest on round-5 code
@@ -4254,6 +4311,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pip_join_poly": q_pip_join_poly,
     "embed_centroids_flat": q_embed_centroids_flat,
     "predict_linear": q_predict_linear,
+    "rasterize_count": q_rasterize_count,
+    "dissolve_bbox": q_dissolve_bbox,
     # displaced from the window this round (r03-attested map-only
     # scalar kernels, untouched since)
     "focal_sum": q_focal_sum,
@@ -4440,6 +4499,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "cohort_retention": sql_cohort_retention,
     "event_transitions": sql_event_transitions,
     "prune_tokens": sql_prune_tokens,
+    "value_ranks": sql_value_ranks,
+    "running_total": sql_running_total,
 }
 
 _oracle_cache: Optional[Dict[str, str]] = None

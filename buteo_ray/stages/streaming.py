@@ -396,3 +396,79 @@ def transition_counts(ds, key_col: str, order_cols: list,
     partials = bucketed_fold(ds, [key_col], _pairs, num_buckets)
     return bucketed_sum(partials, [src, dst], {alias: "__pn"},
                         num_buckets)
+
+
+def rank_stats(ds, key_col: str, value_col: str,
+               rank_col: str = "rnk", dense_col: str = "drnk",
+               pct_col: str = "prnk",
+               num_buckets: Optional[int] = None):
+    """Per-key value ranking with full tie semantics — SQL ``RANK() /
+    DENSE_RANK() / PERCENT_RANK() OVER (PARTITION BY key ORDER BY
+    value)`` — the per-group leaderboard/percentile labeling step.
+
+    Exact SQL tie rules: RANK = 1 + strictly-smaller row count (peers
+    share, gaps after), DENSE_RANK = distinct-value index, PERCENT_RANK
+    = (rank − 1) / (n − 1) with 0.0 for single-row keys — one integer
+    subtraction and one IEEE division of exact ints, bit-identical
+    across engines. NULL values rank LAST as one peer group (SQL's
+    default NULLS LAST), via pandas ``na_option='bottom'``.
+
+    Keys unbounded → one hash-bucketed fold, two vectorized
+    ``groupby.rank`` passes per bucket (no per-key Python). Returns the
+    input rows + the three rank columns (rank/dense int64, pct
+    float64).
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        rnk = grp[value_col].rank(method="min", na_option="bottom")
+        drnk = grp[value_col].rank(method="dense", na_option="bottom")
+        n = grp[key_col].transform("size").to_numpy().astype(np.int64)
+        r = rnk.to_numpy().astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            pct = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+        g = g.copy()
+        g[rank_col] = r
+        g[dense_col] = drnk.to_numpy().astype(np.int64)
+        g[pct_col] = pct
+        return g
+
+    return bucketed_fold(ds, [key_col], _fold, num_buckets)
+
+
+def running_total(ds, key_col: str, order_cols: list, value_col: str,
+                  sum_col: str = "run_sum", n_col: str = "run_n",
+                  num_buckets: Optional[int] = None):
+    """Per-key running totals over an ordered stream — SQL ``SUM(v)
+    OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    plus the running non-null count — the cumulative-exposure /
+    budget-burn-down scan.
+
+    SQL null rules: a null value leaves the running sum unchanged and
+    the rows BEFORE a key's first non-null value carry a NULL sum (not
+    0). The running count is exact int64. The float sum is a prefix
+    sum — both engines add sequentially in window order, but segment-
+    tree re-association inside SQL engines is allowed, so oracles
+    round the float (see q_running_total). ``order_cols`` must totally
+    order each key. Keys unbounded → one hash-bucketed fold, one
+    stable sort + vectorized ``groupby.cumsum`` per bucket.
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    order_cols = list(order_cols)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key_col, *order_cols], kind="stable")
+             .reset_index(drop=True))
+        v = g[value_col]
+        cs = v.fillna(0.0).groupby(g[key_col], sort=False,
+                                   dropna=False).cumsum()
+        seen = v.notna().groupby(g[key_col], sort=False,
+                                 dropna=False).cumsum()
+        g = g.copy()
+        g[sum_col] = cs.where(seen > 0, other=np.nan)
+        g[n_col] = seen.to_numpy().astype(np.int64)
+        return g
+
+    return bucketed_fold(ds, [key_col], _fold, num_buckets)

@@ -244,3 +244,70 @@ def test_prune_frequent_tokens_guards(ray_session):
     with pytest.raises(ValueError):
         # every token is frequent at min_count=1 > max_frequent=1 guard
         prune_frequent_tokens(_ds(df), min_count=1, max_frequent=1)
+
+
+# ------------------------------------------------------------- rank_stats
+
+def test_rank_stats_matches_sql_tie_semantics(ray_session):
+    import duckdb
+
+    from buteo_ray.stages.streaming import rank_stats
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n),
+        "id": np.arange(n),
+        # coarse values -> plenty of ties within groups
+        "v": rng.integers(0, 8, n).astype(float),
+    })
+    df.loc[rng.choice(n, 50, replace=False), "v"] = np.nan
+    got = (rank_stats(_ds(df), "k", "v").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT id, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+               PERCENT_RANK() OVER w AS prnk
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY v)
+        ORDER BY id""").df()
+    assert (got["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
+    assert (got["drnk"].to_numpy() == exp["drnk"].to_numpy()).all()
+    # exact-int division on both sides — bit equality
+    assert (got["prnk"].to_numpy() == exp["prnk"].to_numpy()).all()
+
+
+# ---------------------------------------------------------- running_total
+
+def test_running_total_null_rules(ray_session):
+    from buteo_ray.stages.streaming import running_total
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "o": [1, 2, 3, 4, 1],
+        "v": [None, 2.0, None, 3.0, None],
+    })
+    got = (running_total(_ds(df), "k", ["o"], "v").to_pandas()
+           .sort_values(["k", "o"]).reset_index(drop=True))
+    # before the first non-null: NULL sum; nulls never advance the sum
+    assert np.isnan(got["run_sum"].iloc[0])
+    assert list(got["run_sum"].iloc[1:4]) == [2.0, 2.0, 5.0]
+    assert np.isnan(got["run_sum"].iloc[4])
+    assert list(got["run_n"]) == [0, 1, 1, 2, 0]
+
+
+def test_running_total_matches_pandas_big(ray_session):
+    from buteo_ray.stages.streaming import running_total
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 70, n),
+        "o": rng.permutation(n),
+        "v": rng.normal(size=n),
+    })
+    got = (running_total(_ds(df), "k", ["o"], "v").to_pandas()
+           .sort_values(["k", "o"]).reset_index(drop=True))
+    s = df.sort_values(["k", "o"], kind="stable").reset_index(drop=True)
+    exp = s.groupby("k")["v"].cumsum()
+    np.testing.assert_allclose(got["run_sum"], exp, rtol=1e-12)
+    assert (got["run_n"].to_numpy()
+            == s.groupby("k").cumcount().to_numpy() + 1).all()
