@@ -472,3 +472,123 @@ def running_total(ds, key_col: str, order_cols: list, value_col: str,
         return g
 
     return bucketed_fold(ds, [key_col], _fold, num_buckets)
+
+
+def interval_cover(ds, key_col: str, lo_col: str, hi_col: str,
+                   num_buckets: Optional[int] = None):
+    """Per-key interval-union statistics (gaps-and-islands): merge
+    overlapping-or-touching ``[lo, hi]`` intervals within each key and
+    return one row per key with ``n_intervals`` (input rows),
+    ``n_merged`` (islands after union) and ``covered`` (Σ island
+    lengths) — the coverage/occupancy scan (sessions-on-air, crawl
+    visit coverage, sensor uptime).
+
+    Merge rule: sorted by (lo, hi), an interval starts a NEW island iff
+    its ``lo`` is strictly greater than the running max ``hi`` of all
+    earlier intervals (touching endpoints merge) — the exact semantics
+    of the classic SQL window form ``lo > MAX(hi) OVER (... ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    ``lo``/``hi`` should be integer-like (e.g. epoch micros) so the
+    covered sum is exact. Keys unbounded → hash-bucketed fold, one
+    stable sort + vectorized cummax per bucket, no per-key Python.
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key_col, lo_col, hi_col], kind="stable")
+             .reset_index(drop=True))
+        lo = g[lo_col].to_numpy()
+        hi = g[hi_col].to_numpy()
+        key = g[key_col]
+        karr = key.to_numpy()
+        # Running max hi of STRICTLY EARLIER rows within each key —
+        # cythonized groupby transforms (cummax + shift), no per-key
+        # Python.
+        cm = pd.Series(hi).groupby(karr, sort=False).cummax()
+        prev_max = cm.groupby(karr, sort=False).shift().to_numpy()
+        first = key.ne(key.shift()).to_numpy()
+        brk = first | (lo > prev_max)
+        island = np.cumsum(brk) - 1  # global island id across the bucket
+        isl = pd.DataFrame({key_col: key.to_numpy(), "__i": island,
+                            "__lo": lo, "__hi": hi})
+        merged = (isl.groupby("__i", sort=False)
+                  .agg(**{key_col: (key_col, "first"),
+                          "__lo": ("__lo", "min"),
+                          "__hi": ("__hi", "max")}))
+        out = (merged.assign(__len=merged["__hi"] - merged["__lo"])
+               .groupby(key_col, sort=False, as_index=False)
+               .agg(n_merged=("__len", "size"), covered=("__len", "sum")))
+        n_in = (g.groupby(key_col, sort=False, as_index=False)
+                .size().rename(columns={"size": "n_intervals"}))
+        out = n_in.merge(out, on=key_col)
+        out["n_merged"] = out["n_merged"].astype(np.int64)
+        out["n_intervals"] = out["n_intervals"].astype(np.int64)
+        return out
+
+    return bucketed_fold(ds, [key_col], _fold, num_buckets)
+
+
+def densify_days(ds, key_col: str, ts_col: str = "ts",
+                 count_col: str = "n_events",
+                 num_buckets: Optional[int] = None):
+    """Per-key daily gap-fill: one row per (key, day) for EVERY day
+    between the key's first and last event day, with the event count
+    (0 for gap days) — the dense time-series features a per-entity
+    model trains on.
+
+    Plan: per-block Arrow partial counts on (key, epoch-day) → one
+    hash-bucketed fold that emits each key's full ``arange(min_day,
+    max_day + 1)`` with zeros scattered in (vectorized; no per-day
+    Python). Output size = Σ per-key day spans — bounded by key count
+    × calendar span, NOT by event count; the pre-aggregation means the
+    fold never sees raw events.
+
+    Returns Dataset[(key, day:int64 epoch days, count_col:int64)].
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    def _partial(t: pa.Table) -> pa.Table:
+        unit = t.schema.field(ts_col).type.unit
+        per_day = {"s": 86400, "ms": 86400 * 10**3,
+                   "us": 86400 * 10**6, "ns": 86400 * 10**9}[unit]
+        ticks = t[ts_col].cast(pa.int64()).to_numpy()
+        # Floor division keeps pre-epoch timestamps on the correct day.
+        day = ticks // per_day
+        part = pa.table({key_col: t[key_col], "day": day})
+        out = part.group_by([key_col, "day"]).aggregate([([], "count_all")])
+        return out.rename_columns([key_col, "day", "__pn"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        # Fold partial counts, then densify each key's span with one
+        # vectorized scatter over the concatenated per-key aranges.
+        cnt = (g.groupby([key_col, "day"], sort=False, as_index=False)
+               ["__pn"].sum())
+        span = (cnt.groupby(key_col, sort=False, as_index=False)
+                .agg(d0=("day", "min"), d1=("day", "max")))
+        if not len(span):
+            return pd.DataFrame({key_col: cnt[key_col],
+                                 "day": pd.Series([], dtype=np.int64),
+                                 count_col: pd.Series([], dtype=np.int64)})
+        lens = (span["d1"] - span["d0"] + 1).to_numpy()
+        total = int(lens.sum())
+        # days = concat(arange(d0_k, d1_k+1) for every key k), built as
+        # one global arange minus per-key start offsets.
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        base = np.repeat(span["d0"].to_numpy() - starts, lens)
+        days = np.arange(total, dtype=np.int64) + base
+        keys = np.repeat(span[key_col].to_numpy(), lens)
+        # Scatter the observed counts into the dense vector (offsets
+        # joined back vectorized — no per-row dict lookups).
+        span = span.assign(__off=starts - span["d0"].to_numpy())
+        cnt = cnt.merge(span[[key_col, "__off"]], on=key_col)
+        dense = np.zeros(total, dtype=np.int64)
+        dense[(cnt["__off"] + cnt["day"]).to_numpy()] = \
+            cnt["__pn"].to_numpy().astype(np.int64)
+        return pd.DataFrame({key_col: keys, "day": days,
+                             count_col: dense})
+
+    return bucketed_fold(partials, [key_col], _fold, num_buckets)
