@@ -4339,6 +4339,153 @@ def sql_densify_days() -> str:
     )
 
 
+def q_dedup_paragraphs(sf_dir: str):
+    """Corpus-wide paragraph dedup (CCNet, Wenzek et al. LREC 2020):
+    16-token windows, keep only the globally FIRST occurrence of each
+    distinct paragraph (min (doc_id, index)), reassemble survivors per
+    doc in order; fully-duplicated docs vanish. Byte-exact string
+    output — no float anywhere (stages/dedup.py:dedup_paragraphs)."""
+    from buteo_ray.stages.dedup import dedup_paragraphs
+
+    return dedup_paragraphs(_docs(sf_dir, columns=["doc_id", "text"]),
+                            para_tokens=16)
+
+
+def sql_dedup_paragraphs() -> str:
+    # Same segmentation as the engine: single-space split with empties
+    # kept, window p = tokens [16p, 16p+16). Zipped UNNESTs give the
+    # token ordinal; the first-occurrence key is (doc_id, pidx) — safe
+    # as arithmetic here (doc_id < 2^31 in this corpus; the ENGINE
+    # compares lexicographically and has no such bound).
+    return (
+        "WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk "
+        "FROM documents), "
+        "toks AS (SELECT doc_id, UNNEST(tk) AS tok, "
+        "UNNEST(generate_series(1, len(tk))) AS ord FROM s), "
+        "seg AS (SELECT doc_id, (ord - 1) // 16 AS pidx, "
+        "STRING_AGG(tok, ' ' ORDER BY ord) AS para "
+        "FROM toks GROUP BY 1, 2), "
+        "firsts AS (SELECT para, "
+        "MIN(doc_id * 4294967296 + pidx) AS mk FROM seg GROUP BY 1), "
+        "kept AS (SELECT g.doc_id, g.pidx, g.para FROM seg g "
+        "JOIN firsts f ON f.para = g.para "
+        "AND g.doc_id * 4294967296 + g.pidx = f.mk) "
+        "SELECT doc_id, STRING_AGG(para, ' ' ORDER BY pidx) "
+        "AS text_clean, COUNT(*) AS n_paras_kept "
+        "FROM kept GROUP BY doc_id"
+    )
+
+
+def q_drop_repeated_paras(sf_dir: str):
+    """WITHIN-document paragraph dedup (the map-only repetition-removal
+    tier — no shuffle): drop every 16-token window whose text occurred
+    earlier in the SAME doc, reassemble in order. Byte-exact
+    (stages/text.py:drop_repeated_paras)."""
+    from buteo_ray.stages.text import drop_repeated_paras
+
+    out = drop_repeated_paras(_docs(sf_dir, columns=["doc_id", "text"]),
+                              para_tokens=16)
+
+    def _ren(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "text_clean": t["text"],
+                         "n_paras_in": t["n_paras_in"],
+                         "n_paras_kept": t["n_paras_kept"]})
+
+    return out.map_batches(_ren, batch_format="pyarrow", batch_size=None)
+
+
+def sql_drop_repeated_paras() -> str:
+    return (
+        "WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk "
+        "FROM documents), "
+        "toks AS (SELECT doc_id, UNNEST(tk) AS tok, "
+        "UNNEST(generate_series(1, len(tk))) AS ord FROM s), "
+        "seg AS (SELECT doc_id, (ord - 1) // 16 AS pidx, "
+        "STRING_AGG(tok, ' ' ORDER BY ord) AS para "
+        "FROM toks GROUP BY 1, 2), "
+        "r AS (SELECT doc_id, pidx, para, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id, para ORDER BY pidx) "
+        "AS rn, COUNT(*) OVER (PARTITION BY doc_id) AS n_in FROM seg) "
+        "SELECT doc_id, STRING_AGG(para, ' ' ORDER BY pidx) "
+        "AS text_clean, CAST(MAX(n_in) AS BIGINT) AS n_paras_in, "
+        "COUNT(*) AS n_paras_kept "
+        "FROM r WHERE rn = 1 GROUP BY doc_id"
+    )
+
+
+def q_weighted_sample(sf_dir: str):
+    """Quality-weighted Bernoulli downsample: keep each doc with its own
+    probability p = min(n_chars/600, 1) against the deterministic
+    53-bit splitmix uniform u = (h >> 11)·2⁻⁵³. Every float op (one
+    divide, one power-of-two scale, one compare) is bit-identical in
+    numpy and DuckDB — the kept SET matches exactly, no rounding grid
+    (stages/selection.py:weighted_bernoulli_sample)."""
+    from buteo_ray.stages.selection import weighted_bernoulli_sample
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def _p(t: pa.Table) -> pa.Table:
+        p = np.minimum(
+            t["n_chars"].to_numpy(zero_copy_only=False) / 600.0, 1.0)
+        return t.append_column("__p", pa.array(p))
+
+    kept = weighted_bernoulli_sample(
+        docs.map_batches(_p, batch_format="pyarrow", batch_size=None),
+        id_col="doc_id", prob_col="__p")
+    return kept.drop_columns(["__p"])
+
+
+def sql_weighted_sample() -> str:
+    return (
+        "WITH raw AS (SELECT doc_id, lang, n_chars, 0 AS ti, "
+        "CAST(doc_id AS UBIGINT) AS hraw FROM documents), "
+        + _sql_splitmix_ctes("raw", "hraw", "ws",
+                             carry="doc_id, lang, n_chars, ti") + " "
+        "SELECT doc_id, lang, n_chars FROM ws6 "
+        "WHERE CAST(h >> 11 AS DOUBLE) * POW(2.0, -53.0) "
+        "< LEAST(n_chars / 600.0, 1.0)"
+    )
+
+
+def q_group_entropy(sf_dir: str):
+    """Per-user Shannon entropy (nats) + Herfindahl concentration of the
+    event-type distribution — the per-entity diversity metrics of a
+    data-mixing pipeline. Σ p·ln p accumulates in engine-specific order
+    (and libm ln differs in ulps), so both sides round FLOOR half-up at
+    8 dp — drift ~1e-15 on O(1) values, seven orders below the grid
+    (stages/aggregate.py:group_entropy)."""
+    from buteo_ray.stages.aggregate import group_entropy
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = group_entropy(ev, "user_id", "event_type")
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"], "n": df["n"],
+            "n_cats": df["n_cats"],
+            "entropy8": np.floor(df["entropy"].to_numpy() * 1e8 + 0.5) / 1e8,
+            "hhi8": np.floor(df["hhi"].to_numpy() * 1e8 + 0.5) / 1e8})
+
+    return out.map_batches(_round, batch_format="pandas", batch_size=None)
+
+
+def sql_group_entropy() -> str:
+    return (
+        "WITH c AS (SELECT user_id, event_type, "
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), "
+        "t AS (SELECT user_id, SUM(n) AS tot, COUNT(*) AS n_cats "
+        "FROM c GROUP BY 1), "
+        "e AS (SELECT c.user_id, SUM((c.n / t.tot) * LN(c.n / t.tot)) "
+        "AS sl, SUM((c.n / t.tot) * (c.n / t.tot)) AS s2 "
+        "FROM c JOIN t ON t.user_id = c.user_id GROUP BY 1) "
+        "SELECT e.user_id, CAST(t.tot AS BIGINT) AS n, t.n_cats, "
+        "FLOOR(-e.sl * 100000000.0 + 0.5) / 100000000.0 AS entropy8, "
+        "FLOOR(e.s2 * 100000000.0 + 0.5) / 100000000.0 AS hhi8 "
+        "FROM e JOIN t ON t.user_id = e.user_id"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -4351,17 +4498,27 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # (the MinHash plan rewrite and everything downstream of it, plus
     # the agg fold family). The 44 with a fresh round-4 hash row rotate
     # to the back.
-    "zonal_stats": q_zonal_stats,
     "zonal_stats_full": q_zonal_stats_full,
-    "explode_tokens": q_explode_tokens,
     "dedup_exact": q_dedup_exact,
-    "window_agg": q_window_agg,
     "sessionize": q_sessionize,
-    "join_multiway": q_join_multiway,
     "topk_per_group": q_topk_per_group,
     "filter_agg": q_filter_agg,
     "median_by_group": q_median_by_group,
     "asof_join": q_asof_join,
+    # round-5 paragraph-dedup / weighted-sampling / entropy additions
+    # (never attested — must sit in-window). They take the slots of
+    # zonal_stats (r03-attested; a strict subset of in-window
+    # zonal_stats_full on the same zonal.py fold), explode_tokens
+    # (r03-attested; the token-explosion machinery is re-attested
+    # in-window by tfidf_topk, heavy_tokens and prune_tokens),
+    # window_agg (r03-attested; the time-window fold family is
+    # re-attested in-window by rolling_window, running_total and
+    # interval_cover), and join_multiway (r03-attested; the join planner
+    # is re-attested in-window by range_join and line_bbox_join).
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "drop_repeated_paras": q_drop_repeated_paras,
+    "weighted_sample": q_weighted_sample,
+    "group_entropy": q_group_entropy,
     # round-5 graph/coverage/densify additions (never attested — must
     # sit in-window). They take the slots of text_stats (r03-attested;
     # its text.py stat kernels are covered in-window by prune_tokens +
@@ -4466,6 +4623,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "text_stats": q_text_stats,
     "histogram": q_histogram,
     "count_distinct": q_count_distinct,
+    "zonal_stats": q_zonal_stats,
+    "explode_tokens": q_explode_tokens,
+    "window_agg": q_window_agg,
+    "join_multiway": q_join_multiway,
     "ann_topk": q_ann_topk,
     "add_field": q_add_field,
     "pip_join_poly": q_pip_join_poly,
@@ -4588,6 +4749,10 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "pagerank": sql_pagerank,
     "interval_cover": sql_interval_cover,
     "densify_days": sql_densify_days,
+    "dedup_paragraphs": sql_dedup_paragraphs,
+    "drop_repeated_paras": sql_drop_repeated_paras,
+    "weighted_sample": sql_weighted_sample,
+    "group_entropy": sql_group_entropy,
     "range_join": sql_range_join,
     # Both tiers attest against the SAME SQL — the containment
     # predicate is tier-independent.

@@ -951,3 +951,45 @@ def cohort_retention(ds, user_col: str, ts_col: str,
 
     return bucketed_fold(per_user, ["cohort_week", "week_offset"],
                          _cell_fold, num_buckets)
+
+
+def group_entropy(ds, key_col: str, cat_col: str,
+                  num_buckets: Optional[int] = None):
+    """Per-key Shannon entropy (nats) and Herfindahl concentration of a
+    categorical column's distribution — the diversity metrics a
+    training-data pipeline tracks per source/domain/user (low entropy =
+    one category dominates; HHI is its concentration dual).
+
+    Two-level plan, both bucketed: :func:`bucketed_count` over
+    (key, cat) (Arrow per-block partials — raw rows never shuffle;
+    only one row per distinct (key, cat) pair crosses the wire) → one
+    bucketed fold per key computing N = Σn, p = n/N, entropy = −Σ p·ln p
+    and hhi = Σ p² with cythonized groupby transforms (no per-key
+    Python).
+
+    Float note: the per-category sum order differs from SQL's — callers
+    comparing across engines round to a coarse grid (the query twin
+    floors half-up at 8 dp; drift is ~1e-15 on O(1) values).
+
+    Returns Dataset[(key, n:int64, n_cats:int64, entropy, hhi)].
+    """
+
+    cnt = bucketed_count(ds, [key_col, cat_col], alias="__n",
+                         num_buckets=num_buckets)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["__n"].to_numpy(dtype=np.float64)
+        tot = g.groupby(key_col, sort=False)["__n"].transform("sum")
+        p = n / tot.to_numpy(dtype=np.float64)
+        terms = pd.DataFrame({key_col: g[key_col],
+                              "__pl": p * np.log(p), "__p2": p * p,
+                              "__n": g["__n"]})
+        out = (terms.groupby(key_col, sort=False, as_index=False)
+               .agg(n=("__n", "sum"), n_cats=("__pl", "size"),
+                    __pl=("__pl", "sum"), hhi=("__p2", "sum")))
+        out["entropy"] = -out.pop("__pl")
+        out["n"] = out["n"].astype(np.int64)
+        out["n_cats"] = out["n_cats"].astype(np.int64)
+        return out[[key_col, "n", "n_cats", "entropy", "hhi"]]
+
+    return bucketed_fold(cnt, [key_col], _fold, num_buckets)

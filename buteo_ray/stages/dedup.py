@@ -1308,3 +1308,62 @@ def dup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
         return pa.table({"doc_id": t["node"], "cluster_id": t["lbl"]})
 
     return labels.map_batches(_out, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_paragraphs(ds, para_tokens: int = 16, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_buckets: Optional[int] = None):
+    """Corpus-wide paragraph dedup — the CCNet curation step (Wenzek et
+    al., LREC 2020): segment every document into fixed ``para_tokens``-
+    token windows ("paragraphs" — this corpus is single-line, so the
+    window stands in for the newline split), keep only the FIRST
+    occurrence of each distinct paragraph across the WHOLE corpus
+    (first = smallest (id, paragraph index), compared lexicographically
+    — no arithmetic key, so ids of any magnitude are safe), and
+    reassemble each document from its surviving paragraphs in order.
+    A document whose every paragraph was seen earlier disappears from
+    the output entirely (the CCNet rule). Within-doc repeats are a
+    special case and are removed too (the earlier index wins).
+
+    Plan — two bucketed shuffles, both O(paragraph rows):
+      1. segmentation via :func:`buteo_ray.stages.text.chunk_documents`
+         with overlap 0 (one vectorized byte gather per block, no
+         shuffle);
+      2. per-block PARTIAL first-occurrence dedup (the combiner —
+         duplicate paragraphs inside one block never cross the wire;
+         valid because the locally-dropped row always loses to a row
+         with a strictly smaller (id, index), so it can never be the
+         global first) → hash-bucketed fold keyed on the paragraph
+         TEXT: one stable sort + ``drop_duplicates(keep="first")`` per
+         bucket (collision-safe — the hash only routes, equality is on
+         the text);
+      3. reassembly via :func:`buteo_ray.stages.aggregate
+         .collect_ordered` (STRING_AGG ORDER BY paragraph index),
+         hash-bucketed on the doc id.
+
+    At 100 TB nothing is pinned: every stage streams, and the exchanged
+    rows carry (id, index, paragraph) — ≤ input text bytes + 16 B/para.
+
+    Returns Dataset[(id_col, text_clean, n_paras_kept)].
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold, collect_ordered
+    from buteo_ray.stages.text import chunk_documents
+
+    paras = chunk_documents(ds.select_columns([id_col, text_col]),
+                            chunk_tokens=para_tokens, overlap=0,
+                            text_col=text_col)
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "chunk_id"], kind="stable")
+        return g.drop_duplicates(subset=["chunk"], keep="first")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _first(df[[id_col, "chunk_id", "chunk"]])
+
+    local = paras.map_batches(_partial, batch_format="pandas",
+                              batch_size=None)
+    kept = bucketed_fold(local, ["chunk"], _first, num_buckets)
+    return collect_ordered(kept, id_col, ["chunk_id"], "chunk", sep=" ",
+                           alias="text_clean",
+                           count_alias="n_paras_kept",
+                           num_buckets=num_buckets)

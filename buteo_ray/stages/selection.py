@@ -406,3 +406,79 @@ def ntile(ds, key_col: str, order_cols: list, k: int,
         return g
 
     return bucketed_fold(ds, [key_col], _fold, num_buckets)
+
+
+def weighted_bernoulli_sample(ds, id_col: str, prob_col: str):
+    """Keep each row independently with ITS OWN probability
+    ``prob_col`` ∈ [0, 1] — quality-weighted corpus downsampling (keep
+    high-quality documents at a higher rate), deterministic and
+    bit-reproducible: u = (splitmix64(id) >> 11) · 2⁻⁵³ (the standard
+    53-bit uniform; both the shift result and the power-of-two scale
+    are exactly representable doubles, so NO libm enters) and the row
+    survives iff u < p. The SQL twin replays the integer hash and the
+    same two exact float ops, so the kept set matches bit-for-bit.
+
+    Map-only: no shuffle, and the verdict depends only on the row
+    itself — re-running a failed partition reproduces it exactly
+    (resumable by construction). A null probability keeps nothing
+    (u < NULL is no), matching SQL comparison semantics; null ids
+    raise (a silent hash-of-garbage would sample arbitrarily).
+    """
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[id_col]
+        if col.null_count:
+            raise ValueError(
+                f"weighted_bernoulli_sample: {id_col} has "
+                f"{col.null_count} null ids")
+        ids = col.cast(pa.uint64()).to_numpy(zero_copy_only=False)
+        u = (_splitmix64(ids) >> np.uint64(11)).astype(np.float64) * 2.0**-53
+        p = t[prob_col].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):  # null p → NaN → dropped
+            return t.filter(pa.array(u < p))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_topk_per_group(ds, key_col: str, id_col: str,
+                            weight_col: str, k: int,
+                            num_buckets: Optional[int] = None):
+    """Weighted sampling WITHOUT replacement, exactly min(k, group size)
+    rows per group — the A-ES scheme (Efraimidis & Spirakis, IPL 2006):
+    each row gets priority u^(1/w) with u its deterministic per-id
+    splitmix uniform and w = ``weight_col`` (> 0 required, else the row
+    is excluded as SQL would via a NULL key); the k LARGEST priorities
+    per group are a correct weighted sample without replacement.
+
+    Plan: the priority is row-local (map), so each block keeps its own
+    top-k per key first (the combiner — a block's k+1-th row can never
+    reach the global top k) and only ≤ k·(keys per block) rows enter
+    the hash-bucketed fold. Ties break on id (deterministic at any
+    partitioning). Returns the sampled input rows (priority dropped).
+    """
+    if k <= 0:
+        raise ValueError(f"need k > 0 (got {k})")
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values([key_col, "__pri", id_col], kind="stable",
+                              ascending=[True, False, True])
+                .groupby(key_col, sort=False).head(k))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.uint64)
+        u = (_splitmix64(ids) >> np.uint64(11)).astype(np.float64) * 2.0**-53
+        w = df[weight_col].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pri = np.where(w > 0, u ** (1.0 / w), np.nan)
+        df = df.assign(__pri=pri)
+        return _topk(df[~np.isnan(pri)])
+
+    local = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=None)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        return _topk(g).drop(columns="__pri")
+
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    return bucketed_fold(local, [key_col], _fold, num_buckets)

@@ -339,6 +339,108 @@ def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 16,
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+def drop_repeated_paras(ds, para_tokens: int = 16, text_col: str = "text"):
+    """Within-document paragraph dedup — the intra-doc repetition
+    cleanup of a quality-filtering pipeline (cf. the MassiveText/Gopher
+    repetition rules, Rae et al. 2021): segment each document into
+    fixed ``para_tokens``-token windows ("paragraphs" — this corpus is
+    single-line, so the window stands in for the newline split), drop
+    every window whose text already occurred EARLIER IN THE SAME
+    document, and reassemble the survivors in order.
+
+    Purely per-block (each document is one row, so dedup and reassembly
+    never leave the batch): a 1→1 map with NO shuffle — the scale-ideal
+    tier of paragraph dedup (:func:`buteo_ray.stages.dedup
+    .dedup_paragraphs` is the corpus-wide two-shuffle tier). Paragraph
+    text and the rebuilt document are produced by vectorized byte
+    gathers over the Arrow string buffer (the same machinery as
+    :func:`chunk_documents`); the only per-string work is one pandas
+    ``duplicated`` hash pass, keyed on the actual text so hash
+    collisions cannot drop a unique paragraph.
+
+    Output: every input column with ``text_col`` replaced by the
+    cleaned text, plus ``n_paras_in`` / ``n_paras_kept``. A document
+    always keeps its first paragraph, so no row disappears.
+    """
+    if para_tokens <= 0:
+        raise ValueError(f"need para_tokens > 0 (got {para_tokens})")
+
+    def _fn(t: pa.Table) -> pa.Table:
+        from buteo_ray.stages.dedup import _utf8_buffer_view
+
+        text = pc.fill_null(t[text_col], "")
+        toks = pc.split_pattern(text, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        tok_blens = pc.binary_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        data, doc_starts, _doc_lens = _utf8_buffer_view(text)
+
+        # Byte offset of each token within its doc (split semantics:
+        # tokens separated by exactly one ' ' byte — ASCII space never
+        # appears inside a multi-byte UTF-8 sequence, so byte math is
+        # safe on any input).
+        tok_doc_offs = np.concatenate([[0], np.cumsum(n_tok)])
+        gl = np.concatenate([[0], np.cumsum(tok_blens + 1)])
+        doc_base = gl[tok_doc_offs[:-1]]
+        tok_start = gl[:-1] - np.repeat(doc_base, n_tok)
+        tok_end = tok_start + tok_blens
+
+        m = (np.maximum(n_tok - 1, 0) // para_tokens) + 1  # paras per doc
+        total = int(m.sum())
+        coffs = np.concatenate([[0], np.cumsum(m)])
+        pidx = np.arange(total, dtype=np.int64) - np.repeat(coffs[:-1], m)
+        s = pidx * para_tokens
+        e = np.minimum(s + para_tokens, np.repeat(n_tok, m))
+        first_flat = np.repeat(tok_doc_offs[:-1], m) + s
+        last_flat = np.repeat(tok_doc_offs[:-1], m) + e - 1
+        b_from = tok_start[first_flat] + np.repeat(doc_starts, m)
+        b_to = tok_end[last_flat] + np.repeat(doc_starts, m)
+
+        # Materialize the paragraph strings once (ONE byte gather) —
+        # dedup keys on the text itself, so equal-hash-different-text
+        # can never drop a unique paragraph.
+        plens = b_to - b_from
+        plo = np.concatenate([[0], np.cumsum(plens)])
+        gidx = (np.arange(int(plo[-1]), dtype=np.int64)
+                - np.repeat(plo[:-1], plens) + np.repeat(b_from, plens))
+        paras = pa.LargeStringArray.from_buffers(
+            total, pa.py_buffer(plo.astype(np.int64)),
+            pa.py_buffer(np.ascontiguousarray(data[gidx])))
+
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), m)
+        keep = ~pd.DataFrame(
+            {"d": doc_of, "p": paras.to_pandas()}
+        ).duplicated(subset=["d", "p"]).to_numpy()
+
+        # Rebuild each doc from its kept windows. A non-first kept
+        # window pulls in the byte before it — always the single ' '
+        # separator (kept ⇒ pidx > 0 ⇒ its first token has a space
+        # before it) — so the result is exactly the ' '-join.
+        kd = doc_of[keep]
+        not_first = np.zeros(kd.shape[0], dtype=bool)
+        not_first[1:] = kd[1:] == kd[:-1]
+        k_from = b_from[keep] - not_first.astype(np.int64)
+        klens = b_to[keep] - k_from
+        out_doc_lens = np.bincount(
+            kd, weights=klens, minlength=len(t)).astype(np.int64)
+        out_offs = np.concatenate([[0], np.cumsum(out_doc_lens)])
+        klo = np.concatenate([[0], np.cumsum(klens)])
+        gidx2 = (np.arange(int(klo[-1]), dtype=np.int64)
+                 - np.repeat(klo[:-1], klens) + np.repeat(k_from, klens))
+        cleaned = pa.LargeStringArray.from_buffers(
+            len(t), pa.py_buffer(out_offs),
+            pa.py_buffer(np.ascontiguousarray(data[gidx2])))
+
+        out = _set_col(t, text_col, cleaned.cast(pa.string()))
+        out = _set_col(out, "n_paras_in", pa.array(m))
+        n_kept = np.bincount(kd, minlength=len(t)).astype(np.int64)
+        return _set_col(out, "n_paras_kept", pa.array(n_kept))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
 # Canonicalization rules (order matters; RE2 on both engine and oracle).
 # Scope is deliberately syntactic: fragment, default ports, trailing and
 # duplicate slashes — host lowercasing or query-param sorting would need
