@@ -4486,6 +4486,83 @@ def sql_group_entropy() -> str:
     )
 
 
+def q_bm25_topk(sf_dir: str):
+    """Top-20 documents by Okapi BM25 against a 4-term query — the
+    ranked-retrieval primitive of corpus exploration. Two streaming
+    passes (stats/df partials, then score + per-block local top-k);
+    score floored half-up at 8 dp so libm-ln ulps and per-term sum
+    order never flip the ranking (stages/search.py:bm25_topk)."""
+    from buteo_ray.stages.search import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, columns=["doc_id", "text"]),
+                     ["spark", "window", "hash", "merge"], k=20)
+
+
+def sql_bm25_topk() -> str:
+    # Term-for-term replay: idf = LN(1 + (N − df + 0.5)/(df + 0.5)),
+    # term = idf · (tf·2.2) / (tf + 1.2·(0.25 + 0.75·dl/avgdl)); the
+    # engine computes k1+1 at runtime (possible 1-ulp difference from
+    # the 2.2 literal) — absorbed by the 8 dp floor, like the ln ulps.
+    return (
+        "WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk "
+        "FROM documents), "
+        "st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, "
+        "CAST(SUM(len(tk)) AS DOUBLE) AS ntok FROM s), "
+        "toks AS (SELECT doc_id, UNNEST(tk) AS tok FROM s), "
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf "
+        "FROM toks WHERE tok IN ('spark', 'window', 'hash', 'merge') "
+        "GROUP BY 1, 2), "
+        "df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf "
+        "GROUP BY 1), "
+        "dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM s), "
+        "sc AS (SELECT tf.doc_id, "
+        "SUM(LN(1.0 + ((SELECT nd FROM st) - df.df + 0.5) "
+        "/ (df.df + 0.5)) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 "
+        "+ 0.75 * dl.dl / (SELECT ntok / nd FROM st)))) AS score "
+        "FROM tf JOIN df ON df.tok = tf.tok "
+        "JOIN dl ON dl.doc_id = tf.doc_id GROUP BY 1) "
+        "SELECT doc_id, FLOOR(score * 100000000.0 + 0.5) "
+        "/ 100000000.0 AS score8 FROM sc "
+        "ORDER BY score8 DESC, doc_id LIMIT 20"
+    )
+
+
+def q_funnel(sf_dir: str):
+    """Per-user ordered funnel view → click → purchase: earliest view,
+    then earliest click STRICTLY after it, then earliest purchase
+    strictly after that; -1 sentinel for unreached stages (integer-
+    exact end to end — no float, no NULL typing hazards)
+    (stages/streaming.py:funnel_steps)."""
+    from buteo_ray.stages.streaming import funnel_steps
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ev, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+
+
+def sql_funnel() -> str:
+    return (
+        "WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 "
+        "FROM events WHERE event_type = 'view' GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 "
+        "FROM events e JOIN s1 ON s1.user_id = e.user_id "
+        "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 "
+        "GROUP BY 1), "
+        "s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 "
+        "FROM events e JOIN s2 ON s2.user_id = e.user_id "
+        "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 "
+        "GROUP BY 1) "
+        "SELECT s1.user_id, s1.t1, COALESCE(s2.t2, -1) AS t2, "
+        "COALESCE(s3.t3, -1) AS t3, "
+        "CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END "
+        "+ CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+        "AS steps_completed "
+        "FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id "
+        "LEFT JOIN s3 ON s3.user_id = s1.user_id"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -4499,7 +4576,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # the agg fold family). The 44 with a fresh round-4 hash row rotate
     # to the back.
     "zonal_stats_full": q_zonal_stats_full,
-    "dedup_exact": q_dedup_exact,
     "sessionize": q_sessionize,
     "topk_per_group": q_topk_per_group,
     "filter_agg": q_filter_agg,
@@ -4519,6 +4595,15 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "drop_repeated_paras": q_drop_repeated_paras,
     "weighted_sample": q_weighted_sample,
     "group_entropy": q_group_entropy,
+    # round-5 retrieval/funnel additions (never attested — must sit
+    # in-window). They take the slots of dedup_exact (r03-attested; the
+    # exact-dedup stage runs INSIDE in-window training_pipeline and
+    # training_pipeline_cluster, and dedup_paragraphs re-attests the
+    # same partial-dedup + bucketed keep-first fold) and lang_pred
+    # (r03-attested; the lang-ID actor pool runs INSIDE in-window
+    # training_pipeline, which gates on its output).
+    "bm25_topk": q_bm25_topk,
+    "funnel": q_funnel,
     # round-5 graph/coverage/densify additions (never attested — must
     # sit in-window). They take the slots of text_stats (r03-attested;
     # its text.py stat kernels are covered in-window by prune_tokens +
@@ -4531,7 +4616,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "interval_cover": q_interval_cover,
     "densify_days": q_densify_days,
     "line_bbox_join": q_line_bbox_join,
-    "lang_pred": q_lang_pred,
     "knn_cells": q_knn_cells,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -4624,6 +4708,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "histogram": q_histogram,
     "count_distinct": q_count_distinct,
     "zonal_stats": q_zonal_stats,
+    "dedup_exact": q_dedup_exact,
+    "lang_pred": q_lang_pred,
     "explode_tokens": q_explode_tokens,
     "window_agg": q_window_agg,
     "join_multiway": q_join_multiway,
@@ -4750,6 +4836,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "interval_cover": sql_interval_cover,
     "densify_days": sql_densify_days,
     "dedup_paragraphs": sql_dedup_paragraphs,
+    "bm25_topk": sql_bm25_topk,
+    "funnel": sql_funnel,
     "drop_repeated_paras": sql_drop_repeated_paras,
     "weighted_sample": sql_weighted_sample,
     "group_entropy": sql_group_entropy,

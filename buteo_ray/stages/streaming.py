@@ -10,7 +10,7 @@ vectorized pandas. Ordering assumption: per-key processing sorts by
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -592,3 +592,56 @@ def densify_days(ds, key_col: str, ts_col: str = "ts",
                              count_col: dense})
 
     return bucketed_fold(partials, [key_col], _fold, num_buckets)
+
+
+def funnel_steps(ds, key_col: str, ts_col: str, event_col: str,
+                 steps: Sequence[str], missing: int = -1,
+                 num_buckets: Optional[int] = None):
+    """Ordered funnel completion per key (the product-analytics /
+    crawl-journey primitive): t₁ = the key's earliest ``steps[0]``
+    event; tᵢ = its earliest ``steps[i]`` event STRICTLY AFTER tᵢ₋₁.
+    One row per key that reached step 1, with each stage's epoch-micros
+    timestamp (``missing`` where the stage was never reached — an
+    integer sentinel, not NULL, so the output stays a plain int64
+    column on every engine) and ``steps_completed``.
+
+    Per bucket: |steps| vectorized passes (one filter + merge +
+    groupby-min each), no per-key Python. Strictly-increasing
+    timestamps gate each stage, so an unreached stage censors all
+    later ones by construction (its candidates compare against the
+    sentinel-free NaN and drop out).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel_steps: empty step list")
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        ticks = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        d = pd.DataFrame({key_col: g[key_col].to_numpy(),
+                          "__t": ticks, "__e": g[event_col].to_numpy()})
+        cur = (d[d["__e"] == steps[0]]
+               .groupby(key_col, as_index=False)["__t"].min()
+               .rename(columns={"__t": "t1"}))
+        cols = ["t1"]
+        for i, st in enumerate(steps[1:], start=2):
+            prev = cols[-1]
+            cand = (d[d["__e"] == st]
+                    .merge(cur[[key_col, prev]], on=key_col, how="inner"))
+            cand = cand[cand["__t"] > cand[prev]]
+            nxt = (cand.groupby(key_col, as_index=False)["__t"].min()
+                   .rename(columns={"__t": f"t{i}"}))
+            cur = cur.merge(nxt, on=key_col, how="left")
+            cols.append(f"t{i}")
+        out = pd.DataFrame({key_col: cur[key_col]})
+        completed = np.zeros(len(cur), dtype=np.int64)
+        for c in cols:
+            # Epoch micros < 2^53: exact through the float64 NaN pass.
+            v = cur[c].to_numpy(dtype=np.float64)
+            reached = ~np.isnan(v)
+            completed += reached.astype(np.int64)
+            out[c] = np.where(reached, v, float(missing)).astype(np.int64)
+        out["steps_completed"] = completed
+        return out
+
+    return bucketed_fold(ds, [key_col], _fold, num_buckets)
