@@ -4563,6 +4563,35 @@ def sql_funnel() -> str:
     )
 
 
+def q_left_join(sf_dir: str):
+    """Enrichment LEFT OUTER join: every order survives; customer
+    attributes come back NULL where the (filtered) dimension has no
+    row — the broadcast probe's null-index take IS the outer semantics
+    (stages/join_partitioned.py:left_join_auto)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.join_partitioned import left_join_auto
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def _pos(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 0.0))
+
+    dim = cust.map_batches(_pos, batch_format="pyarrow", batch_size=None)
+    return left_join_auto(orders, dim, "o_custkey", "c_custkey")
+
+
+def sql_left_join() -> str:
+    return (
+        "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_acctbal "
+        "FROM orders o LEFT JOIN "
+        "(SELECT * FROM customer WHERE c_acctbal > 0.0) c "
+        "ON c.c_custkey = o.o_custkey"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -4604,6 +4633,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # training_pipeline, which gates on its output).
     "bm25_topk": q_bm25_topk,
     "funnel": q_funnel,
+    # round-5 LEFT OUTER join (never attested — in-window; takes
+    # knn_cells's slot: r04-attested, knn.py untouched in r05, and its
+    # oracle is shared verbatim with the still-registered knn twin;
+    # exact-certificate pytests pin the module).
+    "left_join": q_left_join,
     # round-5 graph/coverage/densify additions (never attested — must
     # sit in-window). They take the slots of text_stats (r03-attested;
     # its text.py stat kernels are covered in-window by prune_tokens +
@@ -4616,7 +4650,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "interval_cover": q_interval_cover,
     "densify_days": q_densify_days,
     "line_bbox_join": q_line_bbox_join,
-    "knn_cells": q_knn_cells,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
 
@@ -4708,6 +4741,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "histogram": q_histogram,
     "count_distinct": q_count_distinct,
     "zonal_stats": q_zonal_stats,
+    "knn_cells": q_knn_cells,
     "dedup_exact": q_dedup_exact,
     "lang_pred": q_lang_pred,
     "explode_tokens": q_explode_tokens,
@@ -4838,6 +4872,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "dedup_paragraphs": sql_dedup_paragraphs,
     "bm25_topk": sql_bm25_topk,
     "funnel": sql_funnel,
+    "left_join": sql_left_join,
     "drop_repeated_paras": sql_drop_repeated_paras,
     "weighted_sample": sql_weighted_sample,
     "group_entropy": sql_group_entropy,

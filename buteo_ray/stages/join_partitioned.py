@@ -172,6 +172,49 @@ def cell_partitioned_pip_join(
     return bucketed_group_map(both, ["cell", "salt"], _join_cell)
 
 
+def _known_empty(ds) -> bool:
+    # Metadata-exact only: _meta_count() knows the row count for
+    # materialized / from_* / raw-read datasets and returns None
+    # (never executes) for lazy map-derived plans. PRIVATE API,
+    # validated on Ray 2.49.2 — if it disappears, the except arm
+    # just disables the short-circuit (degrades safe).
+    try:
+        return ds._meta_count() == 0
+    except Exception:
+        return False
+
+
+def _right_out_col_name(c: str, cols, right_suffix, fn: str) -> str:
+    """Output name of right column ``c`` given existing ``cols`` — the
+    ONE collision/suffix rule every join plan tier uses (broadcast
+    probe, known-empty short-circuit, null padding — they must never
+    diverge)."""
+    if c not in cols:
+        return c
+    if right_suffix is None:
+        raise ValueError(
+            f"{fn}: right column '{c}' collides "
+            "with a left column; pass right_suffix=")
+    name = c + right_suffix
+    if name in cols:
+        raise ValueError(
+            f"{fn}: suffixed column '{name}' "
+            "still collides with a left column")
+    return name
+
+
+def _joined_schema(left_ds, right_ds, right_on, right_suffix, fn: str):
+    from buteo_ray.stages.aggregate import _empty_arrow_table
+
+    lt, rt = _empty_arrow_table(left_ds), _empty_arrow_table(right_ds)
+    cols = {c: lt[c] for c in lt.column_names}
+    for c in rt.column_names:
+        if c == right_on:
+            continue
+        cols[_right_out_col_name(c, cols, right_suffix, fn)] = rt[c]
+    return cols
+
+
 def hash_join_auto(
     left_ds,
     right_ds,
@@ -199,43 +242,12 @@ def hash_join_auto(
     from buteo_ray.stages.aggregate import _empty_arrow_table
     from buteo_ray.state.skew import derive_num_partitions, estimate_bytes
 
-    def _known_empty(ds) -> bool:
-        # Metadata-exact only: _meta_count() knows the row count for
-        # materialized / from_* / raw-read datasets and returns None
-        # (never executes) for lazy map-derived plans. PRIVATE API,
-        # validated on Ray 2.49.2 — if it disappears, the except arm
-        # just disables the short-circuit (degrades safe).
-        try:
-            return ds._meta_count() == 0
-        except Exception:
-            return False
-
-
     def _right_out_name(c: str, cols) -> str:
-        """Output name of right column ``c`` given existing ``cols`` —
-        the ONE collision/suffix rule both the broadcast probe and the
-        known-empty short-circuit use (they must never diverge)."""
-        if c not in cols:
-            return c
-        if right_suffix is None:
-            raise ValueError(
-                f"hash_join_auto: right column '{c}' collides "
-                "with a left column; pass right_suffix=")
-        name = c + right_suffix
-        if name in cols:
-            raise ValueError(
-                f"hash_join_auto: suffixed column '{name}' "
-                "still collides with a left column")
-        return name
+        return _right_out_col_name(c, cols, right_suffix, "hash_join_auto")
 
     def _joined_schema_cols():
-        lt, rt = _empty_arrow_table(left_ds), _empty_arrow_table(right_ds)
-        cols = {c: lt[c] for c in lt.column_names}
-        for c in rt.column_names:
-            if c == right_on:
-                continue
-            cols[_right_out_name(c, cols)] = rt[c]
-        return cols
+        return _joined_schema(left_ds, right_ds, right_on, right_suffix,
+                              "hash_join_auto")
 
     # A KNOWN-empty side makes the inner join empty — short-circuit with
     # the joined schema. Ray 2.49's hash-shuffle join crashes in Acero
@@ -300,3 +312,91 @@ def hash_join_auto(
     return left_ds.join(right_ds, join_type="inner", num_partitions=n,
                         on=(left_on,), right_on=(right_on,),
                         right_suffix=right_suffix)
+
+
+def left_join_auto(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    broadcast_threshold: int = 64 << 20,
+    num_partitions: Optional[int] = None,
+    right_bytes_hint: Optional[int] = None,
+    right_suffix: Optional[str] = None,
+):
+    """LEFT OUTER equi-join with the same automatic plan selection as
+    :func:`hash_join_auto` (the enrichment join: every left row
+    survives; right columns are NULL where no match). A NULL left key
+    matches nothing (SQL rule — ``index_in`` propagates the null
+    straight through to null right values).
+
+    Tiers, chosen exactly like the inner join so the two functions'
+    plans stay side-by-side comparable:
+      * right side under the byte gate AND unique-keyed → collected
+        once, ``ray.put`` broadcast, per-batch ``index_in`` + ``take``
+        (a null index takes a null value — the outer semantics fall out
+        of the Arrow kernel; no filter step at all);
+      * otherwise Ray's hash-partitioned ``Dataset.join`` with
+        ``join_type="left_outer"``.
+    Known-empty short-circuits: empty LEFT → empty joined schema;
+    empty RIGHT → left stream + typed null padding (no shuffle).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.aggregate import _empty_arrow_table
+    from buteo_ray.state.skew import derive_num_partitions, estimate_bytes
+
+    def _right_out_name(c: str, cols) -> str:
+        return _right_out_col_name(c, cols, right_suffix, "left_join_auto")
+
+    if _known_empty(left_ds):
+        return ray.data.from_arrow(pa.table(_joined_schema(
+            left_ds, right_ds, right_on, right_suffix, "left_join_auto")))
+    if _known_empty(right_ds):
+        rt = _empty_arrow_table(right_ds)
+        rcols = [(c, rt.schema.field(c).type)
+                 for c in rt.column_names if c != right_on]
+
+        def _pad(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in t.column_names}
+            for c, typ in rcols:
+                cols[_right_out_name(c, cols)] = pa.nulls(len(t), typ)
+            return pa.table(cols)
+
+        return left_ds.map_batches(_pad, batch_format="pyarrow",
+                                   batch_size=None)
+
+    rb = right_bytes_hint
+    if rb is None:
+        rb = estimate_bytes(right_ds) or None
+    if rb is not None and rb < broadcast_threshold:
+        from buteo_ray.stages.aggregate import nonempty_arrow_blocks
+
+        tabs = nonempty_arrow_blocks(right_ds)
+        if not tabs:
+            rtbl = _empty_arrow_table(right_ds)
+            if right_on not in rtbl.column_names:
+                rtbl = pa.table({right_on: pa.array([], type=pa.int64())})
+        else:
+            rtbl = pa.concat_tables(tabs)
+        keys = rtbl[right_on].combine_chunks()
+        if len(keys) == len(pc.unique(keys)):  # dimension table → broadcast
+            ref = ray.put((keys, rtbl))
+
+            def _probe(t: pa.Table) -> pa.Table:
+                k, rt = ray.get(ref)
+                idx = pc.index_in(t[left_on].cast(k.type), value_set=k)
+                cols = {c: t[c] for c in t.column_names}
+                for c in rt.column_names:
+                    if c == right_on:
+                        continue
+                    cols[_right_out_name(c, cols)] = pc.take(rt[c], idx)
+                return pa.table(cols)
+
+            return left_ds.map_batches(_probe, batch_format="pyarrow",
+                                       batch_size=None)
+    n = num_partitions or derive_num_partitions(left_ds, right_ds)
+    return left_ds.join(right_ds, join_type="left_outer",
+                        num_partitions=n, on=(left_on,),
+                        right_on=(right_on,), right_suffix=right_suffix)
