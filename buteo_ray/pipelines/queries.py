@@ -4563,6 +4563,60 @@ def sql_funnel() -> str:
     )
 
 
+def q_semi_join(sf_dir: str):
+    """LEFT SEMI equi-join: orders with an in-good-standing customer;
+    only the distinct key set crosses the wire
+    (stages/join_partitioned.py:semi_join_auto)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.join_partitioned import semi_join_auto
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def _pos(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 0.0))
+
+    dim = cust.map_batches(_pos, batch_format="pyarrow", batch_size=None)
+    return semi_join_auto(orders, dim, "o_custkey", "c_custkey")
+
+
+def sql_semi_join() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > 0.0)"
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """LEFT ANTI equi-join: orders WITHOUT an in-good-standing customer
+    — the generic drop-filter of every dedup/decontamination chain
+    (stages/join_partitioned.py:anti_join_auto)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.join_partitioned import anti_join_auto
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def _pos(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 0.0))
+
+    dim = cust.map_batches(_pos, batch_format="pyarrow", batch_size=None)
+    return anti_join_auto(orders, dim, "o_custkey", "c_custkey")
+
+
+def sql_anti_join() -> str:
+    return (
+        "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o "
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+        "WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0.0)"
+    )
+
+
 def q_left_join(sf_dir: str):
     """Enrichment LEFT OUTER join: every order survives; customer
     attributes come back NULL where the (filtered) dimension has no
@@ -4606,8 +4660,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # to the back.
     "zonal_stats_full": q_zonal_stats_full,
     "sessionize": q_sessionize,
-    "topk_per_group": q_topk_per_group,
-    "filter_agg": q_filter_agg,
     "median_by_group": q_median_by_group,
     "asof_join": q_asof_join,
     # round-5 paragraph-dedup / weighted-sampling / entropy additions
@@ -4638,6 +4690,15 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # oracle is shared verbatim with the still-registered knn twin;
     # exact-certificate pytests pin the module).
     "left_join": q_left_join,
+    # round-5 SEMI/ANTI generic key joins (never attested — in-window).
+    # They take the slots of topk_per_group (r03-attested; selection.py's
+    # partial-topk + bucketed fold is re-attested in-window by
+    # quality_topfrac, ntile_bucket and value_ranks) and filter_agg
+    # (r03-attested; the filtered-aggregate fold is a strict subset of
+    # in-window agg_groupby + rollup_counts on the same aggregate.py
+    # helpers).
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
     # round-5 graph/coverage/densify additions (never attested — must
     # sit in-window). They take the slots of text_stats (r03-attested;
     # its text.py stat kernels are covered in-window by prune_tokens +
@@ -4741,6 +4802,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "histogram": q_histogram,
     "count_distinct": q_count_distinct,
     "zonal_stats": q_zonal_stats,
+    "topk_per_group": q_topk_per_group,
+    "filter_agg": q_filter_agg,
     "knn_cells": q_knn_cells,
     "dedup_exact": q_dedup_exact,
     "lang_pred": q_lang_pred,
@@ -4873,6 +4936,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "bm25_topk": sql_bm25_topk,
     "funnel": sql_funnel,
     "left_join": sql_left_join,
+    "semi_join": sql_semi_join,
+    "anti_join": sql_anti_join,
     "drop_repeated_paras": sql_drop_repeated_paras,
     "weighted_sample": sql_weighted_sample,
     "group_entropy": sql_group_entropy,

@@ -400,3 +400,88 @@ def left_join_auto(
     return left_ds.join(right_ds, join_type="left_outer",
                         num_partitions=n, on=(left_on,),
                         right_on=(right_on,), right_suffix=right_suffix)
+
+
+def _filter_join_auto(left_ds, right_ds, left_on, right_on, keep_match,
+                      broadcast_threshold, num_partitions,
+                      right_bytes_hint, fn: str):
+    """Shared plan for SEMI (``keep_match=True``) and ANTI
+    (``keep_match=False``) equi-joins — filtering joins ship NO right
+    payload, so the broadcast tier sends only the DISTINCT key array
+    (deduped before ``ray.put``; no uniqueness requirement, unlike the
+    payload joins). NULL left keys match nothing: dropped by semi, kept
+    by anti (SQL LEFT SEMI/ANTI JOIN semantics, not NOT IN).
+    Shuffle tier: Ray's ``join_type="left_semi"/"left_anti"``."""
+    import ray
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.aggregate import _empty_arrow_table
+    from buteo_ray.state.skew import derive_num_partitions, estimate_bytes
+
+    if _known_empty(left_ds):
+        return left_ds
+    if _known_empty(right_ds):
+        # semi of nothing is empty; anti of nothing is everything
+        if keep_match:
+            return ray.data.from_arrow(_empty_arrow_table(left_ds))
+        return left_ds
+
+    rb = right_bytes_hint
+    if rb is None:
+        rb = estimate_bytes(right_ds) or None
+    if rb is not None and rb < broadcast_threshold:
+        from buteo_ray.stages.aggregate import nonempty_arrow_blocks
+
+        tabs = nonempty_arrow_blocks(right_ds)
+        if not tabs:
+            keys = pa.array([], pa.int64())
+        else:
+            keys = pc.unique(pa.concat_tables(
+                [t.select([right_on]) for t in tabs])[right_on])
+        keys = keys.drop_null()
+        ref = ray.put(keys)
+
+        def _probe(t: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            if len(k) == 0:
+                hit = pa.array(np.zeros(len(t), dtype=bool))
+            else:
+                hit = pc.is_in(t[left_on].cast(k.type), value_set=k)
+            if keep_match:
+                return t.filter(hit)
+            # anti: no match OR null key (null never matches)
+            return t.filter(pc.or_kleene(
+                pc.invert(pc.fill_null(hit, False)),
+                pc.is_null(t[left_on])))
+
+        return left_ds.map_batches(_probe, batch_format="pyarrow",
+                                   batch_size=None)
+    n = num_partitions or derive_num_partitions(left_ds, right_ds)
+    return left_ds.join(right_ds.select_columns([right_on]),
+                        join_type="left_semi" if keep_match
+                        else "left_anti",
+                        num_partitions=n, on=(left_on,),
+                        right_on=(right_on,))
+
+
+def semi_join_auto(left_ds, right_ds, left_on: str, right_on: str,
+                   broadcast_threshold: int = 64 << 20,
+                   num_partitions: Optional[int] = None,
+                   right_bytes_hint: Optional[int] = None):
+    """LEFT SEMI equi-join: left rows with ≥1 right match, right
+    payload never shipped (see :func:`_filter_join_auto`)."""
+    return _filter_join_auto(left_ds, right_ds, left_on, right_on, True,
+                             broadcast_threshold, num_partitions,
+                             right_bytes_hint, "semi_join_auto")
+
+
+def anti_join_auto(left_ds, right_ds, left_on: str, right_on: str,
+                   broadcast_threshold: int = 64 << 20,
+                   num_partitions: Optional[int] = None,
+                   right_bytes_hint: Optional[int] = None):
+    """LEFT ANTI equi-join: left rows with NO right match (null left
+    keys kept — SQL ANTI JOIN, not NOT IN). The dedup/decontamination
+    drop-filter as a first-class generic join."""
+    return _filter_join_auto(left_ds, right_ds, left_on, right_on, False,
+                             broadcast_threshold, num_partitions,
+                             right_bytes_hint, "anti_join_auto")

@@ -94,3 +94,43 @@ def test_left_join_collision_requires_suffix(ray_session):
     got = left_join_auto(left, right, "k", "rk",
                          right_suffix="_r").to_pandas()
     assert got["name"][0] == "L" and got["name_r"][0] == "R"
+
+
+def test_semi_anti_join_tiers_match_pandas(ray_session):
+    from buteo_ray.stages.join_partitioned import (anti_join_auto,
+                                                   semi_join_auto)
+
+    left, right = _data()
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right)
+    match = left["k"].isin(right["rk"])
+    want_semi = left[match].sort_values("v").reset_index(drop=True)
+    want_anti = left[~match].sort_values("v").reset_index(drop=True)
+    for thr in (64 << 20, 0):  # broadcast tier, then shuffle tier
+        semi = (semi_join_auto(lds, rds, "k", "rk",
+                               broadcast_threshold=thr).to_pandas()
+                .sort_values("v").reset_index(drop=True))
+        anti = (anti_join_auto(lds, rds, "k", "rk",
+                               broadcast_threshold=thr).to_pandas()
+                .sort_values("v").reset_index(drop=True))
+        pd.testing.assert_frame_equal(semi[["k", "v"]], want_semi,
+                                      check_dtype=False)
+        pd.testing.assert_frame_equal(anti[["k", "v"]], want_anti,
+                                      check_dtype=False)
+
+
+def test_semi_anti_null_keys_and_empty_right(ray_session):
+    from buteo_ray.stages.join_partitioned import (anti_join_auto,
+                                                   semi_join_auto)
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, None, 9], pa.int64()),
+                                   "v": pa.array([0, 1, 2], pa.int64())}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([1, None], pa.int64())}))
+    semi = semi_join_auto(left, right, "k", "rk").to_pandas()
+    assert semi["v"].tolist() == [0]  # null never matches
+    anti = (anti_join_auto(left, right, "k", "rk").to_pandas()
+            .sort_values("v"))
+    assert anti["v"].tolist() == [1, 2]  # null kept by anti
+    eright = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert semi_join_auto(left, eright, "k", "rk").count() == 0
+    assert anti_join_auto(left, eright, "k", "rk").count() == 3
