@@ -4563,6 +4563,103 @@ def sql_funnel() -> str:
     )
 
 
+def q_dedup_against(sf_dir: str):
+    """Incremental snapshot dedup: drop every document whose text
+    already exists in the SEEN corpus (docs with doc_id % 3 = 0) —
+    the monthly-crawl update step; only 8 B/doc of the seen side moves
+    (stages/dedup.py:dedup_against)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.dedup import dedup_against
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def _mod3(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 == 0))
+
+    seen = docs.map_batches(_mod3, batch_format="pyarrow",
+                            batch_size=None)
+    out = dedup_against(docs, seen)
+    return out.drop_columns(["text"])
+
+
+def sql_dedup_against() -> str:
+    return (
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM documents s "
+        "WHERE s.doc_id % 3 = 0 AND s.text = d.text)"
+    )
+
+
+def q_normalize_text(sf_dir: str):
+    """Dedup-key text normalization (lowercase → strip punctuation →
+    collapse whitespace → trim), byte-exact against the identical RE2
+    chain in SQL (stages/text.py:normalize_text)."""
+    from buteo_ray.stages.text import normalize_text
+
+    out = normalize_text(_docs(sf_dir, columns=["doc_id", "text"]))
+    return out.drop_columns(["text"])
+
+
+def sql_normalize_text() -> str:
+    return (
+        "SELECT doc_id, TRIM(regexp_replace(regexp_replace("
+        "LOWER(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'), ' ') "
+        "AS text_norm FROM documents"
+    )
+
+
+def q_compact_cells(sf_dir: str):
+    """Quadtree cell-cover compaction (H3 `compact` analog): distinct
+    res-6 cells derived from lineitem keys, complete sibling quartets
+    merged into parents down to res 3 — the minimal mixed-resolution
+    cover. Integer-exact (stages/tiling.py:compact_cells)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.aggregate import bucketed_fold
+    from buteo_ray.stages.tiling import compact_cells
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def _cells(t: pa.Table) -> pa.Table:
+        # per-block partial distinct (combiner) before the global
+        # dedup; & 63 ≡ % 64 on the non-negative keys
+        out = pa.table({
+            "x": pc.bit_wise_and(t["l_partkey"].cast(pa.int64()), 63),
+            "y": pc.bit_wise_and(t["l_suppkey"].cast(pa.int64()), 63)})
+        return out.group_by(["x", "y"]).aggregate([])
+
+    cells = li.map_batches(_cells, batch_format="pyarrow",
+                           batch_size=None)
+    distinct = bucketed_fold(cells, ["x", "y"],
+                             lambda g: g.drop_duplicates())
+    return compact_cells(distinct, res=6, min_res=3)
+
+
+def sql_compact_cells() -> str:
+    lines = ["WITH c6 AS (SELECT DISTINCT l_partkey % 64 AS x, "
+             "l_suppkey % 64 AS y FROM lineitem)"]
+    for lvl in (6, 5, 4):
+        src = f"c{lvl}" if lvl == 6 else f"u{lvl}"
+        lines.append(
+            f"p{lvl} AS (SELECT x // 2 AS px, y // 2 AS py, "
+            f"COUNT(*) AS n FROM {src} GROUP BY 1, 2)")
+        lines.append(
+            f"f{lvl} AS (SELECT s.x, s.y FROM {src} s JOIN p{lvl} "
+            f"ON p{lvl}.px = s.x // 2 AND p{lvl}.py = s.y // 2 "
+            f"WHERE p{lvl}.n < 4)")
+        lines.append(
+            f"u{lvl - 1} AS (SELECT px AS x, py AS y FROM p{lvl} "
+            f"WHERE n = 4)")
+    sql = ", ".join(lines)
+    sql += (" SELECT CAST(6 AS BIGINT) AS res, x, y FROM f6"
+            " UNION ALL SELECT 5, x, y FROM f5"
+            " UNION ALL SELECT 4, x, y FROM f4"
+            " UNION ALL SELECT 3, x, y FROM u3")
+    return sql
+
+
 def q_semi_join(sf_dir: str):
     """LEFT SEMI equi-join: orders with an in-good-standing customer;
     only the distinct key set crosses the wire
@@ -4659,9 +4756,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # the agg fold family). The 44 with a fresh round-4 hash row rotate
     # to the back.
     "zonal_stats_full": q_zonal_stats_full,
-    "sessionize": q_sessionize,
     "median_by_group": q_median_by_group,
-    "asof_join": q_asof_join,
     # round-5 paragraph-dedup / weighted-sampling / entropy additions
     # (never attested — must sit in-window). They take the slots of
     # zonal_stats (r03-attested; a strict subset of in-window
@@ -4699,6 +4794,20 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # helpers).
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    # round-5 quadtree cover compaction (never attested — in-window; it
+    # takes tile_assign's slot: r04-attested, tiling.py's GridSpec path
+    # untouched by this addition, bit-exact pytests vs the reference
+    # offset arithmetic still pin it).
+    "compact_cells": q_compact_cells,
+    # round-5 incremental dedup + normalization (never attested —
+    # in-window). They take the slots of sessionize (r04/r03-attested
+    # repeatedly; its bucketed_group_map per-key machinery is
+    # re-attested in-window by funnel and interval_cover on the same
+    # module) and asof_join (r03-attested + property-tested this round;
+    # the tagged-union co-partition plan is re-attested in-window by
+    # range_join, which shares the time-cell partitioner).
+    "dedup_against": q_dedup_against,
+    "normalize_text": q_normalize_text,
     # round-5 graph/coverage/densify additions (never attested — must
     # sit in-window). They take the slots of text_stats (r03-attested;
     # its text.py stat kernels are covered in-window by prune_tokens +
@@ -4749,7 +4858,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "training_pipeline": q_training_pipeline,
     "agg_groupby": q_agg_groupby,
     "simhash_dup_pairs": q_simhash_dup_pairs,
-    "dup_spans": q_dup_spans,
+    # dup_spans displaced this round (r04-attested; its windowed-hash
+    # kernel is untouched by r05's dedup.py additions, and the module
+    # is re-attested in-window by dedup_minhash_pairs,
+    # simhash_dup_pairs, dedup_paragraphs and dedup_against).
     # round-5 additions (TF-IDF keyword extraction, pure range join,
     # per-key rolling row-window). They take the window slots of
     # hex_bin_counts (attested green in BOTH r03 and r04 on an
@@ -4802,6 +4914,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "histogram": q_histogram,
     "count_distinct": q_count_distinct,
     "zonal_stats": q_zonal_stats,
+    "tile_assign": q_tile_assign,
+    "dup_spans": q_dup_spans,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "topk_per_group": q_topk_per_group,
     "filter_agg": q_filter_agg,
     "knn_cells": q_knn_cells,
@@ -4864,7 +4980,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pip_join_bbox": q_pip_join_bbox,
     "pip_semi_join": q_pip_semi_join,
     "pip_anti_join": q_pip_anti_join,
-    "tile_assign": q_tile_assign,
     "filter_project": q_filter_project,
     "join_broadcast": q_join_broadcast,
     "sort_topk": q_sort_topk,
@@ -4938,6 +5053,9 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "left_join": sql_left_join,
     "semi_join": sql_semi_join,
     "anti_join": sql_anti_join,
+    "compact_cells": sql_compact_cells,
+    "dedup_against": sql_dedup_against,
+    "normalize_text": sql_normalize_text,
     "drop_repeated_paras": sql_drop_repeated_paras,
     "weighted_sample": sql_weighted_sample,
     "group_entropy": sql_group_entropy,

@@ -1367,3 +1367,48 @@ def dedup_paragraphs(ds, para_tokens: int = 16, text_col: str = "text",
                            alias="text_clean",
                            count_alias="n_paras_kept",
                            num_buckets=num_buckets)
+
+
+def dedup_against(new_ds, seen_ds, text_col: str = "text",
+                  seen_text_col: Optional[str] = None,
+                  broadcast_threshold: int = 64 << 20):
+    """Incremental (snapshot-over-snapshot) exact dedup: drop every NEW
+    document whose ``text_col`` already exists in the SEEN corpus — the
+    monthly-crawl update step (dedup new data against everything already
+    ingested, without re-shuffling the old corpus with the new).
+
+    Plan: both sides are reduced to their 64-bit content-hash columns;
+    the new side anti-joins the seen side's hash set via
+    :func:`buteo_ray.stages.join_partitioned.anti_join_auto` (key-set
+    broadcast under the byte gate, hash-partitioned ``left_anti``
+    beyond). Only 8 B/doc of the seen corpus ever moves. Hash collision
+    caveat (documented contract): a 64-bit collision can drop a
+    false-positive new doc — at 10⁹ seen docs the expected collision
+    count for one new doc is ~5e-11; callers needing certainty re-check
+    survivors' texts against the colliding bucket.
+    """
+    from buteo_ray.stages.join_partitioned import anti_join_auto
+
+    seen_col = seen_text_col or text_col
+
+    def _h(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__h=content_hash_column(df[text_col]))
+
+    def _hs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__h": np.unique(
+            content_hash_column(df[seen_col]))})
+
+    hashed = new_ds.map_batches(_h, batch_format="pandas",
+                                batch_size=None)
+    seen = seen_ds.map_batches(_hs, batch_format="pandas",
+                               batch_size=None)
+    # The hash table is ≤ the seen corpus's bytes, so the SOURCE
+    # metadata size is a safe routing hint — without it a lazily-empty
+    # seen side would take the shuffle tier and hit Ray 2.49's Acero
+    # crash on schemaless empty blocks (see hash_join_auto).
+    from buteo_ray.state.skew import estimate_bytes
+
+    out = anti_join_auto(hashed, seen, "__h", "__h",
+                         broadcast_threshold=broadcast_threshold,
+                         right_bytes_hint=estimate_bytes(seen_ds))
+    return out.drop_columns(["__h"])

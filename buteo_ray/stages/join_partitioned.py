@@ -457,11 +457,23 @@ def _filter_join_auto(left_ds, right_ds, left_on, right_on, keep_match,
         return left_ds.map_batches(_probe, batch_format="pyarrow",
                                    batch_size=None)
     n = num_partitions or derive_num_partitions(left_ds, right_ds)
-    return left_ds.join(right_ds.select_columns([right_on]),
+    rkeys = right_ds.select_columns([right_on])
+    rk = right_on
+    if rk == left_on:
+        # Acero rejects same-named key fields on filtering joins ("No
+        # match or multiple matches for key field reference") — rename
+        # the right key to a private name; it never reaches the output.
+        rk = "__filter_join_rk"
+        # map_batches rename (Dataset.rename_columns breaks on
+        # pandas-backed blocks in Ray 2.49).
+        rkeys = rkeys.map_batches(
+            lambda t, _n=rk: t.rename_columns([_n]),
+            batch_format="pyarrow", batch_size=None)
+    return left_ds.join(rkeys,
                         join_type="left_semi" if keep_match
                         else "left_anti",
                         num_partitions=n, on=(left_on,),
-                        right_on=(right_on,))
+                        right_on=(rk,))
 
 
 def semi_join_auto(left_ds, right_ds, left_on: str, right_on: str,

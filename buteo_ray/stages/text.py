@@ -441,6 +441,29 @@ def drop_repeated_paras(ds, para_tokens: int = 16, text_col: str = "text"):
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+# Dedup-key text normalization (CCNet-style, Wenzek et al. 2020):
+# lowercase, non-alphanumeric runs → one space, collapse spaces, trim.
+# RE2 on both engine and oracle; order matters.
+TEXT_NORM_RULES = [("[^a-z0-9 ]+", " "), (" +", " ")]
+
+
+def normalize_text(ds, text_col: str = "text",
+                   out_col: str = "text_norm"):
+    """Dedup-key normalization: the canonical form documents are
+    compared under before exact/near dedup (lowercase → strip
+    punctuation → collapse whitespace → trim). Zero-copy Arrow stage,
+    one vectorized RE2 pass per rule; the SQL twin chains the identical
+    regexes, so normalized keys match byte-for-byte."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(pc.cast(t[text_col], pa.string()))
+        for pat, rep in TEXT_NORM_RULES:
+            col = pc.replace_substring_regex(col, pat, rep)
+        return _set_col(t, out_col, pc.utf8_trim(col, " "))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
 # Canonicalization rules (order matters; RE2 on both engine and oracle).
 # Scope is deliberately syntactic: fragment, default ports, trailing and
 # duplicate slashes — host lowercasing or query-param sorting would need

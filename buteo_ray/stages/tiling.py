@@ -110,3 +110,78 @@ def tile_sql_exprs(grid: GridSpec, lat_sql: str, lon_sql: str) -> dict:
         "tile_off_x": f"(({px}) % {ts})",
         "tile_off_y": f"(({py}) % {ts})",
     }
+
+
+def compact_cells(cells_ds, res: int, min_res: int,
+                  x_col: str = "x", y_col: str = "y",
+                  num_buckets=None):
+    """Quadtree cell-cover compaction — the H3 ``compact`` analog on
+    the engine's power-of-two grid (grid/cells.py): given DISTINCT
+    cells at resolution ``res``, repeatedly replace every COMPLETE
+    sibling quartet (all 4 children of one parent present) with the
+    parent cell, down to ``min_res``. The result is the minimal
+    mixed-resolution cover of the same area — the standard compression
+    step for an AOI cell cover before it is broadcast to a join.
+
+    One hash-bucketed fold per level, keyed on the PARENT coordinates
+    so every sibling quartet meets in one bucket; round k shuffles only
+    the rows still compacting (≤ input/4^k), so the total exchanged
+    volume is < 4/3 × the input rows regardless of depth. Input rows
+    MUST be distinct cells (completeness is judged by group size —
+    duplicates would fake complete quartets; dedup first).
+
+    Returns Dataset[(res:int64, x, y)] with mixed resolutions.
+    """
+    if not (0 <= min_res <= res):
+        raise ValueError(f"need 0 <= min_res <= res "
+                         f"(got {min_res}, {res})")
+    import pandas as pd
+
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    def _norm(t: pa.Table, _xc: str, _yc: str) -> pa.Table:
+        x = t[_xc].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = t[_yc].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"x": x, "y": y, "px": x >> 1, "py": y >> 1})
+
+    def _fold(g: pd.DataFrame, lvl: int) -> pd.DataFrame:
+        n = g.groupby(["px", "py"], sort=False)["x"].transform("size")
+        comp = (n == 4).to_numpy()
+        parents = (g.loc[comp, ["px", "py"]].drop_duplicates()
+                   .rename(columns={"px": "x", "py": "y"}))
+        parents.insert(0, "res",
+                       np.full(len(parents), lvl - 1, dtype=np.int64))
+        rest = g.loc[~comp, ["x", "y"]].copy()
+        rest.insert(0, "res", np.full(len(rest), lvl, dtype=np.int64))
+        return pd.concat([parents, rest], ignore_index=True)
+
+    cur = cells_ds
+    finals = []
+    for level in range(res, min_res, -1):
+        # Bind the column names per round (lazy execution + closure
+        # late-binding would otherwise read the post-loop values).
+        keyed = cur.map_batches(
+            lambda t, _x=x_col, _y=y_col: _norm(t, _x, _y),
+            batch_format="pyarrow", batch_size=None)
+        out = bucketed_fold(keyed, ["px", "py"],
+                            lambda g, _l=level: _fold(g, _l),
+                            num_buckets)
+        # Promoted parents continue; cells stuck at `level` are final.
+        # The lazy filter re-executes `out` once per consumer — but
+        # round k's table is ≤ input/4^(k-1) rows and shrinking, so
+        # re-execution is cheaper than pinning every round.
+        finals.append(out.filter(expr=f"res == {level}"))
+        cur = out.filter(expr=f"res == {level - 1}")
+        x_col, y_col = "x", "y"
+
+    def _final_tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "res": np.full(len(t), min_res, dtype=np.int64),
+            "x": t["x"].cast(pa.int64()),
+            "y": t["y"].cast(pa.int64())})
+
+    result = cur.map_batches(_final_tag, batch_format="pyarrow",
+                             batch_size=None)
+    for f in finals:
+        result = result.union(f.select_columns(["res", "x", "y"]))
+    return result
