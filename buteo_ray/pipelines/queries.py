@@ -4563,6 +4563,88 @@ def sql_funnel() -> str:
     )
 
 
+def q_cluster_sizes(sf_dir: str):
+    """Near-dup cluster SIZE DISTRIBUTION — the dedup-impact report
+    (how many pairs/triples/… of near-identical docs exist): connected
+    components over the MinHash-LSH pair list, then size per cluster,
+    then count per size. Composition of dup_clusters + two bucketed
+    counts; integer-exact."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.aggregate import bucketed_count
+    from buteo_ray.stages.dedup import dup_clusters, minhash_lsh_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["text"]), 5)),
+        batch_format="pyarrow", batch_size=None)
+    labels = dup_clusters(minhash_lsh_pairs(ds, threshold=0.5))
+    per_cluster = bucketed_count(labels, ["cluster_id"], alias="size")
+    return bucketed_count(per_cluster, ["size"], alias="n_clusters")
+
+
+def sql_cluster_sizes() -> str:
+    return (
+        "WITH RECURSIVE " + _sql_minhash_pairs_cte("documents", 0.5) + ", "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM mpairs "
+        "UNION ALL SELECT id_b, id_a FROM mpairs), "
+        "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v), "
+        "lbl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach "
+        "GROUP BY u), "
+        "cs AS (SELECT cluster_id, COUNT(*) AS size FROM lbl "
+        "GROUP BY 1) "
+        "SELECT size, COUNT(*) AS n_clusters FROM cs GROUP BY size"
+    )
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index (token → ordered posting list) for tokens with
+    document frequency ≥ 5 — the retrieval-side dual of bm25_topk:
+    explode → per-block distinct (combiner) → bucketed distinct fold →
+    ordered collect (STRING_AGG of doc ids). Byte-exact strings."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.aggregate import collect_ordered
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(t["doc_id"].cast(pa.int64()), parent)
+        # per-block distinct (tok, doc) combiner
+        return (pa.table({"tok": flat, "doc_id": ids})
+                .group_by(["tok", "doc_id"]).aggregate([]))
+
+    pairs = docs.map_batches(_explode, batch_format="pyarrow",
+                             batch_size=None)
+
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    distinct = bucketed_fold(pairs, ["tok", "doc_id"],
+                             lambda g: g.drop_duplicates())
+    idx = collect_ordered(distinct, "tok", ["doc_id"], "doc_id",
+                          sep=",", alias="postings", count_alias="df")
+
+    def _min_df(df):
+        return df[df["df"] >= 5]
+
+    return idx.map_batches(_min_df, batch_format="pandas",
+                           batch_size=None)
+
+
+def sql_inverted_index() -> str:
+    return (
+        "WITH raw AS (SELECT doc_id, "
+        "UNNEST(string_split(text, ' ')) AS tok FROM documents), "
+        "toks AS (SELECT DISTINCT doc_id, tok FROM raw) "
+        "SELECT tok, STRING_AGG(doc_id, ',' ORDER BY doc_id) "
+        "AS postings, COUNT(*) AS df FROM toks GROUP BY tok "
+        "HAVING COUNT(*) >= 5"
+    )
+
+
 def q_dedup_against(sf_dir: str):
     """Incremental snapshot dedup: drop every document whose text
     already exists in the SEEN corpus (docs with doc_id % 3 = 0) —
@@ -4808,6 +4890,14 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # range_join, which shares the time-cell partitioner).
     "dedup_against": q_dedup_against,
     "normalize_text": q_normalize_text,
+    # round-5 cluster-size report + inverted index (never attested —
+    # in-window). They take the slots of jaccard_pairs (r03-attested;
+    # the exact pair kernel is untouched in r05 and the dedup pair
+    # machinery is re-attested in-window by dedup_minhash_pairs +
+    # simhash_dup_pairs) and cosine_dup_pairs (r03-attested; ann/cosine
+    # block-pair path untouched in r05, recall pytests stand).
+    "cluster_sizes": q_cluster_sizes,
+    "inverted_index": q_inverted_index,
     # round-5 graph/coverage/densify additions (never attested — must
     # sit in-window). They take the slots of text_stats (r03-attested;
     # its text.py stat kernels are covered in-window by prune_tokens +
@@ -4820,8 +4910,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "interval_cover": q_interval_cover,
     "densify_days": q_densify_days,
     "line_bbox_join": q_line_bbox_join,
-    "jaccard_pairs": q_jaccard_pairs,
-    "cosine_dup_pairs": q_cosine_dup_pairs,
 
     # round-5 late additions (never attested — must sit in-window).
     # They take the slots of ann_topk, embed_centroids_flat (ann.py
@@ -4916,6 +5004,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "zonal_stats": q_zonal_stats,
     "tile_assign": q_tile_assign,
     "dup_spans": q_dup_spans,
+    "jaccard_pairs": q_jaccard_pairs,
+    "cosine_dup_pairs": q_cosine_dup_pairs,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "topk_per_group": q_topk_per_group,
@@ -5056,6 +5146,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "compact_cells": sql_compact_cells,
     "dedup_against": sql_dedup_against,
     "normalize_text": sql_normalize_text,
+    "cluster_sizes": sql_cluster_sizes,
+    "inverted_index": sql_inverted_index,
     "drop_repeated_paras": sql_drop_repeated_paras,
     "weighted_sample": sql_weighted_sample,
     "group_entropy": sql_group_entropy,
