@@ -163,13 +163,15 @@ def compact_cells(cells_ds, res: int, min_res: int,
         keyed = cur.map_batches(
             lambda t, _x=x_col, _y=y_col: _norm(t, _x, _y),
             batch_format="pyarrow", batch_size=None)
+        # Each level's result is consumed by TWO branches (finals
+        # filter + next round) — materialize it so the fold chain runs
+        # once per level, not once per downstream consumer (lazy
+        # re-execution would make L levels cost O(L²) folds). Level k
+        # holds ≤ input/4^(k-1) rows, object-store-spillable; Σ over
+        # levels < 4/3 × input rows.
         out = bucketed_fold(keyed, ["px", "py"],
                             lambda g, _l=level: _fold(g, _l),
-                            num_buckets)
-        # Promoted parents continue; cells stuck at `level` are final.
-        # The lazy filter re-executes `out` once per consumer — but
-        # round k's table is ≤ input/4^(k-1) rows and shrinking, so
-        # re-execution is cheaper than pinning every round.
+                            num_buckets).materialize()
         finals.append(out.filter(expr=f"res == {level}"))
         cur = out.filter(expr=f"res == {level - 1}")
         x_col, y_col = "x", "y"
