@@ -441,6 +441,60 @@ def drop_repeated_paras(ds, para_tokens: int = 16, text_col: str = "text"):
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
 
 
+def extract_links(ds, html_col: str = "html", url_col: str = "url",
+                  require_scheme: bool = False):
+    """Outlink extraction — the web-graph edge builder of a crawl
+    pipeline: one row per ``href="..."`` target in each page, carrying
+    the source ``url_col``, the raw ``link`` and its ``link_host``
+    (``scheme://host`` links only; relative links get a null host).
+
+    1→N flat-map inside ``map_batches`` (streams, no shuffle), fully
+    vectorized: one ``split_pattern`` on the ``href="`` delimiter, the
+    leading non-href fragment of each page masked off by offset
+    arithmetic, then one anchored RE2 ``extract_regex`` per batch to
+    take the quote-terminated target (an unterminated trailing href is
+    dropped, not truncated). Feeds :mod:`buteo_ray.stages.graph`
+    (host-level PageRank) and per-domain aggregation.
+
+    ``require_scheme=True`` keeps only absolute http(s) links.
+    """
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[html_col]
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            col = col.cast(pa.string())
+        s = pc.fill_null(col, "")
+        frags = pc.split_pattern(s, 'href="')
+        nfrag = pc.list_value_length(frags).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(frags)
+        parent = pc.list_parent_indices(frags).to_numpy(
+            zero_copy_only=False)
+        total = len(flat)
+        # The first fragment of every page precedes its first href.
+        first_idx = np.concatenate([[0], np.cumsum(nfrag)[:-1]])
+        keep = np.ones(total, dtype=bool)
+        keep[first_idx[nfrag > 0]] = False
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        # Quote-terminated target; null where no closing quote.
+        m = pc.extract_regex(flat, '^(?P<link>[^"]*)"')
+        link = pc.struct_field(m, "link")
+        ok = pc.is_valid(link).to_numpy(zero_copy_only=False)
+        link = link.filter(pa.array(ok))
+        parent = parent[ok]
+        host = pc.struct_field(
+            pc.extract_regex(link, '^(?P<s>https?)://(?P<host>[^/"?#]+)'),
+            "host")
+        src = pc.take(t[url_col], pa.array(parent))
+        out = pa.table({url_col: src, "link": link, "link_host": host})
+        if require_scheme:
+            out = out.filter(pc.is_valid(out["link_host"]))
+        return out
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
 # Dedup-key text normalization (CCNet-style, Wenzek et al. 2020):
 # lowercase, non-alphanumeric runs → one space, collapse spaces, trim.
 # RE2 on both engine and oracle; order matters.
