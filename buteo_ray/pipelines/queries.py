@@ -4650,8 +4650,6 @@ def q_dedup_against(sf_dir: str):
     already exists in the SEEN corpus (docs with doc_id % 3 = 0) —
     the monthly-crawl update step; only 8 B/doc of the seen side moves
     (stages/dedup.py:dedup_against)."""
-    import pyarrow.compute as pc
-
     from buteo_ray.stages.dedup import dedup_against
 
     docs = _docs(sf_dir, columns=["doc_id", "lang", "text"])

@@ -173,8 +173,12 @@ def compact_cells(cells_ds, res: int, min_res: int,
                             lambda g, _l=level: _fold(g, _l),
                             num_buckets).materialize()
         finals.append(out.filter(expr=f"res == {level}"))
-        cur = out.filter(expr=f"res == {level - 1}")
+        cur = out.filter(expr=f"res == {level - 1}").materialize()
         x_col, y_col = "x", "y"
+        if cur.count() == 0:
+            # No quartet completed at this level — nothing can complete
+            # at any coarser level either; skip the dead rounds.
+            break
 
     def _final_tag(t: pa.Table) -> pa.Table:
         return pa.table({
