@@ -66,19 +66,25 @@ def _corpus():
     return docs
 
 
-def test_drop_repeated_paras_matches_reference(ray_session):
-    docs = _corpus()
-    ds = rd.from_arrow(pa.table({
-        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
-        "text": pa.array([d[1] for d in docs])})).repartition(5)
-    got = (drop_repeated_paras(ds, para_tokens=K).to_pandas()
-           .sort_values("doc_id").reset_index(drop=True))
-    assert len(got) == len(docs)  # map-only: no row disappears
-    for _, r in got.iterrows():
-        text, n_in, n_kept = _ref_within(dict(docs)[r["doc_id"]])
-        assert r["text"] == text
-        assert r["n_paras_in"] == n_in
-        assert r["n_paras_kept"] == n_kept
+@pytest.mark.parametrize("k", [1, 4, 7])
+def test_drop_repeated_paras_matches_reference(ray_session, k):
+    global K
+    K0, K = K, k
+    try:
+        docs = _corpus()
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs])})).repartition(5)
+        got = (drop_repeated_paras(ds, para_tokens=k).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert len(got) == len(docs)  # map-only: no row disappears
+        for _, r in got.iterrows():
+            text, n_in, n_kept = _ref_within(dict(docs)[r["doc_id"]])
+            assert r["text"] == text
+            assert r["n_paras_in"] == n_in
+            assert r["n_paras_kept"] == n_kept
+    finally:
+        K = K0
 
 
 def test_drop_repeated_paras_all_same_windows(ray_session):
@@ -95,12 +101,22 @@ def test_drop_repeated_paras_rejects_bad_window():
         drop_repeated_paras(None, para_tokens=0)
 
 
-def test_dedup_paragraphs_matches_reference(ray_session):
+@pytest.mark.parametrize("k", [1, 4, 7])
+def test_dedup_paragraphs_matches_reference(ray_session, k):
+    global K
+    K0, K = K, k
+    try:
+        _run_dedup_paragraphs_case(k)
+    finally:
+        K = K0
+
+
+def _run_dedup_paragraphs_case(k):
     docs = _corpus()
     ds = rd.from_arrow(pa.table({
         "doc_id": pa.array([d[0] for d in docs], pa.int64()),
         "text": pa.array([d[1] for d in docs])})).repartition(5)
-    got = (dedup_paragraphs(ds, para_tokens=K).to_pandas()
+    got = (dedup_paragraphs(ds, para_tokens=k).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     ref = _ref_global(docs)
     assert sorted(got["doc_id"]) == sorted(ref)
