@@ -114,7 +114,7 @@ def tile_sql_exprs(grid: GridSpec, lat_sql: str, lon_sql: str) -> dict:
 
 def compact_cells(cells_ds, res: int, min_res: int,
                   x_col: str = "x", y_col: str = "y",
-                  num_buckets=None):
+                  num_buckets=None, driver_max_bytes: int = 64 << 20):
     """Quadtree cell-cover compaction — the H3 ``compact`` analog on
     the engine's power-of-two grid (grid/cells.py): given DISTINCT
     cells at resolution ``res``, repeatedly replace every COMPLETE
@@ -123,12 +123,18 @@ def compact_cells(cells_ds, res: int, min_res: int,
     mixed-resolution cover of the same area — the standard compression
     step for an AOI cell cover before it is broadcast to a join.
 
-    One hash-bucketed fold per level, keyed on the PARENT coordinates
-    so every sibling quartet meets in one bucket; round k shuffles only
-    the rows still compacting (≤ input/4^k), so the total exchanged
-    volume is < 4/3 × the input rows regardless of depth. Input rows
-    MUST be distinct cells (completeness is judged by group size —
-    duplicates would fake complete quartets; dedup first).
+    Two tiers, gated on the cover's metadata byte estimate (same
+    pattern as ``dup_clusters``): a cover under ``driver_max_bytes``
+    (16 B/cell — covers are AOI-sized, not corpus-sized) is collected
+    once and compacted in a numpy loop (one ``np.unique`` per level —
+    the per-level Ray shuffle's fixed overhead dominates small covers
+    ~5×); a larger cover runs one hash-bucketed fold per level, keyed
+    on the PARENT coordinates so every sibling quartet meets in one
+    bucket. Round k shuffles only the rows still compacting
+    (≤ input/4^k), so the distributed tier exchanges < 4/3 × the input
+    rows regardless of depth. Input rows MUST be distinct cells
+    (completeness is judged by group size — duplicates would fake
+    complete quartets; dedup first).
 
     Returns Dataset[(res:int64, x, y)] with mixed resolutions.
     """
@@ -138,6 +144,43 @@ def compact_cells(cells_ds, res: int, min_res: int,
     import pandas as pd
 
     from buteo_ray.stages.aggregate import bucketed_fold
+    from buteo_ray.state.skew import estimate_bytes
+
+    eb = estimate_bytes(cells_ds)
+    if eb is not None and eb < driver_max_bytes:
+        import ray
+
+        from buteo_ray.stages.aggregate import nonempty_arrow_blocks
+
+        tabs = nonempty_arrow_blocks(cells_ds)
+        if tabs:
+            t = pa.concat_tables([tb.select([x_col, y_col])
+                                  for tb in tabs])
+            x = t[x_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            y = t[y_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            x = y = np.empty(0, dtype=np.int64)
+        out_r, out_x, out_y = [], [], []
+        for lvl in range(res, min_res, -1):
+            pk = (x >> 1) << np.int64(32) | (y >> 1)
+            uniq, inv, cnt = np.unique(pk, return_inverse=True,
+                                       return_counts=True)
+            comp = cnt[inv] == 4
+            out_r.append(np.full(int((~comp).sum()), lvl,
+                                 dtype=np.int64))
+            out_x.append(x[~comp])
+            out_y.append(y[~comp])
+            par = uniq[cnt == 4]
+            x, y = par >> np.int64(32), par & np.int64(0xFFFFFFFF)
+            if not x.size:
+                break
+        else:
+            out_r.append(np.full(x.size, min_res, dtype=np.int64))
+            out_x.append(x)
+            out_y.append(y)
+        return ray.data.from_arrow(pa.table({
+            "res": np.concatenate(out_r), "x": np.concatenate(out_x),
+            "y": np.concatenate(out_y)}))
 
     def _norm(t: pa.Table, _xc: str, _yc: str) -> pa.Table:
         x = t[_xc].cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -25,14 +25,15 @@ def _brute_compact(cells, res, min_res):
     return sorted(out)
 
 
-def test_compact_cells_matches_reference(ray_session):
+@pytest.mark.parametrize("driver_max", [64 << 20, 0])  # driver / dist
+def test_compact_cells_matches_reference(ray_session, driver_max):
     rng = np.random.default_rng(4)
     pts = set((int(a), int(b)) for a, b in rng.integers(0, 32, (900, 2)))
     ds = rd.from_arrow(pa.table({
         "cx": pa.array([p[0] for p in pts], pa.int64()),
         "cy": pa.array([p[1] for p in pts], pa.int64())})).repartition(5)
-    got = compact_cells(ds, res=5, min_res=1,
-                        x_col="cx", y_col="cy").to_pandas()
+    got = compact_cells(ds, res=5, min_res=1, x_col="cx", y_col="cy",
+                        driver_max_bytes=driver_max).to_pandas()
     got_t = sorted(map(tuple, got[["res", "x", "y"]].to_numpy()))
     assert got_t == _brute_compact(pts, 5, 1)
 
