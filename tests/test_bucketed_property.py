@@ -432,3 +432,65 @@ def test_union_by_name_matches_pandas_concat(ray_session, ncols,
     want_s = want.sort_values(list(want.columns), na_position="last") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lk=st.lists(st.one_of(st.integers(0, 6), st.none()),
+                min_size=0, max_size=25),
+    rk=st.lists(st.integers(0, 6), min_size=0, max_size=25),
+    force_shuffle=st.booleans(),
+)
+def _outer_filter_join_property(ray_session_holder, lk, rk,
+                                force_shuffle):
+    """left/semi/anti joins: both tiers ≡ the pandas references,
+    nullable left keys included (null matches nothing; anti keeps it)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.join_partitioned import (anti_join_auto,
+                                                   left_join_auto,
+                                                   semi_join_auto)
+
+    thr = 0 if force_shuffle else 64 << 20
+    ldf = pd.DataFrame({"k": pd.Series(lk, dtype="Int64"),
+                        "v": np.arange(len(lk), dtype=np.int64)})
+    # unique right keys so the broadcast tier of the LEFT join engages
+    rkeys = sorted(set(rk))
+    rdf = pd.DataFrame({"rk": pd.Series(rkeys, dtype="int64"),
+                        "w": np.arange(len(rkeys), dtype=np.int64) * 10})
+    # typed Arrow construction: an all-NA pandas Int64 column would
+    # degrade to arrow `null` type, which Acero rejects as a join key
+    lds = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "v": pa.array(np.arange(len(lk), dtype=np.int64))}))
+    rds = rd.from_pandas(rdf)
+
+    match = ldf["k"].isin(rdf["rk"]).fillna(False)
+
+    def _vals(df):
+        # empty Ray results surface with no columns (display quirk)
+        return sorted(df["v"]) if len(df) else []
+
+    semi = semi_join_auto(lds, rds, "k", "rk",
+                          broadcast_threshold=thr).to_pandas()
+    assert _vals(semi) == sorted(ldf.loc[match, "v"])
+    anti = anti_join_auto(lds, rds, "k", "rk",
+                          broadcast_threshold=thr).to_pandas()
+    assert _vals(anti) == sorted(ldf.loc[~match, "v"])
+
+    left = left_join_auto(lds, rds, "k", "rk",
+                          broadcast_threshold=thr).to_pandas()
+    exp = ldf.merge(rdf, left_on="k", right_on="rk",
+                    how="left").drop(columns=["rk"])
+    assert len(left) == len(exp)
+    if len(exp):
+        cols = ["v", "w"]
+        got_s = (left[cols].astype("float64").sort_values(cols)
+                 .reset_index(drop=True))
+        exp_s = (exp[cols].astype("float64").sort_values(cols)
+                 .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_outer_filter_joins_match_pandas(ray_session):
+    _outer_filter_join_property(ray_session)
