@@ -44,6 +44,7 @@ def training_data_pipeline(
     max_dup_bigram_frac: Optional[float] = None,
     chunk_tokens: Optional[int] = None,
     chunk_overlap: int = 16,
+    para_dedup_tokens: Optional[int] = None,
     mixture_fractions: Optional[dict] = None,
     mixture_key: str = "source",
     mixture_seed: int = 42,
@@ -156,6 +157,19 @@ def training_data_pipeline(
         # emails become exact duplicates post-redaction (the curation
         # order the public CC recipes use).
         ds = pii_scrub(ds, text_col=text_col, out_col=text_col)
+
+    if para_dedup_tokens is not None:
+        from buteo_ray.stages.text import drop_repeated_paras
+
+        # Within-doc paragraph dedup (map-only tier) BEFORE exact
+        # dedup: two docs differing only in how often they repeat the
+        # same boilerplate collapse to identical cleaned text and fall
+        # to the exact stage. The corpus-wide CCNet tier
+        # (stages.dedup.dedup_paragraphs) stays a standalone op — it
+        # re-keys the corpus to (id, text) and would drop the payload
+        # columns this chain carries.
+        ds = drop_repeated_paras(ds, para_tokens=para_dedup_tokens,
+                                 text_col=text_col)
 
     # Exact dedup (min-id row per identical text). Materialize here: the
     # deduped set is consumed TWICE (LSH pair mining + final output) and

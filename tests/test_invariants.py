@@ -308,3 +308,38 @@ def test_training_data_pipeline_cluster_drop(ray_session):
     clustered = training_data_pipeline(rd.from_pandas(rows),
                                        cluster_drop=True, **kw).to_pandas()
     assert set(clustered["page_id"]) == {0, 3}  # one rep per component
+
+
+def test_training_pipeline_para_dedup_stage(ray_session):
+    """para_dedup_tokens collapses repeated boilerplate within docs so
+    repetition-only variants fall to the exact-dedup stage."""
+    import pandas as pd
+    import ray.data as rd
+
+    from buteo_ray.pipelines.training_data import training_data_pipeline
+
+    para = "the cat and the dog sat in the house with the mouse and ate"
+    rows = [
+        # same paragraph repeated 2x vs 4x: cleaned text identical
+        {"page_id": 0, "text": " ".join([para] * 2)},
+        {"page_id": 1, "text": " ".join([para] * 4)},
+        # a distinct doc that must survive
+        {"page_id": 2, "text": ("a completely different sentence about "
+                                "rivers and maps and tiles and the long "
+                                "road home tonight")},
+    ]
+    df = pd.DataFrame(rows)
+    out = training_data_pipeline(
+        rd.from_pandas(df), min_tokens=5, near_dup_threshold=0.99,
+        para_dedup_tokens=14, val_frac=0.0).to_pandas()
+    kept = set(out["page_id"])
+    assert 0 in kept and 1 not in kept and 2 in kept
+    assert (out.loc[out["page_id"] == 0, "text"].iloc[0] == para)
+
+    # default off: text passes through unmodified (the near-dup LSH
+    # stage still drops the repetition variant — they share shingles)
+    out2 = training_data_pipeline(
+        rd.from_pandas(df), min_tokens=5, near_dup_threshold=0.99,
+        val_frac=0.0).to_pandas()
+    assert (out2.loc[out2["page_id"] == 0, "text"].iloc[0]
+            == " ".join([para] * 2))
