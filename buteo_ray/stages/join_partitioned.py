@@ -404,7 +404,7 @@ def left_join_auto(
 
 def _filter_join_auto(left_ds, right_ds, left_on, right_on, keep_match,
                       broadcast_threshold, num_partitions,
-                      right_bytes_hint, fn: str):
+                      right_bytes_hint):
     """Shared plan for SEMI (``keep_match=True``) and ANTI
     (``keep_match=False``) equi-joins — filtering joins ship NO right
     payload, so the broadcast tier sends only the DISTINCT key array
@@ -484,7 +484,7 @@ def semi_join_auto(left_ds, right_ds, left_on: str, right_on: str,
     payload never shipped (see :func:`_filter_join_auto`)."""
     return _filter_join_auto(left_ds, right_ds, left_on, right_on, True,
                              broadcast_threshold, num_partitions,
-                             right_bytes_hint, "semi_join_auto")
+                             right_bytes_hint)
 
 
 def anti_join_auto(left_ds, right_ds, left_on: str, right_on: str,
@@ -496,4 +496,4 @@ def anti_join_auto(left_ds, right_ds, left_on: str, right_on: str,
     drop-filter as a first-class generic join."""
     return _filter_join_auto(left_ds, right_ds, left_on, right_on, False,
                              broadcast_threshold, num_partitions,
-                             right_bytes_hint, "anti_join_auto")
+                             right_bytes_hint)
