@@ -4823,6 +4823,156 @@ def sql_left_join() -> str:
     )
 
 
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER equi-join — both sides filtered so BOTH unmatched
+    directions are exercised: high-price orders keep their row with a
+    NULL customer name; positive-balance customers with no such order
+    appear with a NULL order key and their key COALESCEd into
+    ``o_custkey`` (stages/join_partitioned.py:full_outer_join_auto =
+    left_outer ∪ null-padded anti, each auto-tiered)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.join_partitioned import full_outer_join_auto
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name",
+                                              "c_acctbal"])
+
+    def _hi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], 150000.0)).select(
+            ["o_orderkey", "o_custkey"])
+
+    def _pos(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 0.0)).select(
+            ["c_custkey", "c_name"])
+
+    left = orders.map_batches(_hi, batch_format="pyarrow", batch_size=None)
+    dim = cust.map_batches(_pos, batch_format="pyarrow", batch_size=None)
+    return full_outer_join_auto(left, dim, "o_custkey", "c_custkey")
+
+
+def sql_full_outer_join() -> str:
+    return (
+        "SELECT o.o_orderkey, "
+        "COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, c.c_name "
+        "FROM (SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_totalprice > 150000.0) o "
+        "FULL JOIN (SELECT c_custkey, c_name FROM customer "
+        "WHERE c_acctbal > 0.0) c ON o.o_custkey = c.c_custkey"
+    )
+
+
+def q_intersect(sf_dir: str):
+    """SQL INTERSECT over a two-column projection: (part, supplier)
+    pairs shipped BOTH in bulk (qty > 25) and in small lots (qty < 10)
+    — per-block Arrow distinct pre-shrinks each side before the one
+    bucketed shuffle (stages/setops.py; SURVEY.md §2.10 set ops)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.setops import intersect_distinct
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def _side(op, thr):
+        def _fn(t: pa.Table) -> pa.Table:
+            return t.filter(op(t["l_quantity"], thr)).select(
+                ["l_partkey", "l_suppkey"])
+        return _fn
+
+    a = li.map_batches(_side(pc.greater, 25.0), batch_format="pyarrow",
+                       batch_size=None)
+    b = li.map_batches(_side(pc.less, 10.0), batch_format="pyarrow",
+                       batch_size=None)
+    return intersect_distinct(a, b)
+
+
+def sql_intersect() -> str:
+    return (
+        "SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity > 25.0 "
+        "INTERSECT "
+        "SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity < 10.0"
+    )
+
+
+def q_except(sf_dir: str):
+    """SQL EXCEPT, same projection as q_intersect: (part, supplier)
+    pairs shipped ONLY in bulk (stages/setops.py:except_distinct)."""
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.setops import except_distinct
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def _side(op, thr):
+        def _fn(t: pa.Table) -> pa.Table:
+            return t.filter(op(t["l_quantity"], thr)).select(
+                ["l_partkey", "l_suppkey"])
+        return _fn
+
+    a = li.map_batches(_side(pc.greater, 25.0), batch_format="pyarrow",
+                       batch_size=None)
+    b = li.map_batches(_side(pc.less, 10.0), batch_format="pyarrow",
+                       batch_size=None)
+    return except_distinct(a, b)
+
+
+def sql_except() -> str:
+    return (
+        "SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity > 25.0 "
+        "EXCEPT "
+        "SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity < 10.0"
+    )
+
+
+def q_unpivot(sf_dir: str):
+    """UNPIVOT / melt: three per-line measure columns become
+    (variable, value) rows — pure map_batches, no shuffle
+    (stages/reshape.py:unpivot_longer; inverse of pivot_events)."""
+    from buteo_ray.stages.reshape import unpivot_longer
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_discount", "l_tax"])
+    return unpivot_longer(li, ["l_orderkey", "l_linenumber"],
+                          ["l_quantity", "l_discount", "l_tax"])
+
+
+def sql_unpivot() -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, "
+        "l_quantity AS value FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+        "l_discount FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+        "l_tax FROM lineitem"
+    )
+
+
+def q_mode_by_group(sf_dir: str):
+    """Per-user MODE event type (most frequent; ties to the smallest
+    value — stages/aggregate.py:mode_by_group; one combiner-shuffled
+    count + argmax fold, the canonical-label pick of a cleaning
+    pipeline)."""
+    from buteo_ray.stages.aggregate import mode_by_group
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return mode_by_group(ev, "user_id", "event_type")
+
+
+def sql_mode_by_group() -> str:
+    return (
+        "SELECT user_id, event_type AS mode_val, "
+        "CAST(n AS BIGINT) AS mode_n FROM ("
+        "SELECT user_id, event_type, COUNT(*) AS n, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY COUNT(*) DESC, event_type ASC) AS rn "
+        "FROM events GROUP BY user_id, event_type) t WHERE rn = 1"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -4935,15 +5085,31 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "running_total": q_running_total,
     # round-5 addition (cluster-representative training chain)
     "training_pipeline_cluster": q_training_pipeline_cluster,
-    # round-4 additions — re-attest on round-5 code
-    "dedup_clusters": q_dedup_clusters,
-    "decontaminate": q_decontaminate,
-    "shuffle_shards": q_shuffle_shards,
+    # round-5 late additions, never attested — set ops (INTERSECT /
+    # EXCEPT share one fold, both in-window: the keep_b branch is the
+    # only code that differs), FULL OUTER join (composes the in-window
+    # left/anti planners plus NEW normalize/pad arms), UNPIVOT, and
+    # per-key MODE. They take the slots of dedup_clusters,
+    # decontaminate, shuffle_shards and simhash_dup_pairs (all FOUR
+    # hold fresh r04 driver hash rows and their modules are untouched
+    # or re-attested by in-window siblings: the dup-graph fold runs
+    # INSIDE in-window training_pipeline_cluster, the Bloom gate inside
+    # in-window bloom_decontaminate's pytest twin, shard assignment is
+    # property-tested, and the simhash signature path is exercised by
+    # the r05 pytest parity suite), and of training_pipeline
+    # (r04-attested; its whole chain re-attests in-window via
+    # training_pipeline_cluster, which is a strict superset — same
+    # stages plus the cluster-representative drop).
+    "full_outer_join": q_full_outer_join,
+    "intersect": q_intersect,
+    "except": q_except,
+    "unpivot": q_unpivot,
+    "mode_by_group": q_mode_by_group,
     # most-changed paths this round (MinHash LSH plan rewrite + agg fold)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "training_pipeline": q_training_pipeline,
     "agg_groupby": q_agg_groupby,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
+    # rotated to the back: dedup_clusters, decontaminate,
+    # shuffle_shards, simhash_dup_pairs, training_pipeline (see above)
     # dup_spans displaced this round (r04-attested; its windowed-hash
     # kernel is untouched by r05's dedup.py additions, and the module
     # is re-attested in-window by dedup_minhash_pairs,
@@ -5073,6 +5239,14 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "sort_topk": q_sort_topk,
     "distinct": q_distinct,
     "union_all": q_union_all,
+    # displaced from the r05 window by the never-attested late additions
+    # (all five hold fresh r04 driver hash rows; justification at the
+    # window comment above)
+    "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
+    "shuffle_shards": q_shuffle_shards,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "training_pipeline": q_training_pipeline,
     # rows-only (no ORACLE_SQL entry; each is pytest-verified against a
     # brute-force/parity oracle instead — not SQL-expressible). The
     # former rows-only `embed_centroids` entry is superseded by the
@@ -5097,6 +5271,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # module-level __getattr__ below, so `from ... import ORACLE_SQL` still
 # works and pays only at first use.
 _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
+    "full_outer_join": sql_full_outer_join,
+    "intersect": sql_intersect,
+    "except": sql_except,
+    "unpivot": sql_unpivot,
+    "mode_by_group": sql_mode_by_group,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,

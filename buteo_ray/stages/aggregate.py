@@ -993,3 +993,43 @@ def group_entropy(ds, key_col: str, cat_col: str,
         return out[[key_col, "n", "n_cats", "entropy", "hhi"]]
 
     return bucketed_fold(cnt, [key_col], _fold, num_buckets)
+
+
+def mode_by_group(ds, key_col: str, value_col: str,
+                  mode_alias: str = "mode_val", n_alias: str = "mode_n",
+                  num_buckets: Optional[int] = None):
+    """Per-key MODE: the most frequent value of ``value_col``, ties
+    broken to the SMALLEST value (deterministic — equals SQL's
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY COUNT(*) DESC,
+    value ASC)`` = 1). The canonical-label pick of a dedup/cleaning
+    pipeline (e.g. the dominant language per domain).
+
+    One shuffle: Arrow per-block (key, value) count partials (raw rows
+    never cross the wire — at most one row per distinct pair per
+    block), bucketed by KEY, then one vectorized fold per bucket:
+    sum the partials, sort (key, n desc, value asc), first row per key.
+    NULL values form their own candidate group and lose ties to any
+    non-null (pandas ``na_position='last'`` ≡ SQL ASC NULLS LAST).
+
+    Returns Dataset[(key, mode_alias, n_alias:int64)].
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = (t.select([key_col, value_col])
+               .group_by([key_col, value_col]).aggregate([([], "count_all")]))
+        return out.rename_columns([key_col, value_col, "__pn"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby([key_col, value_col], sort=False, dropna=False,
+                         as_index=False)["__pn"].sum())
+        agg = agg.sort_values([key_col, "__pn", value_col],
+                              ascending=[True, False, True], kind="stable")
+        out = agg.drop_duplicates(key_col, keep="first")
+        out = out.rename(columns={value_col: mode_alias, "__pn": n_alias})
+        out[n_alias] = out[n_alias].astype(np.int64)
+        return out[[key_col, mode_alias, n_alias]]
+
+    return bucketed_fold(partials, [key_col], _fold, num_buckets)

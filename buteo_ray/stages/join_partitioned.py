@@ -497,3 +497,95 @@ def anti_join_auto(left_ds, right_ds, left_on: str, right_on: str,
     return _filter_join_auto(left_ds, right_ds, left_on, right_on, False,
                              broadcast_threshold, num_partitions,
                              right_bytes_hint)
+
+
+def full_outer_join_auto(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    broadcast_threshold: int = 64 << 20,
+    num_partitions: Optional[int] = None,
+    right_bytes_hint: Optional[int] = None,
+    right_suffix: Optional[str] = None,
+):
+    """FULL OUTER equi-join, composed from the existing auto-tiered
+    primitives rather than a third bespoke plan:
+
+        full_outer(L, R) = left_outer(L, R)  UNION ALL
+                           null-pad(R ANTI-JOIN L)
+
+    Each constituent picks its own broadcast/shuffle tier, so the small
+    dimension side never shuffles and the fact↔fact case degrades to
+    exactly one hash-shuffle join plus one filtering join over the same
+    partitioning key. Output schema = left columns + right payload
+    columns (right key dropped, collisions suffixed by the shared
+    ``_right_out_col_name`` rule); the ``left_on`` column carries
+    ``COALESCE(left key, right key)`` so unmatched RIGHT rows keep
+    their key — the coalesced-key convention every SQL full-outer
+    consumer writes by hand. Right keys must be castable to the left
+    key's Arrow type.
+
+    A NULL key on either side matches nothing (SQL rule): a null-key
+    left row comes through the left_outer arm null-padded; a null-key
+    right row survives the anti arm and pads to an all-null-left row.
+    """
+    from buteo_ray.stages.aggregate import arrow_fields
+
+    fn = "full_outer_join_auto"
+    schema_cols = _joined_schema(left_ds, right_ds, right_on,
+                                 right_suffix, fn)
+    names = list(schema_cols)
+    types = {c: schema_cols[c].type for c in names}
+
+    def _normalize(t: pa.Table) -> pa.Table:
+        # The shuffle tier of left_join_auto (Ray's Dataset.join) may
+        # keep the right key column; the broadcast tier drops it. Pin
+        # the output to the ONE schema both arms share.
+        cols = {}
+        for c in names:
+            if c in t.column_names:
+                col = t[c]
+                cols[c] = (col if col.type == types[c]
+                           else col.cast(types[c]))
+            else:
+                cols[c] = pa.nulls(t.num_rows, types[c])
+        return pa.table(cols)
+
+    matched = left_join_auto(
+        left_ds, right_ds, left_on, right_on,
+        broadcast_threshold=broadcast_threshold,
+        num_partitions=num_partitions,
+        right_bytes_hint=right_bytes_hint,
+        right_suffix=right_suffix,
+    ).map_batches(_normalize, batch_format="pyarrow", batch_size=None)
+
+    # Right-payload output names under the SAME collision rule
+    # _joined_schema applied (left columns claim names first).
+    rmap = {}
+    taken = {c: None for c, _t in arrow_fields(left_ds)}
+    for c, _t in arrow_fields(right_ds):
+        if c == right_on:
+            continue
+        out = _right_out_col_name(c, taken, right_suffix, fn)
+        taken[out] = None
+        rmap[c] = out
+
+    unmatched = anti_join_auto(right_ds, left_ds, right_on, left_on,
+                               broadcast_threshold=broadcast_threshold,
+                               num_partitions=num_partitions)
+
+    def _pad(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in names:
+            cols[c] = pa.nulls(t.num_rows, types[c])
+        cols[left_on] = t[right_on].cast(types[left_on])
+        for c, out in rmap.items():
+            col = t[c]
+            cols[out] = (col if col.type == types[out]
+                         else col.cast(types[out]))
+        return pa.table({c: cols[c] for c in names})
+
+    padded = unmatched.map_batches(_pad, batch_format="pyarrow",
+                                   batch_size=None)
+    return matched.union(padded)

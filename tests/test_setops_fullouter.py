@@ -1,0 +1,131 @@
+"""setops (INTERSECT/EXCEPT) and full_outer_join_auto: SQL semantics
+incl. NULL rows, both join plan tiers, and schema validation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from buteo_ray.stages.join_partitioned import full_outer_join_auto
+from buteo_ray.stages.reshape import unpivot_longer
+from buteo_ray.stages.setops import except_distinct, intersect_distinct
+
+
+def _sides():
+    a = rd.from_pandas(pd.DataFrame({
+        "x": [1, 1, 2, 3, None], "y": ["a", "a", "b", "c", None],
+    })).repartition(3)
+    b = rd.from_pandas(pd.DataFrame({
+        "x": [2, 3, 4, None], "y": ["b", "c", "d", None],
+    })).repartition(2)
+    return a, b
+
+
+def test_intersect_distinct_with_null_row(ray_session):
+    a, b = _sides()
+    got = (intersect_distinct(a, b).to_pandas()
+           .sort_values("x").reset_index(drop=True))
+    # SQL INTERSECT: NULLs compare NOT DISTINCT → the all-null row is
+    # in both sides and appears once.
+    assert len(got) == 3
+    assert got["y"].dropna().tolist() == ["b", "c"]
+    assert got["x"].isna().sum() == 1
+
+
+def test_except_distinct(ray_session):
+    a, b = _sides()
+    got = except_distinct(a, b).to_pandas()
+    assert got["y"].tolist() == ["a"]
+    # deduped: 'a' appeared twice in the input, once in the result
+    assert len(got) == 1
+
+
+def test_intersect_schema_mismatch_raises(ray_session):
+    a = rd.from_pandas(pd.DataFrame({"x": [1]}))
+    b = rd.from_pandas(pd.DataFrame({"z": [1]}))
+    with pytest.raises(ValueError, match="column names"):
+        intersect_distinct(a, b)
+
+
+def _join_data():
+    left = pa.table({"k": pa.array([1, 2, 3, None], pa.int64()),
+                     "v": pa.array([10, 20, 30, 40], pa.int64())})
+    right = pa.table({"rk": pa.array([2, 3, 5], pa.int64()),
+                      "name": pa.array(["b", "c", "e"])})
+    return (rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(2))
+
+
+def _want_full_outer():
+    # k carries COALESCE(left key, right key); null-key left row is
+    # unmatched (NULL matches nothing), right key 5 pads a null-left row.
+    return pd.DataFrame({
+        "k": [1.0, 2.0, 3.0, np.nan, 5.0],
+        "v": [10.0, 20.0, 30.0, 40.0, np.nan],
+        "name": [None, "b", "c", None, "e"],
+    })
+
+
+@pytest.mark.parametrize("thr", [64 << 20, 0])
+def test_full_outer_join_both_tiers(ray_session, thr):
+    L, R = _join_data()
+    got = (full_outer_join_auto(L, R, "k", "rk", broadcast_threshold=thr)
+           .to_pandas().sort_values(["v", "k"], na_position="last")
+           .reset_index(drop=True)[["k", "v", "name"]])
+    pd.testing.assert_frame_equal(got, _want_full_outer(),
+                                  check_dtype=False)
+
+
+def test_full_outer_join_matches_pandas_merge(ray_session):
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 40, 200)
+    rk = rng.permutation(np.arange(60))[:35]  # unique right keys
+    left = pd.DataFrame({"k": lk, "v": np.arange(200)})
+    right = pd.DataFrame({"rk": rk, "w": rk * 10})
+    got = (full_outer_join_auto(rd.from_pandas(left).repartition(4),
+                                rd.from_pandas(right).repartition(3),
+                                "k", "rk")
+           .to_pandas())
+    m = left.merge(right, left_on="k", right_on="rk", how="outer")
+    m["k"] = m["k"].fillna(m["rk"])
+    want = (m.drop(columns="rk").sort_values(["k", "v"])
+            .reset_index(drop=True))
+    got = (got.sort_values(["k", "v"]).reset_index(drop=True)
+           [["k", "v", "w"]])
+    pd.testing.assert_frame_equal(got, want[["k", "v", "w"]],
+                                  check_dtype=False)
+
+
+def test_unpivot_longer_roundtrip(ray_session):
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "a": pa.array([1.5, None], pa.float64()),
+                  "b": pa.array([3, 4], pa.int64())})
+    got = (unpivot_longer(rd.from_arrow(t), ["id"], ["a", "b"])
+           .to_pandas().sort_values(["id", "variable"])
+           .reset_index(drop=True))
+    assert len(got) == 4  # nulls kept (INCLUDE NULLS form)
+    assert got["variable"].tolist() == ["a", "b", "a", "b"]
+    # ints cast to the common float64 type
+    assert got["value"].tolist()[1] == 3.0
+    assert np.isnan(got["value"].tolist()[2])
+
+
+def test_unpivot_empty_value_cols_raises(ray_session):
+    t = rd.from_arrow(pa.table({"id": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="non-empty"):
+        unpivot_longer(t, ["id"], [])
+
+
+def test_mode_by_group_tiebreak(ray_session):
+    from buteo_ray.stages.aggregate import mode_by_group
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 2, 2, 3],
+        "v": ["b", "a", "b", "z", "y", "y", "z", None],
+    })
+    got = (mode_by_group(rd.from_pandas(df).repartition(3), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["mode_val"].tolist()[:2] == ["b", "y"]  # tie 2→smaller
+    assert got["mode_n"].tolist() == [2, 2, 1]
+    assert got["mode_val"].isna().tolist() == [False, False, True]
