@@ -4951,6 +4951,38 @@ def sql_unpivot() -> str:
     )
 
 
+def q_edit_dist_pairs(sf_dir: str):
+    """Exact Levenshtein near-dup self-join (k=2) over part names —
+    PassJoin segment partitioning (Li et al., VLDB'12) over the
+    DISTINCT texts + vectorized banded-DP verify, reported in the
+    scale-friendly aggregate form: one row per distinct text pair with
+    the id-pair multiplicity (stages/edit_distance.py; the
+    string-similarity member of the SURVEY §2.10 dedup family)."""
+    import ray.data as rd
+
+    from buteo_ray.stages.edit_distance import edit_distance_pair_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return edit_distance_pair_counts(ds, "p_name", max_dist=2)
+
+
+def sql_edit_dist_pairs() -> str:
+    return (
+        "WITH g AS (SELECT p_name, COUNT(*) AS m FROM part "
+        "GROUP BY p_name) "
+        "SELECT a.p_name AS text_a, b.p_name AS text_b, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist, "
+        "CAST(a.m * b.m AS BIGINT) AS n_pairs "
+        "FROM g a, g b "
+        "WHERE (length(a.p_name) < length(b.p_name) "
+        "OR (length(a.p_name) = length(b.p_name) AND a.p_name < b.p_name)) "
+        "AND levenshtein(a.p_name, b.p_name) <= 2 "
+        "UNION ALL "
+        "SELECT p_name, p_name, 0, CAST(m*(m-1)/2 AS BIGINT) "
+        "FROM g WHERE m > 1"
+    )
+
+
 def q_mode_by_group(sf_dir: str):
     """Per-user MODE event type (most frequent; ties to the smallest
     value — stages/aggregate.py:mode_by_group; one combiner-shuffled
@@ -5105,6 +5137,12 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "except": q_except,
     "unpivot": q_unpivot,
     "mode_by_group": q_mode_by_group,
+    # exact Levenshtein near-dup join (never attested). Takes the slot
+    # of cube_counts (never attested, but its grouping-sets fold is the
+    # same machinery as in-window rollup_counts — cube differs only in
+    # which grouping sets are enumerated; the id-level expansion twin
+    # of this op is exact-verified against DuckDB in pytest).
+    "edit_dist_pairs": q_edit_dist_pairs,
     # most-changed paths this round (MinHash LSH plan rewrite + agg fold)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "agg_groupby": q_agg_groupby,
@@ -5276,6 +5314,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "except": sql_except,
     "unpivot": sql_unpivot,
     "mode_by_group": sql_mode_by_group,
+    "edit_dist_pairs": sql_edit_dist_pairs,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,
