@@ -4951,6 +4951,84 @@ def sql_unpivot() -> str:
     )
 
 
+def q_winsorize(sf_dir: str):
+    """Per-group winsorization of quantities at the discrete
+    [p05, p95] quantiles (stages/selection.py:winsorize_by_group —
+    exact quantile_disc ranks via the same integer-rational arithmetic
+    as quality_topfrac, broadcast thresholds, streaming clip)."""
+    from buteo_ray.stages.selection import winsorize_by_group
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity"])
+    return winsorize_by_group(li, "l_returnflag", "l_quantity",
+                              q_lo=0.05, q_hi=0.95)
+
+
+def sql_winsorize() -> str:
+    return (
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, "
+        "l.l_quantity, "
+        "LEAST(GREATEST(l.l_quantity, t.q_lo), t.q_hi) AS l_quantity_w, "
+        "t.q_lo, t.q_hi "
+        "FROM lineitem l JOIN ("
+        "SELECT l_returnflag, "
+        "quantile_disc(l_quantity, 0.05) AS q_lo, "
+        "quantile_disc(l_quantity, 0.95) AS q_hi "
+        "FROM lineitem GROUP BY l_returnflag) t USING (l_returnflag)"
+    )
+
+
+def q_pareto_front(sf_dir: str):
+    """Skyline / Pareto front of per-supplier (total qty, total
+    revenue) — local per-block fronts then one candidate-gather final
+    pass (stages/selection.py:pareto_front; Börzsönyi et al. ICDE'01).
+    Sums floor(x+0.5)-rounded to whole units on both engines
+    (summation-order drift; same rule as agg_groupby's large sums)."""
+    from buteo_ray.stages.aggregate import bucketed_sum
+    from buteo_ray.stages.selection import pareto_front
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "qty": t["l_quantity"],
+                         "rev": ep * (1.0 - dc)})
+
+    agg = bucketed_sum(li.map_batches(_rev, batch_format="pyarrow",
+                                      batch_size=None),
+                       ["l_suppkey"], {"qty": "qty", "rev": "rev"})
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "qty": np.floor(
+                t["qty"].to_numpy(zero_copy_only=False) + 0.5),
+            "rev": np.floor(
+                t["rev"].to_numpy(zero_copy_only=False) + 0.5),
+        })
+
+    return pareto_front(agg.map_batches(_round, batch_format="pyarrow",
+                                        batch_size=None),
+                        ["qty", "rev"])
+
+
+def sql_pareto_front() -> str:
+    return (
+        "WITH s AS (SELECT l_suppkey, "
+        "FLOOR(SUM(l_quantity) + 0.5) AS qty, "
+        "FLOOR(SUM(l_extendedprice * (1 - l_discount)) + 0.5) AS rev "
+        "FROM lineitem GROUP BY l_suppkey) "
+        "SELECT l_suppkey, qty, rev FROM s a WHERE NOT EXISTS ("
+        "SELECT 1 FROM s b WHERE b.qty >= a.qty AND b.rev >= a.rev "
+        "AND (b.qty > a.qty OR b.rev > a.rev))"
+    )
+
+
 def q_edit_dist_pairs(sf_dir: str):
     """Exact Levenshtein near-dup self-join (k=2) over part names —
     PassJoin segment partitioning (Li et al., VLDB'12) over the
@@ -5143,6 +5221,13 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # which grouping sets are enumerated; the id-level expansion twin
     # of this op is exact-verified against DuckDB in pytest).
     "edit_dist_pairs": q_edit_dist_pairs,
+    # per-group winsorization (never attested; NEW threshold-rank +
+    # broadcast-clip code). Takes the slot of union_by_name (never
+    # attested, but its typed-null schema-evolution padding is
+    # directly property-tested and the union machinery itself is
+    # re-attested in-window by union-consuming plans — intersect,
+    # except, full_outer_join all union two tagged streams).
+    "winsorize": q_winsorize,
     # most-changed paths this round (MinHash LSH plan rewrite + agg fold)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "agg_groupby": q_agg_groupby,
@@ -5193,6 +5278,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # dem_slope's slot: r03-attested pure numpy Horn-slope kernel,
     # untouched since, pinned by exact pytests).
     "union_by_name": q_union_by_name,
+    # skyline (first entry PAST the driver window: its 2-D/N-D front
+    # mask is brute-force property-tested and the NOT-EXISTS oracle
+    # still runs in the local pytest suite every round)
+    "pareto_front": q_pareto_front,
     # round-5 CUBE (never attested — in-window; takes ts_slope's slot:
     # r03-attested per-group least-squares kernel, untouched since,
     # pinned by exact pytests).
@@ -5315,6 +5404,8 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "unpivot": sql_unpivot,
     "mode_by_group": sql_mode_by_group,
     "edit_dist_pairs": sql_edit_dist_pairs,
+    "winsorize": sql_winsorize,
+    "pareto_front": sql_pareto_front,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,

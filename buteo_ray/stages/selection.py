@@ -482,3 +482,148 @@ def weighted_topk_per_group(ds, key_col: str, id_col: str,
     from buteo_ray.stages.aggregate import bucketed_fold
 
     return bucketed_fold(local, [key_col], _fold, num_buckets)
+
+
+def winsorize_by_group(ds, group_col: str, value_col: str,
+                       q_lo: float = 0.05, q_hi: float = 0.95,
+                       lo_col: str = "q_lo", hi_col: str = "q_hi",
+                       out_col: Optional[str] = None):
+    """Per-group winsorization: clip ``value_col`` into its group's
+    discrete [q_lo, q_hi] quantile range (the outlier-taming transform
+    before scaling/aggregating quality scores). Appends the clipped
+    value (``out_col``, default ``value_col + '_w'``) plus both
+    thresholds; null values pass through unclipped.
+
+    Quantile convention = DuckDB ``quantile_disc``: the actual data
+    value at 1-based rank ⌈q·n⌉, computed with the same exact-rational
+    rank test as :func:`quantile_threshold_filter` (q ≤ 4 decimals).
+
+    Plan: one ``groupby(group).map_groups`` computing the two ranks
+    per group (per-group gather — exact quantiles of CONTINUOUS values
+    need the group in one place; for groups too large to gather, get
+    approximate thresholds from the histogram-CDF path
+    (aggregate.py approx quantiles) and clip with those instead), then
+    ``ray.put`` of the tiny per-group threshold table and a streaming
+    vectorized clip. Pinned bytes: 3 scalars per group.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    q4_lo = int(round(q_lo * 10000.0))
+    q4_hi = int(round(q_hi * 10000.0))
+    for q, q4 in ((q_lo, q4_lo), (q_hi, q4_hi)):
+        if not 0 < q4 <= 10000 or abs(q4 / 10000.0 - q) > 1e-12:
+            raise ValueError(
+                f"quantiles must be in (0, 1] with <= 4 decimals, got {q}")
+    if q4_lo > q4_hi:
+        raise ValueError("q_lo must be <= q_hi")
+    out_col = out_col or value_col + "_w"
+
+    def _thr(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].dropna().to_numpy())
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                                 lo_col: [np.nan], hi_col: [np.nan]})
+        # 1-based rank ⌈q·n⌉ via exact integers: smallest r with
+        # r·10⁴ ≥ q4·n
+        r_lo = -(-q4_lo * n // 10000)
+        r_hi = -(-q4_hi * n // 10000)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             lo_col: [float(v[r_lo - 1])],
+                             hi_col: [float(v[r_hi - 1])]})
+
+    thr = (ds.select_columns([group_col, value_col])
+           .groupby(group_col).map_groups(_thr, batch_format="pandas")
+           .to_pandas())
+    ref = ray.put((pa.array(thr[group_col]),
+                   thr[lo_col].to_numpy(), thr[hi_col].to_numpy()))
+
+    def _clip(t: pa.Table) -> pa.Table:
+        groups_arr, lo_np, hi_np = ray.get(ref)
+        idx = pc.index_in(t[group_col], value_set=groups_arr)
+        vt = t[value_col].type
+        lo_v = pc.take(pa.array(lo_np).cast(vt), idx)
+        hi_v = pc.take(pa.array(hi_np).cast(vt), idx)
+        v = t[value_col]
+        clipped = pc.min_element_wise(pc.max_element_wise(v, lo_v), hi_v)
+        # null value or unknown group → original value untouched
+        clipped = pc.if_else(pc.and_(pc.is_valid(v), pc.is_valid(lo_v)),
+                             clipped, v)
+        t = t.append_column(out_col, clipped)
+        t = t.append_column(lo_col, lo_v)
+        return t.append_column(hi_col, hi_v)
+
+    return ds.map_batches(_clip, batch_format="pyarrow", batch_size=None)
+
+
+def pareto_front(ds, cols, distinct: bool = False):
+    """Maximal (non-strictly-dominated) rows over ``cols``, all
+    maximized: row p survives unless some row q has q ≥ p on every col
+    and q > p on at least one — the skyline operator (Börzsönyi et
+    al., ICDE'01; public literature). Duplicates of a front point all
+    survive unless ``distinct``.
+
+    Plan: a vectorized per-block LOCAL front (dominance is transitive,
+    so any point dominated within a block is dominated globally —
+    blocks only ever under-prune), then the surviving candidates
+    gather into ONE final front pass. 2-D fronts use the sort +
+    running-max O(n log n) path; higher dimensions the O(n²/chunk)
+    broadcast check. The gather step pins the candidate front — fine
+    for the typical tiny skyline, degenerate (≈ input-sized) for
+    anti-correlated columns; there is no general sub-quadratic
+    distributed skyline without that caveat.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("pareto_front needs >= 2 columns")
+
+    def _front_mask(vals: np.ndarray) -> np.ndarray:
+        n, d = vals.shape
+        if n <= 1:
+            return np.ones(n, bool)
+        if d == 2:
+            # x-desc scan with x-run bookkeeping: survivor ⇔ its y is
+            # the run's max (ties within a run keep duplicates — no
+            # strict component) AND strictly above every earlier run's
+            # max (earlier run ⇒ strictly larger x, so y ≥ suffices to
+            # dominate).
+            order = np.lexsort((-vals[:, 1], -vals[:, 0]))
+            x, y = vals[order, 0], vals[order, 1]
+            first_of_run = np.concatenate([[True], x[1:] != x[:-1]])
+            first_idx = np.flatnonzero(first_of_run)
+            run_id = np.cumsum(first_of_run) - 1
+            run_first_y = y[first_idx][run_id]  # run max (y desc in run)
+            run_max_cum = np.maximum.accumulate(y[first_idx])
+            prev_run_max = np.concatenate(
+                [[-np.inf], run_max_cum[:-1]])[run_id]
+            keep_sorted = (y == run_first_y) & (y > prev_run_max)
+            keep = np.zeros(n, bool)
+            keep[order] = keep_sorted
+            return keep
+        keep = np.ones(n, bool)
+        for i in range(0, n, 128):  # chunked O(n²): (n,128,d) peak
+            blk = vals[i:i + 128]
+            ge = (vals[:, None, :] >= blk[None, :, :]).all(-1)
+            gt = (vals[:, None, :] > blk[None, :, :]).any(-1)
+            dominated = (ge & gt).any(0)
+            keep[i:i + 128] &= ~dominated
+        return keep
+
+    def _local(t: pa.Table) -> pa.Table:
+        vals = np.column_stack([
+            t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        if np.isnan(vals).any():
+            raise ValueError("pareto_front: null/NaN in skyline columns")
+        return t.filter(pa.array(_front_mask(vals)))
+
+    cand = ds.map_batches(_local, batch_format="pyarrow",
+                          batch_size=None).repartition(1)
+    out = cand.map_batches(_local, batch_format="pyarrow",
+                           batch_size=None)
+    if distinct:
+        out = out.map_batches(
+            lambda t: t.group_by(t.column_names).aggregate([]),
+            batch_format="pyarrow", batch_size=None)
+    return out

@@ -1,0 +1,88 @@
+"""winsorize_by_group (exact quantile_disc thresholds + clip) and
+pareto_front (skyline) vs brute-force/pandas references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from buteo_ray.stages.selection import pareto_front, winsorize_by_group
+
+
+def _disc_q(v, q):
+    v = np.sort(np.asarray(v))
+    n = len(v)
+    r = -(-int(round(q * 10000)) * n // 10000)  # ⌈q·n⌉ exactly
+    return v[r - 1]
+
+
+def test_winsorize_matches_reference(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 500),
+                       "v": rng.normal(0, 10, 500).round(2)})
+    got = (winsorize_by_group(rd.from_pandas(df).repartition(4),
+                              "g", "v", 0.1, 0.9)
+           .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    for g, sub in got.groupby("g"):
+        src = df.loc[df["g"] == g, "v"]
+        lo, hi = _disc_q(src, 0.1), _disc_q(src, 0.9)
+        assert (sub["q_lo"] == lo).all() and (sub["q_hi"] == hi).all()
+        want = src.clip(lo, hi).sort_values().to_numpy()
+        assert np.allclose(np.sort(sub["v_w"].to_numpy()), want)
+
+
+def test_winsorize_null_values_pass_through(ray_session):
+    t = pa.table({"g": pa.array([1, 1, 1, 1], pa.int64()),
+                  "v": pa.array([1.0, None, 100.0, 2.0], pa.float64())})
+    got = (winsorize_by_group(rd.from_arrow(t), "g", "v", 0.25, 0.75)
+           .to_pandas())
+    assert got["v_w"].isna().sum() == 1  # the null row stays null
+
+
+def test_winsorize_bad_quantiles(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"g": [1], "v": [1.0]}))
+    with pytest.raises(ValueError, match="decimals"):
+        winsorize_by_group(ds, "g", "v", q_lo=0.123456)
+    with pytest.raises(ValueError, match="q_lo"):
+        winsorize_by_group(ds, "g", "v", q_lo=0.9, q_hi=0.1)
+
+
+def _brute_front(vals):
+    n = len(vals)
+    keep = np.ones(n, bool)
+    for i in range(n):
+        for j in range(n):
+            if i != j and (vals[j] >= vals[i]).all() \
+                    and (vals[j] > vals[i]).any():
+                keep[i] = False
+                break
+    return keep
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_pareto_front_matches_brute_force(ray_session, d):
+    rng = np.random.default_rng(d)
+    vals = rng.integers(0, 8, (120, d)).astype(float)
+    df = pd.DataFrame(vals, columns=[f"c{i}" for i in range(d)])
+    got = (pareto_front(rd.from_pandas(df).repartition(5),
+                        list(df.columns)).to_pandas())
+    want = df[_brute_front(vals)]
+    key = lambda fr: sorted(map(tuple, fr.to_numpy().tolist()))  # noqa: E731
+    assert key(got) == key(want)  # duplicates of front points kept
+
+
+def test_pareto_front_duplicates_and_distinct(ray_session):
+    df = pd.DataFrame({"x": [5.0, 5.0, 1.0, 5.0],
+                       "y": [2.0, 2.0, 9.0, 1.0]})
+    got = pareto_front(rd.from_pandas(df), ["x", "y"]).to_pandas()
+    assert len(got) == 3  # both (5,2) copies + (1,9); (5,1) dominated
+    got_d = pareto_front(rd.from_pandas(df), ["x", "y"],
+                         distinct=True).to_pandas()
+    assert len(got_d) == 2
+
+
+def test_pareto_front_rejects_nan(ray_session):
+    df = pd.DataFrame({"x": [1.0, np.nan], "y": [2.0, 3.0]})
+    with pytest.raises(Exception, match="NaN"):
+        pareto_front(rd.from_pandas(df), ["x", "y"]).to_pandas()
