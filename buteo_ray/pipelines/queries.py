@@ -4980,52 +4980,53 @@ def sql_winsorize() -> str:
 
 
 def q_pareto_front(sf_dir: str):
-    """Skyline / Pareto front of per-supplier (total qty, total
-    revenue) — local per-block fronts then one candidate-gather final
-    pass (stages/selection.py:pareto_front; Börzsönyi et al. ICDE'01).
-    Sums floor(x+0.5)-rounded to whole units on both engines
-    (summation-order drift; same rule as agg_groupby's large sums)."""
+    """Skyline / Pareto front of per-part (total qty, avg discount) —
+    two near-independent dimensions so the front is non-trivial; local
+    per-block fronts then one candidate-gather final pass
+    (stages/selection.py:pareto_front; Börzsönyi et al. ICDE'01).
+    qty floor(x+0.5)-rounded to whole units, avg to 4 dp half-up on
+    both engines (summation-order drift; agg_groupby's rules)."""
     from buteo_ray.stages.aggregate import bucketed_sum
     from buteo_ray.stages.selection import pareto_front
 
     li = _read(sf_dir, "lineitem",
-               columns=["l_suppkey", "l_quantity", "l_extendedprice",
-                        "l_discount"])
+               columns=["l_partkey", "l_quantity", "l_discount"])
 
-    def _rev(t: pa.Table) -> pa.Table:
-        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        dc = t["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table({"l_suppkey": t["l_suppkey"],
-                         "qty": t["l_quantity"],
-                         "rev": ep * (1.0 - dc)})
+    def _one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.float64)))
 
-    agg = bucketed_sum(li.map_batches(_rev, batch_format="pyarrow",
+    agg = bucketed_sum(li.map_batches(_one, batch_format="pyarrow",
                                       batch_size=None),
-                       ["l_suppkey"], {"qty": "qty", "rev": "rev"})
+                       ["l_partkey"],
+                       {"qty": "l_quantity", "disc": "l_discount",
+                        "n": "one"})
 
     def _round(t: pa.Table) -> pa.Table:
+        disc = t["disc"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "l_suppkey": t["l_suppkey"],
+            "l_partkey": t["l_partkey"],
             "qty": np.floor(
                 t["qty"].to_numpy(zero_copy_only=False) + 0.5),
-            "rev": np.floor(
-                t["rev"].to_numpy(zero_copy_only=False) + 0.5),
+            "avg_disc": np.floor(disc / n * 10000.0 + 0.5) / 10000.0,
         })
 
     return pareto_front(agg.map_batches(_round, batch_format="pyarrow",
                                         batch_size=None),
-                        ["qty", "rev"])
+                        ["qty", "avg_disc"])
 
 
 def sql_pareto_front() -> str:
     return (
-        "WITH s AS (SELECT l_suppkey, "
+        "WITH s AS (SELECT l_partkey, "
         "FLOOR(SUM(l_quantity) + 0.5) AS qty, "
-        "FLOOR(SUM(l_extendedprice * (1 - l_discount)) + 0.5) AS rev "
-        "FROM lineitem GROUP BY l_suppkey) "
-        "SELECT l_suppkey, qty, rev FROM s a WHERE NOT EXISTS ("
-        "SELECT 1 FROM s b WHERE b.qty >= a.qty AND b.rev >= a.rev "
-        "AND (b.qty > a.qty OR b.rev > a.rev))"
+        "FLOOR(AVG(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc "
+        "FROM lineitem GROUP BY l_partkey) "
+        "SELECT l_partkey, qty, avg_disc FROM s a WHERE NOT EXISTS ("
+        "SELECT 1 FROM s b WHERE b.qty >= a.qty "
+        "AND b.avg_disc >= a.avg_disc "
+        "AND (b.qty > a.qty OR b.avg_disc > a.avg_disc))"
     )
 
 
