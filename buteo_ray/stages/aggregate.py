@@ -789,7 +789,10 @@ def cube_aggregate(ds, keys: Sequence[str],
             levels.append(lv[keys + agg_cols])
     out = pd.concat(levels, ignore_index=True)
     if count:
-        out[count] = out[count].fillna(0).astype(np.int64)
+        # to_numpy(na_value=0) sidesteps pandas' deprecated
+        # object-fillna downcast (FutureWarning since 2.1)
+        out[count] = pd.to_numeric(out[count]).to_numpy(
+            dtype=np.float64, na_value=0.0).astype(np.int64)
     return out
 
 
