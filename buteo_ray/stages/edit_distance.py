@@ -403,8 +403,59 @@ def edit_distance_pairs(ds, text_col: str, id_col: str, max_dist: int = 2,
     return zero.union(cross)
 
 
+def _pair_counts_driver(cnt_df: pd.DataFrame, text_col: str,
+                        k: int) -> pd.DataFrame:
+    """Driver tier of :func:`edit_distance_pair_counts`: the same
+    PassJoin keys + banded-DP kernels, run in-process over the (small)
+    distinct-count table. Candidate join = ONE vectorized pandas merge
+    on (plen, seg_i, seg) instead of a Ray shuffle."""
+    texts = cnt_df[text_col].tolist()
+    idx = _emit_keys(texts, k, probe=False)
+    prb = _emit_keys(texts, k, probe=True)
+    cand = idx.merge(prb, on=["plen", "seg_i", "seg"],
+                     suffixes=("_a", "_b"))
+    a = cand["text_a"].to_numpy()
+    b = cand["text_b"].to_numpy()
+    enc_a = [s.encode() for s in a]
+    enc_b = [s.encode() for s in b]
+    la = np.fromiter(map(len, enc_a), np.int64, len(enc_a))
+    lb = np.fromiter(map(len, enc_b), np.int64, len(enc_b))
+    keep = (la < lb) | ((la == lb) & (a < b))
+    pairs = pd.DataFrame({"text_a": a[keep], "text_b": b[keep]})
+    pairs = pairs.drop_duplicates(["text_a", "text_b"])
+    if len(pairs):
+        ta = [s.encode() for s in pairs["text_a"]]
+        tb = [s.encode() for s in pairs["text_b"]]
+        am, al = _pack(ta)
+        bm, bl = _pack(tb)
+        L = max(am.shape[1], bm.shape[1], 1)
+        am = np.pad(am, ((0, 0), (0, L - am.shape[1])))
+        bm = np.pad(bm, ((0, 0), (0, L - bm.shape[1])))
+        dist = banded_levenshtein(am, al, bm, bl, k)
+        pairs = pairs.loc[dist <= k].copy()
+        pairs["dist"] = dist[dist <= k]
+    else:
+        pairs["dist"] = pd.Series([], dtype=np.int32)
+    m = cnt_df.set_index(text_col)["__m"]
+    pairs["n_pairs"] = (m.loc[pairs["text_a"]].to_numpy(np.int64)
+                        * m.loc[pairs["text_b"]].to_numpy(np.int64)
+                        if len(pairs) else
+                        pd.Series([], dtype=np.int64))
+    dups = cnt_df.loc[cnt_df["__m"] > 1]
+    md = dups["__m"].to_numpy(np.int64)
+    zero = pd.DataFrame({"text_a": dups[text_col].to_numpy(),
+                         "text_b": dups[text_col].to_numpy(),
+                         "dist": np.zeros(len(dups), np.int32),
+                         "n_pairs": md * (md - 1) // 2})
+    out = pd.concat([zero, pairs], ignore_index=True)
+    out["dist"] = out["dist"].astype(np.int32)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out[["text_a", "text_b", "dist", "n_pairs"]]
+
+
 def edit_distance_pair_counts(ds, text_col: str, max_dist: int = 2,
-                              num_buckets: Optional[int] = None):
+                              num_buckets: Optional[int] = None,
+                              driver_bytes: int = 64 << 20):
     """Scale-friendly aggregate form: one row per DISTINCT near-dup
     text pair with the id-pair multiplicity, instead of the (possibly
     quadratic) id-level expansion. Returns Dataset[(text_a, text_b,
@@ -413,12 +464,48 @@ def edit_distance_pair_counts(ds, text_col: str, max_dist: int = 2,
     (text_a == text_b, dist 0). Output volume is bounded by the
     distinct-text pair set — independent of duplication skew.
     """
-    from buteo_ray.stages.aggregate import bucketed_count, \
-        bucketed_group_map
+    import ray
+
+    from buteo_ray.stages.aggregate import bucketed_group_map
 
     k = int(max_dist)
-    cnt = bucketed_count(ds.select_columns([text_col]), [text_col],
-                         alias="__m", num_buckets=num_buckets)
+    if k < 1:
+        raise ValueError("max_dist must be ≥ 1 (use exact dedup for 0)")
+
+    # Size-gated driver tier (the compact_cells / dup_clusters
+    # pattern): per-block distinct counts are map-only; when that
+    # partial table fits under ``driver_bytes``, the PassJoin merge +
+    # banded DP run in-process with the SAME numpy kernels — a toy/
+    # moderate distinct set pays zero Ray shuffles instead of six.
+    # The distributed tier below engages above the gate and is
+    # pytest-forced via driver_bytes=0.
+    def _local_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null texts carry no edit-distance semantics — dropped (both
+        # tiers; documented)
+        t = t.filter(pc.is_valid(t[text_col]))
+        out = (t.select([text_col]).group_by([text_col])
+               .aggregate([([], "count_all")]))
+        return out.rename_columns([text_col, "__m"])
+
+    partials = ds.select_columns([text_col]).map_batches(
+        _local_count, batch_format="pyarrow",
+        batch_size=None).materialize()
+    if partials.size_bytes() < driver_bytes:
+        pdf = partials.to_pandas()
+        cnt_df = (pdf.groupby(text_col, sort=False, as_index=False)
+                  ["__m"].sum())
+        return ray.data.from_pandas(
+            _pair_counts_driver(cnt_df, text_col, k))
+
+    def _fold_cnt(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby([text_col], sort=False, dropna=False,
+                          as_index=False)["__m"].sum())
+
+    from buteo_ray.stages.aggregate import bucketed_fold as _bf
+
+    cnt = _bf(partials, [text_col], _fold_cnt, num_buckets)
     # cnt feeds FOUR branches (text universe, two attach passes, the
     # dup-group arm) and tp two — materialize both or the lazy DAG
     # re-executes the distinct fold once per consumer (the

@@ -97,11 +97,15 @@ def test_short_strings_bucket(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-def test_pair_counts_aggregate_form(ray_session):
+@pytest.mark.parametrize("driver_bytes", [64 << 20, 0])
+def test_pair_counts_aggregate_form(ray_session, driver_bytes):
+    # driver_bytes=0 forces the fully-distributed tier; default takes
+    # the size-gated driver tier — identical output required
     df = pd.DataFrame({"id": range(7),
                        "s": ["cold widget", "cold widget", "cold widgex",
                              "bolt", "bolt", "bolt", "zzzz"]})
-    got = (edit_distance_pair_counts(rd.from_pandas(df), "s", 2)
+    got = (edit_distance_pair_counts(rd.from_pandas(df), "s", 2,
+                                     driver_bytes=driver_bytes)
            .to_pandas().sort_values(["text_a", "text_b"])
            .reset_index(drop=True))
     # dup groups: cold widget (m=2) → 1 pair; bolt (m=3) → 3 pairs
