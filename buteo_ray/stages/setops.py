@@ -65,7 +65,8 @@ def _tag(flag_a: int, flag_b: int):
 
 
 def _set_op(a_ds, b_ds, keep_b: bool, fn: str,
-            num_buckets: Optional[int] = None):
+            num_buckets: Optional[int] = None,
+            driver_bytes: int = 64 << 20):
     cols = _check_schemas(a_ds, b_ds, fn)
     tagged = a_ds.map_batches(_tag(1, 0), batch_format="pyarrow",
                               batch_size=None).union(
@@ -80,17 +81,35 @@ def _set_op(a_ds, b_ds, keep_b: bool, fn: str,
         mask = in_a & (in_b if keep_b else ~in_b)
         return agg.loc[mask, cols]
 
+    # Size-gated driver tier (compact_cells pattern): when the INPUTS'
+    # metadata byte estimate fits under ``driver_bytes`` (an upper
+    # bound on the per-block-distinct partials — never executes
+    # anything), one in-process pandas fold replaces the bucketed
+    # shuffle. Distributed tier above the gate or when sizes are
+    # unknown (pytest-forced via driver_bytes=0).
+    from buteo_ray.state.skew import estimate_bytes
+
+    est_a, est_b = estimate_bytes(a_ds), estimate_bytes(b_ds)
+    if est_a and est_b and est_a + est_b < driver_bytes:
+        import ray
+
+        pdf = tagged.to_pandas()
+        return ray.data.from_pandas(_fold(pdf))
     return bucketed_fold(tagged, cols, _fold, num_buckets)
 
 
-def intersect_distinct(a_ds, b_ds, num_buckets: Optional[int] = None):
+def intersect_distinct(a_ds, b_ds, num_buckets: Optional[int] = None,
+                       driver_bytes: int = 64 << 20):
     """SQL ``a INTERSECT b``: distinct rows present in BOTH inputs.
     Both sides must share column names and order (project first).
     Returns Dataset[distinct common rows]."""
-    return _set_op(a_ds, b_ds, True, "intersect_distinct", num_buckets)
+    return _set_op(a_ds, b_ds, True, "intersect_distinct", num_buckets,
+                   driver_bytes)
 
 
-def except_distinct(a_ds, b_ds, num_buckets: Optional[int] = None):
+def except_distinct(a_ds, b_ds, num_buckets: Optional[int] = None,
+                    driver_bytes: int = 64 << 20):
     """SQL ``a EXCEPT b``: distinct rows of ``a`` absent from ``b``.
     Returns Dataset[distinct a-only rows]."""
-    return _set_op(a_ds, b_ds, False, "except_distinct", num_buckets)
+    return _set_op(a_ds, b_ds, False, "except_distinct", num_buckets,
+                   driver_bytes)

@@ -22,10 +22,12 @@ def _sides():
     return a, b
 
 
-def test_intersect_distinct_with_null_row(ray_session):
+@pytest.mark.parametrize("driver_bytes", [64 << 20, 0])
+def test_intersect_distinct_with_null_row(ray_session, driver_bytes):
+    # driver_bytes=0 forces the distributed bucketed-fold tier
     a, b = _sides()
-    got = (intersect_distinct(a, b).to_pandas()
-           .sort_values("x").reset_index(drop=True))
+    got = (intersect_distinct(a, b, driver_bytes=driver_bytes)
+           .to_pandas().sort_values("x").reset_index(drop=True))
     # SQL INTERSECT: NULLs compare NOT DISTINCT → the all-null row is
     # in both sides and appears once.
     assert len(got) == 3
@@ -33,9 +35,10 @@ def test_intersect_distinct_with_null_row(ray_session):
     assert got["x"].isna().sum() == 1
 
 
-def test_except_distinct(ray_session):
+@pytest.mark.parametrize("driver_bytes", [64 << 20, 0])
+def test_except_distinct(ray_session, driver_bytes):
     a, b = _sides()
-    got = except_distinct(a, b).to_pandas()
+    got = except_distinct(a, b, driver_bytes=driver_bytes).to_pandas()
     assert got["y"].tolist() == ["a"]
     # deduped: 'a' appeared twice in the input, once in the result
     assert len(got) == 1
