@@ -80,7 +80,8 @@ def test_full_outer_join_both_tiers(ray_session, thr):
                                   check_dtype=False)
 
 
-def test_full_outer_join_matches_pandas_merge(ray_session):
+@pytest.mark.parametrize("thr", [64 << 20, 0])
+def test_full_outer_join_matches_pandas_merge(ray_session, thr):
     rng = np.random.default_rng(7)
     lk = rng.integers(0, 40, 200)
     rk = rng.permutation(np.arange(60))[:35]  # unique right keys
@@ -88,7 +89,7 @@ def test_full_outer_join_matches_pandas_merge(ray_session):
     right = pd.DataFrame({"rk": rk, "w": rk * 10})
     got = (full_outer_join_auto(rd.from_pandas(left).repartition(4),
                                 rd.from_pandas(right).repartition(3),
-                                "k", "rk")
+                                "k", "rk", broadcast_threshold=thr)
            .to_pandas())
     m = left.merge(right, left_on="k", right_on="rk", how="outer")
     m["k"] = m["k"].fillna(m["rk"])
