@@ -133,3 +133,37 @@ def test_mode_by_group_tiebreak(ray_session):
     assert got["mode_val"].tolist()[:2] == ["b", "y"]  # tie 2→smaller
     assert got["mode_n"].tolist() == [2, 2, 1]
     assert got["mode_val"].isna().tolist() == [False, False, True]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_setops_match_duckdb_on_random_typed_data(ray_session, seed):
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+
+    def mk(n):
+        return pd.DataFrame({
+            "i": rng.integers(0, 5, n),
+            "f": rng.choice([1.5, 2.5, np.nan], n),
+            "s": rng.choice(["a", "b", None], n),
+        })
+
+    a, b = mk(60), mk(40)
+    con = duckdb.connect()
+    con.register("ta", a)
+    con.register("tb", b)
+
+    def canon(df):
+        df = df.copy()
+        return (df.sort_values(list(df.columns), na_position="last",
+                               kind="stable").reset_index(drop=True))
+
+    for op, fn in [("INTERSECT", intersect_distinct),
+                   ("EXCEPT", except_distinct)]:
+        want = con.execute(
+            f"SELECT i, f, s FROM ta {op} SELECT i, f, s FROM tb"
+        ).fetchdf()
+        got = fn(rd.from_pandas(a).repartition(3),
+                 rd.from_pandas(b).repartition(2)).to_pandas()
+        pd.testing.assert_frame_equal(canon(got), canon(want),
+                                      check_dtype=False)
