@@ -241,16 +241,24 @@ def bucketed_group_map(ds, keys: Sequence[str],
 
 def bucketed_fold(ds, keys: Sequence[str],
                   fold: Callable[[pd.DataFrame], pd.DataFrame],
-                  num_buckets: Optional[int] = None):
+                  num_buckets: Optional[int] = None,
+                  protect: Optional[Sequence[str]] = None):
     """Like :func:`bucketed_group_map` but ``fold`` receives the WHOLE
     bucket (all rows of every key hashing into it) and must be
     key-aware itself (one vectorized ``DataFrame.groupby(keys).agg``
-    per bucket — the fastest shape; no per-key Python at all)."""
+    per bucket — the fastest shape; no per-key Python at all).
+
+    ``protect``: columns given :func:`_bucket_frame`'s int64-null
+    precision protection (default = the routing keys). A fold that
+    ALSO groups on a non-key column (e.g. mode's value column) must
+    list it here, or a null in the bucket degrades it to float64 and
+    merges distinct values above 2^53."""
     keys = list(keys)
     bucketed = append_key_bucket(ds, keys, num_buckets)
+    guard = list(protect) if protect is not None else keys
 
     def _per_bucket(t: pa.Table) -> pd.DataFrame:
-        return fold(_bucket_frame(t.drop_columns([BUCKET_COL]), keys))
+        return fold(_bucket_frame(t.drop_columns([BUCKET_COL]), guard))
 
     return bucketed.groupby(BUCKET_COL).map_groups(
         _per_bucket, batch_format="pyarrow")
@@ -1035,4 +1043,7 @@ def mode_by_group(ds, key_col: str, value_col: str,
         out[n_alias] = out[n_alias].astype(np.int64)
         return out[[key_col, mode_alias, n_alias]]
 
-    return bucketed_fold(partials, [key_col], _fold, num_buckets)
+    # protect the VALUE column too — the fold groups on it, and a null
+    # in a bucket would float64-degrade int64 values (see bucketed_fold)
+    return bucketed_fold(partials, [key_col], _fold, num_buckets,
+                         protect=[key_col, value_col])

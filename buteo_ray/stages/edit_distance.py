@@ -267,7 +267,17 @@ def edit_distance_pairs(ds, text_col: str, id_col: str, max_dist: int = 2,
                                             bucketed_group_map)
 
     k = int(max_dist)
-    proj = ds.select_columns([id_col, text_col])
+
+    def _drop_null(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null texts carry no edit-distance semantics — dropped, same
+        # rule as edit_distance_pair_counts (they would otherwise
+        # crash _emit_keys and emit bogus dist-0 pairs)
+        return t.filter(pc.is_valid(t[text_col]))
+
+    proj = ds.select_columns([id_col, text_col]).map_batches(
+        _drop_null, batch_format="pyarrow", batch_size=None)
 
     # distinct texts (per-block Arrow distinct → bucketed fold)
     def _local_distinct(t: pa.Table) -> pa.Table:

@@ -24,7 +24,8 @@ def unpivot_longer(ds, id_cols: Sequence[str], value_cols: Sequence[str],
     """UNPIVOT: turn ``value_cols`` into (``var_name``, ``value_name``)
     rows, repeating ``id_cols``. All value columns are cast to one
     common Arrow type (``value_type``; default float64 when any input
-    is numeric, else the first column's type) — same contract as SQL
+    floats, int64 when all are integers, else the first column's
+    type) — same contract as SQL
     UNPIVOT, which requires union-compatible value columns. NULL values
     are KEPT as rows (SQL ``UNPIVOT INCLUDE NULLS``; filter after if
     you want the default excluding form).
@@ -37,8 +38,12 @@ def unpivot_longer(ds, id_cols: Sequence[str], value_cols: Sequence[str],
         vt = value_type
         if vt is None:
             types = [t.schema.field(c).type for c in value_cols]
-            vt = (pa.float64() if any(pa.types.is_floating(x) for x in types)
-                  else types[0])
+            if any(pa.types.is_floating(x) for x in types):
+                vt = pa.float64()
+            elif all(pa.types.is_integer(x) for x in types):
+                vt = pa.int64()  # widest int — mixed widths safe-cast up
+            else:
+                vt = types[0]
         n = t.num_rows
         parts = []
         for c in value_cols:

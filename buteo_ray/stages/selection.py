@@ -543,8 +543,13 @@ def winsorize_by_group(ds, group_col: str, value_col: str,
         groups_arr, lo_np, hi_np = ray.get(ref)
         idx = pc.index_in(t[group_col], value_set=groups_arr)
         vt = t[value_col].type
-        lo_v = pc.take(pa.array(lo_np).cast(vt), idx)
-        hi_v = pc.take(pa.array(hi_np).cast(vt), idx)
+        # mask= turns the all-null-group NaN sentinel into an Arrow
+        # null BEFORE the cast — casting NaN to an int value type
+        # would raise and kill the whole query
+        lo_a = pa.array(lo_np, mask=np.isnan(lo_np)).cast(vt)
+        hi_a = pa.array(hi_np, mask=np.isnan(hi_np)).cast(vt)
+        lo_v = pc.take(lo_a, idx)
+        hi_v = pc.take(hi_a, idx)
         v = t[value_col]
         clipped = pc.min_element_wise(pc.max_element_wise(v, lo_v), hi_v)
         # null value or unknown group → original value untouched

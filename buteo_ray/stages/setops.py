@@ -47,6 +47,15 @@ def _check_schemas(a_ds, b_ds, fn: str) -> "list[str]":
             f"{fn}: column names/order differ between sides: "
             f"{na} vs {nb} (set ops are positional-by-name here; "
             "project both sides to the same columns first)")
+    # Types must match too: mismatched sides would give TIER-dependent
+    # results (the driver pandas concat coerces, the distributed hash
+    # router keeps int 2 and float 2.0 apart) — fail loud instead.
+    ta, tb = [t for _, t in fa], [t for _, t in fb]
+    bad = [f"{n}: {x} vs {y}" for n, x, y in zip(na, ta, tb) if x != y]
+    if bad:
+        raise ValueError(
+            f"{fn}: column types differ between sides ({'; '.join(bad)}); "
+            "cast both sides to one type first")
     return na
 
 
@@ -93,7 +102,18 @@ def _set_op(a_ds, b_ds, keep_b: bool, fn: str,
     if est_a and est_b and est_a + est_b < driver_bytes:
         import ray
 
-        pdf = tagged.to_pandas()
+        from buteo_ray.stages.aggregate import (_bucket_frame,
+                                                nonempty_arrow_blocks)
+
+        # _bucket_frame, not to_pandas: a null-bearing int64 column
+        # would convert to float64 and merge distinct keys above 2^53
+        # (same guard the distributed tier's fold gets for free).
+        tabs = nonempty_arrow_blocks(tagged)
+        if not tabs:
+            return ray.data.from_pandas(
+                pd.DataFrame({c: pd.Series([], dtype=object)
+                              for c in cols}))
+        pdf = _bucket_frame(pa.concat_tables(tabs), cols)
         return ray.data.from_pandas(_fold(pdf))
     return bucketed_fold(tagged, cols, _fold, num_buckets)
 

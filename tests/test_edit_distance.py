@@ -124,3 +124,13 @@ def test_max_dist_zero_rejected(ray_session):
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_text_pairs(
             rd.from_pandas(pd.DataFrame({"s": ["x"]})), "s", 0)
+
+
+def test_id_pairs_null_texts_dropped(ray_session):
+    df = pd.DataFrame({"id": [0, 1, 2, 3],
+                       "s": ["bolt", "bolt", None, None]})
+    got = (edit_distance_pairs(rd.from_pandas(df), "s", "id", 2)
+           .to_pandas())
+    # only the bolt pair; null texts emit nothing (no crash, no
+    # bogus dist-0 null-group pairs)
+    assert got[["id_a", "id_b"]].values.tolist() == [[0, 1]]

@@ -167,3 +167,38 @@ def test_setops_match_duckdb_on_random_typed_data(ray_session, seed):
                  rd.from_pandas(b).repartition(2)).to_pandas()
         pd.testing.assert_frame_equal(canon(got), canon(want),
                                       check_dtype=False)
+
+
+def test_setops_type_mismatch_raises(ray_session):
+    a = rd.from_arrow(pa.table({"x": pa.array([2], pa.int64())}))
+    b = rd.from_arrow(pa.table({"x": pa.array([2.0], pa.float64())}))
+    with pytest.raises(ValueError, match="types differ"):
+        intersect_distinct(a, b)
+
+
+def test_setops_driver_tier_keeps_int64_precision(ray_session):
+    # int64-with-null → must NOT float64-degrade and merge 2^60, 2^60+1
+    a = rd.from_arrow(pa.table({
+        "x": pa.array([2**60, None], pa.int64())}))
+    b = rd.from_arrow(pa.table({
+        "x": pa.array([2**60 + 1], pa.int64())}))
+    got = intersect_distinct(a, b).to_pandas()
+    assert len(got) == 0  # distinct above 2^53 — no bogus match
+
+
+def test_unpivot_mixed_int_widths_widen(ray_session):
+    t = pa.table({"id": pa.array([1], pa.int64()),
+                  "a": pa.array([7], pa.int32()),
+                  "b": pa.array([2**40], pa.int64())})
+    got = unpivot_longer(rd.from_arrow(t), ["id"], ["a", "b"]).to_pandas()
+    assert sorted(got["value"].tolist()) == [7, 2**40]
+
+
+def test_mode_by_group_int64_values_with_nulls(ray_session):
+    from buteo_ray.stages.aggregate import mode_by_group
+
+    df = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                   "v": pa.array([2**60, 2**60, None], pa.int64())})
+    got = mode_by_group(rd.from_arrow(df), "k", "v").to_pandas()
+    assert int(got["mode_val"].iloc[0]) == 2**60
+    assert got["mode_n"].iloc[0] == 2

@@ -86,3 +86,14 @@ def test_pareto_front_rejects_nan(ray_session):
     df = pd.DataFrame({"x": [1.0, np.nan], "y": [2.0, 3.0]})
     with pytest.raises(Exception, match="NaN"):
         pareto_front(rd.from_pandas(df), ["x", "y"]).to_pandas()
+
+
+def test_winsorize_all_null_group_int_column(ray_session):
+    # an all-null group's NaN thresholds must become Arrow nulls, not
+    # crash the int64 cast; its rows pass through unclipped
+    t = pa.table({"g": pa.array([1, 1, 2, 2], pa.int64()),
+                  "v": pa.array([1, 100, None, None], pa.int64())})
+    got = (winsorize_by_group(rd.from_arrow(t), "g", "v", 0.25, 0.75)
+           .to_pandas().sort_values(["g"]).reset_index(drop=True))
+    assert got.loc[got["g"] == 2, "v_w"].isna().all()
+    assert got.loc[got["g"] == 2, "q_lo"].isna().all()
