@@ -4951,6 +4951,42 @@ def sql_unpivot() -> str:
     )
 
 
+def q_quantile_cont(sf_dir: str):
+    """Exact per-group CONTINUOUS quantiles (PERCENTILE_CONT):
+    h = q·(n−1), linear interpolation term-for-term as DuckDB
+    quantile_cont (aggregate.py:group_quantiles_cont); 6-dp floor
+    half-up on both sides absorbs engine float-op ordering."""
+    from buteo_ray.stages.aggregate import group_quantiles_cont
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    out = group_quantiles_cont(li, "l_returnflag", "l_extendedprice",
+                               [0.25, 0.5, 0.9])
+
+    def _round(t: pa.Table) -> pa.Table:
+        cols = {"l_returnflag": t["l_returnflag"]}
+        for c in ["q25", "q50", "q90"]:
+            v = t[c].to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.floor(v * 1e6 + 0.5) / 1e6)
+        return pa.table(cols)
+
+    return out.map_batches(_round, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def sql_quantile_cont() -> str:
+    return (
+        "SELECT l_returnflag, "
+        "FLOOR(quantile_cont(l_extendedprice, 0.25) * 1e6 + 0.5) / 1e6 "
+        "AS q25, "
+        "FLOOR(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6 "
+        "AS q50, "
+        "FLOOR(quantile_cont(l_extendedprice, 0.9) * 1e6 + 0.5) / 1e6 "
+        "AS q90 "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+
+
 def q_winsorize(sf_dir: str):
     """Per-group winsorization of quantities at the discrete
     [p05, p95] quantiles (stages/selection.py:winsorize_by_group —
@@ -5097,7 +5133,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # the agg fold family). The 44 with a fresh round-4 hash row rotate
     # to the back.
     "zonal_stats_full": q_zonal_stats_full,
-    "median_by_group": q_median_by_group,
+    # exact PERCENTILE_CONT per group (never attested) takes the slot
+    # of median_by_group (r03-attested): same per-group-gather plan,
+    # and the q50 column IS the interpolated median — a strict
+    # superset of the displaced query's check.
+    "quantile_cont": q_quantile_cont,
     # round-5 paragraph-dedup / weighted-sampling / entropy additions
     # (never attested — must sit in-window). They take the slots of
     # zonal_stats (r03-attested; a strict subset of in-window
@@ -5375,6 +5415,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "shuffle_shards": q_shuffle_shards,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "training_pipeline": q_training_pipeline,
+    "median_by_group": q_median_by_group,
     # rows-only (no ORACLE_SQL entry; each is pytest-verified against a
     # brute-force/parity oracle instead — not SQL-expressible). The
     # former rows-only `embed_centroids` entry is superseded by the
@@ -5407,6 +5448,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "edit_dist_pairs": sql_edit_dist_pairs,
     "winsorize": sql_winsorize,
     "pareto_front": sql_pareto_front,
+    "quantile_cont": sql_quantile_cont,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,

@@ -1047,3 +1047,44 @@ def mode_by_group(ds, key_col: str, value_col: str,
     # in a bucket would float64-degrade int64 values (see bucketed_fold)
     return bucketed_fold(partials, [key_col], _fold, num_buckets,
                          protect=[key_col, value_col])
+
+
+def group_quantiles_cont(ds, key_col: str, value_col: str,
+                         qs: Sequence[float],
+                         prefix: str = "q"):
+    """Exact per-group CONTINUOUS (interpolated) quantiles — SQL
+    ``quantile_cont(value, q)`` per group: h = q·(n−1) over the sorted
+    non-null values, linear interpolation v[⌊h⌋] + (h−⌊h⌋)·(v[⌈h⌉] −
+    v[⌊h⌋]) (the exact DuckDB/Postgres PERCENTILE_CONT formula, applied
+    term-for-term so the doubles agree). Null values are ignored; an
+    all-null group yields nulls.
+
+    One ``groupby(key).map_groups`` gather per group — exact
+    continuous quantiles of unbounded-domain values need the group in
+    one place (median_by_group's plan); for groups too large to
+    gather use the histogram-CDF approximate path instead.
+
+    Returns Dataset[(key, {prefix}{q*100:g} for each q)].
+    """
+    qs = [float(q) for q in qs]
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    names = [f"{prefix}{q * 100:g}" for q in qs]
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].dropna().to_numpy(dtype=np.float64))
+        n = len(v)
+        out = {key_col: [g[key_col].iloc[0]]}
+        for q, name in zip(qs, names):
+            if n == 0:
+                out[name] = [np.nan]
+                continue
+            h = q * (n - 1)
+            f = int(np.floor(h))
+            c = min(f + 1, n - 1)
+            out[name] = [v[f] + (h - f) * (v[c] - v[f])]
+        return pd.DataFrame(out)
+
+    return (ds.select_columns([key_col, value_col])
+            .groupby(key_col).map_groups(_q, batch_format="pandas"))

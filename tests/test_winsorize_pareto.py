@@ -97,3 +97,20 @@ def test_winsorize_all_null_group_int_column(ray_session):
            .to_pandas().sort_values(["g"]).reset_index(drop=True))
     assert got.loc[got["g"] == 2, "v_w"].isna().all()
     assert got.loc[got["g"] == 2, "q_lo"].isna().all()
+
+
+def test_group_quantiles_cont_edges(ray_session):
+    from buteo_ray.stages.aggregate import group_quantiles_cont
+
+    t = pa.table({"g": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                  "v": pa.array([10.0, 20.0, 30.0, 40.0, None, None])})
+    got = (group_quantiles_cont(rd.from_arrow(t), "g", "v",
+                                [0.0, 0.5, 1.0])
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    row1 = got.iloc[0]
+    assert row1["q0"] == 10.0 and row1["q100"] == 40.0
+    assert row1["q50"] == 25.0  # interpolated median, even count
+    assert got.iloc[1][["q0", "q50", "q100"]].isna().all()
+
+    with pytest.raises(ValueError, match="outside"):
+        group_quantiles_cont(rd.from_arrow(t), "g", "v", [1.5])
