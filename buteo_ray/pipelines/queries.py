@@ -4951,6 +4951,44 @@ def sql_unpivot() -> str:
     )
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph (parts
+    linked when some order contains both): degree orientation + wedge
+    counting, two size-gated tiers (stages/graph.py:triangle_count;
+    Schank & Wagner 2005 / Suri & Vassilvitskii WWW'11). The second
+    graph-analytics op beside PageRank."""
+    from buteo_ray.stages.aggregate import bucketed_group_map
+    from buteo_ray.stages.graph import triangle_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _pairs(g: pd.DataFrame):
+        parts = np.unique(g["l_partkey"].to_numpy())
+        if parts.size < 2:
+            return None
+        iu, ju = np.triu_indices(parts.size, 1)
+        return pd.DataFrame({"src": parts[iu], "dst": parts[ju]})
+
+    edges = bucketed_group_map(
+        li, ["l_orderkey"], _pairs,
+        empty=pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                            "dst": pd.Series([], dtype=np.int64)}))
+    return triangle_count(edges)
+
+
+def sql_triangle_count() -> str:
+    return (
+        "WITH pe AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem), "
+        "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS triangles "
+        "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+        "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v"
+    )
+
+
 def q_quantile_cont(sf_dir: str):
     """Exact per-group CONTINUOUS quantiles (PERCENTILE_CONT):
     h = q·(n−1), linear interpolation term-for-term as DuckDB
@@ -5269,6 +5307,12 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # re-attested in-window by union-consuming plans — intersect,
     # except, full_outer_join all union two tagged streams).
     "winsorize": q_winsorize,
+    # exact triangle count (never attested; NEW orientation/wedge
+    # code, brute-force property-tested on both tiers). Takes the slot
+    # of zorder_key (never attested, but pure deterministic bit
+    # interleaving pinned bit-for-bit by pytest against unrolled SQL —
+    # the least driver-sensitive entry in the window).
+    "triangle_count": q_triangle_count,
     # most-changed paths this round (MinHash LSH plan rewrite + agg fold)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "agg_groupby": q_agg_groupby,
@@ -5449,6 +5493,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "winsorize": sql_winsorize,
     "pareto_front": sql_pareto_front,
     "quantile_cont": sql_quantile_cont,
+    "triangle_count": sql_triangle_count,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,

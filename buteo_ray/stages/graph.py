@@ -181,3 +181,207 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     return ranks.map_batches(
         lambda t: t.select(["node", "rank"]),
         batch_format="pyarrow", batch_size=None)
+
+
+def _pairs_within_groups(group_ids: np.ndarray, values: np.ndarray):
+    """All unordered value pairs (i < j by position) within each group.
+
+    ``group_ids`` must be sorted (contiguous groups). Vectorized per
+    DISTINCT GROUP SIZE: for every size c ≥ 2 the members of all
+    groups of that size form a (g, c) matrix and one ``triu_indices``
+    broadcast emits every pair — no per-group Python.
+    Returns (a, b) value arrays.
+    """
+    if group_ids.size == 0:
+        return (np.empty(0, values.dtype), np.empty(0, values.dtype))
+    first = np.concatenate([[True], group_ids[1:] != group_ids[:-1]])
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.concatenate([starts, [group_ids.size]]))
+    outs_a, outs_b = [], []
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        sel = starts[counts == c]
+        mat = values[sel[:, None] + np.arange(c)[None, :]]  # (g, c)
+        iu, ju = np.triu_indices(c, 1)
+        outs_a.append(mat[:, iu].ravel())
+        outs_b.append(mat[:, ju].ravel())
+    if not outs_a:
+        return (np.empty(0, values.dtype), np.empty(0, values.dtype))
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
+def _triangles_numpy(u: np.ndarray, v: np.ndarray) -> int:
+    """Driver-tier exact triangle count over a DISTINCT canonical
+    (lo < hi) undirected edge list, by degree orientation + wedge
+    membership (the standard O(m^1.5) bound: out-degree under the
+    orientation is O(√m))."""
+    nodes, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+    n = np.int64(nodes.size)
+    a, b = idx[: u.size].astype(np.int64), idx[u.size:].astype(np.int64)
+    deg = (np.bincount(a, minlength=n)
+           + np.bincount(b, minlength=n)).astype(np.int64)
+    # total order: (deg, node index) — orientation DAG
+    rank = deg * (n + 1) + np.arange(n, dtype=np.int64)
+    fwd = rank[a] < rank[b]
+    s = np.where(fwd, a, b)
+    d = np.where(fwd, b, a)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    wa, wb = _pairs_within_groups(s, d)
+    if wa.size == 0:
+        return 0
+    # wedge (wa, wb): both out-neighbors of one source, already
+    # distinct; orient the closing edge by the same total order
+    lo_r = rank[wa] < rank[wb]
+    wx = np.where(lo_r, wa, wb)
+    wy = np.where(lo_r, wb, wa)
+    ekeys = np.sort(s * n + d)
+    wkeys = wx * n + wy
+    pos = np.searchsorted(ekeys, wkeys)
+    pos = np.minimum(pos, ekeys.size - 1)
+    return int((ekeys[pos] == wkeys).sum())
+
+
+def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
+                   driver_threshold: int = 64 << 20):
+    """Exact GLOBAL triangle count of the undirected simple graph
+    induced by the edge list (self-loops dropped, multi-edges and both
+    directions collapse). Returns Dataset[(triangles:int64)] — one row.
+
+    Algorithm: degree orientation + wedge counting (Schank & Wagner
+    2005 / Suri & Vassilvitskii WWW'11 "MapReduce triangle counting" —
+    public literature). Orient every edge from its lower-(degree,id)
+    endpoint to the higher; each triangle then has exactly ONE node
+    with two out-edges, so counting (wedge, closing-edge) hits each
+    triangle exactly once, and out-degrees are O(√m) — the wedge set
+    stays near-linear even on power-law graphs.
+
+    Two tiers gated on the materialized distinct-edge bytes (the
+    pagerank gate): numpy on the driver under it; past it, the
+    distributed plan — degree table via bucketed sum partials, degree
+    attach via ``hash_join_auto`` (broadcast under ITS gate), wedge
+    generation per source group (one vectorized pass per group), and
+    a final tagged-union bucketed fold matching wedges against
+    oriented edges. Pinned: the distinct edge list (materialized once)
+    and the node-degree table; wedges stream through the fold.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from buteo_ray.stages.aggregate import (bucketed_fold,
+                                            bucketed_group_map,
+                                            bucketed_sum,
+                                            nonempty_arrow_blocks)
+    from buteo_ray.stages.join_partitioned import hash_join_auto
+
+    def _canon(t: pa.Table) -> pa.Table:
+        a = t[src].cast(pa.int64()).combine_chunks()
+        b = t[dst].cast(pa.int64()).combine_chunks()
+        if a.null_count or b.null_count:
+            raise ValueError(
+                f"triangle_count: edge list has null endpoints "
+                f"({src}: {a.null_count}, {dst}: {b.null_count})")
+        an = a.to_numpy()
+        bn = b.to_numpy()
+        lo = np.minimum(an, bn)
+        hi = np.maximum(an, bn)
+        keep = lo != hi
+        return (pa.table({"src": lo[keep], "dst": hi[keep]})
+                .group_by(["src", "dst"]).aggregate([]))
+
+    partials = edges_ds.map_batches(_canon, batch_format="pyarrow",
+                                    batch_size=None)
+
+    def _fold_e(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst"], ignore_index=True)
+
+    edges = bucketed_fold(partials, ["src", "dst"],
+                          _fold_e).materialize()
+    one = pa.table({"triangles": pa.array([0], pa.int64())})
+    if edges.count() == 0:
+        return ray.data.from_arrow(one)
+
+    if (edges.size_bytes() or 0) <= driver_threshold:
+        et = pa.concat_tables(nonempty_arrow_blocks(edges))
+        tri = _triangles_numpy(et["src"].to_numpy(), et["dst"].to_numpy())
+        return ray.data.from_arrow(
+            pa.table({"triangles": pa.array([tri], pa.int64())}))
+
+    # --- distributed tier -------------------------------------------
+    def _deg_partials(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t["src"].combine_chunks(),
+                                      t["dst"].combine_chunks()]),
+            "__one": pa.array(np.ones(2 * len(t), np.float64)),
+        })
+
+    node_deg = bucketed_sum(
+        edges.map_batches(_deg_partials, batch_format="pyarrow",
+                          batch_size=None),
+        ["node"], {"deg": "__one"}).materialize()
+
+    e1 = hash_join_auto(edges, node_deg, "src", "node",
+                        right_suffix="_s")
+    e1 = e1.map_batches(lambda t: t.rename_columns(
+        [c if c != "deg" else "deg_s" for c in t.column_names]),
+        batch_format="pyarrow", batch_size=None)
+    e2 = hash_join_auto(e1, node_deg, "dst", "node", right_suffix="_d")
+
+    def _orient(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        # same (deg, id) total order as the driver tier
+        ra = t["deg_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rb = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fwd = (ra < rb) | ((ra == rb) & (a < b))
+        return pa.table({"s": np.where(fwd, a, b),
+                         "d": np.where(fwd, b, a),
+                         "rs": np.where(fwd, ra, rb),
+                         "rd": np.where(fwd, rb, ra)})
+
+    oriented = e2.map_batches(_orient, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["d"].to_numpy()
+        rd = g["rd"].to_numpy()
+        m = len(d)
+        if m < 2:
+            return None
+        iu, ju = np.triu_indices(m, 1)
+        wa, wb = d[iu], d[ju]
+        ra, rb = rd[iu], rd[ju]
+        fwd = (ra < rb) | ((ra == rb) & (wa < wb))
+        return pd.DataFrame({"x": np.where(fwd, wa, wb),
+                             "y": np.where(fwd, wb, wa),
+                             "w": np.ones(len(wa), np.int64),
+                             "e": np.zeros(len(wa), np.int64)})
+
+    wedges = bucketed_group_map(
+        oriented, ["s"], _wedges,
+        empty=pd.DataFrame({"x": pd.Series([], dtype=np.int64),
+                            "y": pd.Series([], dtype=np.int64),
+                            "w": pd.Series([], dtype=np.int64),
+                            "e": pd.Series([], dtype=np.int64)}))
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        m = len(t)
+        return pa.table({"x": t["s"], "y": t["d"],
+                         "w": pa.array(np.zeros(m, np.int64)),
+                         "e": pa.array(np.ones(m, np.int64))})
+
+    tagged = wedges.union(oriented.map_batches(
+        _edge_rows, batch_format="pyarrow", batch_size=None))
+
+    def _match(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["x", "y"], sort=False, as_index=False).agg(
+            w=("w", "sum"), e=("e", "max"))
+        tri = int(agg.loc[agg["e"] > 0, "w"].sum())
+        return pd.DataFrame({"triangles": [np.int64(tri)]})
+
+    per_bucket = bucketed_fold(tagged, ["x", "y"], _match)
+    total = sum(t["triangles"].to_numpy().sum()
+                for t in nonempty_arrow_blocks(per_bucket.materialize()))
+    return ray.data.from_arrow(
+        pa.table({"triangles": pa.array([int(total)], pa.int64())}))

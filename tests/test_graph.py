@@ -2,6 +2,7 @@
 implementation — exact semantics (same float ops, same dangling rule)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -78,3 +79,46 @@ def test_pagerank_star_sink(ray_session):
     # Leaves are symmetric — identical ranks.
     leaves = out.drop(index=0)
     assert float(leaves.max() - leaves.min()) < 1e-15
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    adj, nodes = set(), set()
+    for a, b in edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+            nodes.update((a, b))
+    return sum(1 for a, b, c in itertools.combinations(sorted(nodes), 3)
+               if (a, b) in adj and (a, c) in adj and (b, c) in adj)
+
+
+@pytest.mark.parametrize("seed,thr", [(0, 64 << 20), (0, 0),
+                                      (3, 64 << 20), (3, 0)])
+def test_triangle_count_matches_brute_force(ray_session, seed, thr):
+    from buteo_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(seed)
+    e = rng.integers(0, 18, (50, 2))
+    df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+    got = (triangle_count(rd.from_pandas(df).repartition(3),
+                          driver_threshold=thr)
+           .to_pandas()["triangles"].iloc[0])
+    assert got == _brute_triangles([tuple(x) for x in e.tolist()])
+
+
+def test_triangle_count_empty_and_null(ray_session):
+    from buteo_ray.stages.graph import triangle_count
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+    got = triangle_count(rd.from_pandas(empty)).to_pandas()
+    assert got["triangles"].tolist() == [0]
+
+    import pyarrow as pa
+
+    bad = rd.from_arrow(pa.table({
+        "src": pa.array([1, None], pa.int64()),
+        "dst": pa.array([2, 3], pa.int64())}))
+    with pytest.raises(Exception, match="null endpoints"):
+        triangle_count(bad).to_pandas()
