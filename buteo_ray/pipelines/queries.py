@@ -4953,33 +4953,43 @@ def sql_unpivot() -> str:
 
 def q_triangle_count(sf_dir: str):
     """Exact triangle count of the part co-purchase graph (parts
-    linked when some order contains both): degree orientation + wedge
-    counting, two size-gated tiers (stages/graph.py:triangle_count;
-    Schank & Wagner 2005 / Suri & Vassilvitskii WWW'11). The second
-    graph-analytics op beside PageRank."""
-    from buteo_ray.stages.aggregate import bucketed_group_map
-    from buteo_ray.stages.graph import triangle_count
+    linked when some order contains both; deterministic 1/3 part
+    subgraph — the knn-style mod sampling keeping the wedge volume
+    benchmark-sized): degree orientation + wedge counting, two
+    size-gated tiers (stages/graph.py:triangle_count; Schank & Wagner
+    2005 / Suri & Vassilvitskii WWW'11). The second graph-analytics op
+    beside PageRank. Edge generation is ONE vectorized pair pass per
+    hash bucket (bucketed_fold + _pairs_within_groups), never a
+    Python call per order."""
+    from buteo_ray.stages.aggregate import bucketed_fold
+    from buteo_ray.stages.graph import _pairs_within_groups, \
+        triangle_count
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
-    def _pairs(g: pd.DataFrame):
-        parts = np.unique(g["l_partkey"].to_numpy())
-        if parts.size < 2:
-            return None
-        iu, ju = np.triu_indices(parts.size, 1)
-        return pd.DataFrame({"src": parts[iu], "dst": parts[ju]})
+    def _filt(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(pk % 3 == 0))
+        # per-block (order, part) distinct pre-shrink
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
 
-    edges = bucketed_group_map(
-        li, ["l_orderkey"], _pairs,
-        empty=pd.DataFrame({"src": pd.Series([], dtype=np.int64),
-                            "dst": pd.Series([], dtype=np.int64)}))
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["l_orderkey", "l_partkey"])
+             .sort_values(["l_orderkey", "l_partkey"], kind="stable"))
+        a, b = _pairs_within_groups(g["l_orderkey"].to_numpy(),
+                                    g["l_partkey"].to_numpy())
+        return pd.DataFrame({"src": a, "dst": b})
+
+    edges = bucketed_fold(
+        li.map_batches(_filt, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey"], _pairs)
     return triangle_count(edges)
 
 
 def sql_triangle_count() -> str:
     return (
         "WITH pe AS (SELECT DISTINCT l_orderkey, l_partkey "
-        "FROM lineitem), "
+        "FROM lineitem WHERE l_partkey % 3 = 0), "
         "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
         "FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey "
         "AND a.l_partkey < b.l_partkey) "
