@@ -4141,22 +4141,24 @@ def sql_prune_tokens() -> str:
 
 
 def q_value_ranks(sf_dir: str):
-    """Per-user RANK / DENSE_RANK / PERCENT_RANK of event value — exact
-    SQL tie semantics (value has real ties in this table). PERCENT_RANK
-    is one integer subtraction + one IEEE division of exact ints —
-    bit-identical across engines, no rounding needed."""
+    """Per-user RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST of event
+    value — exact SQL tie semantics (value has real ties in this
+    table). PERCENT_RANK and CUME_DIST are integer arithmetic + one
+    IEEE division of exact ints — bit-identical across engines, no
+    rounding needed."""
     from buteo_ray.stages.streaming import rank_stats
 
     ev = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
-    out = rank_stats(ev, "user_id", "value")
+    out = rank_stats(ev, "user_id", "value", cume_col="cdist")
     return out.select_columns(["user_id", "event_id", "rnk", "drnk",
-                               "prnk"])
+                               "prnk", "cdist"])
 
 
 def sql_value_ranks() -> str:
     return (
         "SELECT user_id, event_id, RANK() OVER w AS rnk, "
-        "DENSE_RANK() OVER w AS drnk, PERCENT_RANK() OVER w AS prnk "
+        "DENSE_RANK() OVER w AS drnk, PERCENT_RANK() OVER w AS prnk, "
+        "CUME_DIST() OVER w AS cdist "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value)"
     )
 
@@ -4951,6 +4953,52 @@ def sql_unpivot() -> str:
     )
 
 
+def q_ewma(sf_dir: str):
+    """Per-user EWMA (α=0.3, adjust=False recurrence) over each user's
+    first 120 events — jagged scan vectorized across keys
+    (streaming.py:ewma_by_key); the oracle mirrors the recurrence as a
+    depth-bounded recursive CTE with the SAME float literals and
+    association ((1.0 − 0.3), not 0.7 — they are different doubles).
+    8-dp floor half-up absorbs nothing here in practice (ops are
+    identical) but pins the contract."""
+    from buteo_ray.stages.selection import topk_per_group
+    from buteo_ray.stages.streaming import ewma_by_key
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    head = topk_per_group(ev, "user_id", ["ts", "event_id"], 120,
+                          ascending=True)
+    out = ewma_by_key(head, "user_id", ["ts", "event_id"], "value",
+                      alpha=0.3)
+
+    def _round(t: pa.Table) -> pa.Table:
+        y = t["ewma"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "ewma8": np.floor(y * 1e8 + 0.5) / 1e8})
+
+    return out.map_batches(_round, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def sql_ewma() -> str:
+    return (
+        "WITH RECURSIVE s AS ("
+        "SELECT user_id, event_id, value, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events), "
+        "t AS (SELECT * FROM s WHERE rn <= 120), "
+        "r AS ("
+        "SELECT user_id, event_id, rn, value AS y FROM t WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT t.user_id, t.event_id, t.rn, "
+        "0.3 * t.value + (1.0 - 0.3) * r.y "
+        "FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1) "
+        "SELECT user_id, event_id, "
+        "FLOOR(y * 1e8 + 0.5) / 1e8 AS ewma8 FROM r"
+    )
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count of the part co-purchase graph (parts
     linked when some order contains both; deterministic 1/3 part
@@ -5323,6 +5371,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # interleaving pinned bit-for-bit by pytest against unrolled SQL —
     # the least driver-sensitive entry in the window).
     "triangle_count": q_triangle_count,
+    # per-key EWMA (never attested; NEW jagged-scan recurrence code).
+    # Takes the slot of json_extract (never attested, but a pure
+    # stateless RE2 map pinned by pytest against DuckDB
+    # json_extract_string on adversarial payloads).
+    "ewma": q_ewma,
     # most-changed paths this round (MinHash LSH plan rewrite + agg fold)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "agg_groupby": q_agg_groupby,
@@ -5504,6 +5557,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "pareto_front": sql_pareto_front,
     "quantile_cont": sql_quantile_cont,
     "triangle_count": sql_triangle_count,
+    "ewma": sql_ewma,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,

@@ -400,7 +400,7 @@ def transition_counts(ds, key_col: str, order_cols: list,
 
 def rank_stats(ds, key_col: str, value_col: str,
                rank_col: str = "rnk", dense_col: str = "drnk",
-               pct_col: str = "prnk",
+               pct_col: str = "prnk", cume_col: Optional[str] = None,
                num_buckets: Optional[int] = None):
     """Per-key value ranking with full tie semantics — SQL ``RANK() /
     DENSE_RANK() / PERCENT_RANK() OVER (PARTITION BY key ORDER BY
@@ -432,6 +432,14 @@ def rank_stats(ds, key_col: str, value_col: str,
         g[rank_col] = r
         g[dense_col] = drnk.to_numpy().astype(np.int64)
         g[pct_col] = pct
+        if cume_col is not None:
+            # CUME_DIST = |peers with value ≤ current| / n — the max-
+            # method rank over n; null peer group reaches 1.0 (SQL:
+            # nulls are peers too under NULLS LAST)
+            rmax = (grp[value_col].rank(method="max",
+                                        na_option="bottom")
+                    .to_numpy().astype(np.int64))
+            g[cume_col] = rmax / n
         return g
 
     return bucketed_fold(ds, [key_col], _fold, num_buckets)
@@ -643,5 +651,58 @@ def funnel_steps(ds, key_col: str, ts_col: str, event_col: str,
             out[c] = np.where(reached, v, float(missing)).astype(np.int64)
         out["steps_completed"] = completed
         return out
+
+    return bucketed_fold(ds, [key_col], _fold, num_buckets)
+
+
+def ewma_by_key(ds, key_col: str, order_cols: list, value_col: str,
+                alpha: float, out_col: str = "ewma",
+                num_buckets: Optional[int] = None):
+    """Per-key exponentially-weighted moving average over an ordered
+    stream — the classic recursive smoother: y₁ = x₁, yᵢ = α·xᵢ +
+    (1−α)·yᵢ₋₁ (``adjust=False`` form). Null rules: a null value
+    leaves the average unchanged (carries yᵢ₋₁); rows before a key's
+    first non-null carry null. ``order_cols`` must totally order each
+    key.
+
+    The recurrence is sequential per key but vectorized ACROSS keys (a
+    jagged scan): rows are regrouped by within-key position and one
+    numpy update per position advances every key's state at once —
+    total work O(rows), Python steps = the LONGEST key's row count,
+    never the row count. Keys unbounded → one hash-bucketed fold.
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = float(alpha)
+    order_cols = list(order_cols)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key_col, *order_cols], kind="stable")
+             .reset_index(drop=True))
+        kidx, _ = pd.factorize(g[key_col], use_na_sentinel=False)
+        rn = g.groupby(kidx, sort=False).cumcount().to_numpy()
+        x = g[value_col].to_numpy(dtype=np.float64)
+        order = np.argsort(rn, kind="stable")
+        counts = np.bincount(rn) if len(rn) else np.empty(0, np.int64)
+        n_keys = int(kidx.max()) + 1 if len(g) else 0
+        state = np.full(n_keys, np.nan)
+        out = np.empty(len(g))
+        pos = 0
+        for c in counts:
+            rows = order[pos:pos + c]
+            pos += c
+            k = kidx[rows]
+            xv = x[rows]
+            prev = state[k]
+            upd = a * xv + (1.0 - a) * prev
+            y = np.where(np.isnan(xv), prev,
+                         np.where(np.isnan(prev), xv, upd))
+            state[k] = y
+            out[rows] = y
+        g = g.copy()
+        g[out_col] = out
+        return g
 
     return bucketed_fold(ds, [key_col], _fold, num_buckets)

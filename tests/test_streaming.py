@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data as rd
 
 
 @pytest.fixture
@@ -62,3 +63,56 @@ def test_sliding_window(ray_session, events_df):
     # Every event is in exactly 2 overlapping 1h/30min windows.
     assert out[out["user_id"] == 1]["n_events"].sum() == 5 * 2
     assert out[out["user_id"] == 2]["n_events"].sum() == 2 * 2
+
+
+def test_ewma_matches_naive_recurrence(ray_session):
+    from buteo_ray.stages.streaming import ewma_by_key
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "o": np.arange(n),
+        "v": np.where(rng.random(n) < 0.15, np.nan,
+                      rng.normal(0, 3, n)),
+    })
+    a = 0.25
+    got = (ewma_by_key(rd.from_pandas(df).repartition(4), "k", ["o"],
+                       "v", alpha=a)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    # naive per-row reference with the documented null rules
+    state = {}
+    want = []
+    for _, row in df.iterrows():
+        k, x = row["k"], row["v"]
+        prev = state.get(k, np.nan)
+        if np.isnan(x):
+            y = prev
+        elif np.isnan(prev):
+            y = x
+        else:
+            y = a * x + (1.0 - a) * prev
+        state[k] = y
+        want.append(y)
+    assert np.allclose(got["ewma"].to_numpy(), np.array(want),
+                       equal_nan=True, rtol=0, atol=0)
+
+
+def test_ewma_bad_alpha(ray_session):
+    from buteo_ray.stages.streaming import ewma_by_key
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_by_key(rd.from_pandas(pd.DataFrame({"k": [1], "o": [1],
+                                                 "v": [1.0]})),
+                    "k", ["o"], "v", alpha=0.0)
+
+
+def test_cume_dist_ties_and_nulls(ray_session):
+    from buteo_ray.stages.streaming import rank_stats
+
+    df = pd.DataFrame({"k": [1, 1, 1, 1], "id": [0, 1, 2, 3],
+                       "v": [5.0, 5.0, 1.0, np.nan]})
+    got = (rank_stats(rd.from_pandas(df), "k", "v", cume_col="cd")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # ORDER BY v: 1.0 (cd=1/4), 5.0 & 5.0 peers (cd=3/4), null last (cd=1)
+    assert got["cd"].tolist() == [0.75, 0.75, 0.25, 1.0]
