@@ -4953,6 +4953,36 @@ def sql_unpivot() -> str:
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: whitespace token counts → deterministic
+    splitmix shard (16) → ≈512-token bins in doc_id order per shard
+    (stages/text.py:pack_sequences, cumsum contract — the
+    chunk → pack → shard tail of a pretraining token pipeline)."""
+    from buteo_ray.stages.selection import assign_shuffle_shards
+    from buteo_ray.stages.text import add_token_count, pack_sequences
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = add_token_count(ds)
+    ds = assign_shuffle_shards(ds, "doc_id", n_shards=16)
+    out = pack_sequences(ds, budget=512)
+    return out.select_columns(["doc_id", "shard", "n_tokens", "bin"])
+
+
+def sql_pack_sequences() -> str:
+    return (
+        "WITH raw AS (SELECT doc_id, 0 AS ti, "
+        "CAST(doc_id AS UBIGINT) AS hraw FROM documents), "
+        + _sql_splitmix_ctes("raw", "hraw", "pk") + ", "
+        "d AS (SELECT s.doc_id, CAST(s.h % 16 AS BIGINT) AS shard, "
+        "CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM pk6 s JOIN documents doc ON doc.doc_id = s.doc_id) "
+        "SELECT doc_id, shard, n_tokens, "
+        "CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin "
+        "FROM d"
+    )
+
+
 def q_ewma(sf_dir: str):
     """Per-user EWMA (α=0.3, adjust=False recurrence) over each user's
     first 120 events — jagged scan vectorized across keys
@@ -5376,6 +5406,12 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # stateless RE2 map pinned by pytest against DuckDB
     # json_extract_string on adversarial payloads).
     "ewma": q_ewma,
+    # sequence packing (never attested; NEW cumsum-bin code riding the
+    # attested shard/token machinery). Takes the slot of mad_outliers
+    # (never attested, but bit-exact vs DuckDB MEDIAN in the local
+    # oracle suite and its robust-stats fold is shared with in-window
+    # zonal_stats_full's mad column).
+    "pack_sequences": q_pack_sequences,
     # most-changed paths this round (MinHash LSH plan rewrite + agg fold)
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "agg_groupby": q_agg_groupby,
@@ -5558,6 +5594,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "quantile_cont": sql_quantile_cont,
     "triangle_count": sql_triangle_count,
     "ewma": sql_ewma,
+    "pack_sequences": sql_pack_sequences,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,

@@ -7,7 +7,7 @@ vectorized pyarrow.compute / pandas kernels inside ``map_batches``
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -1064,3 +1064,68 @@ def prune_frequent_tokens(ds, id_col: str = "doc_id",
 
     return docs.map_batches(_rewrite, batch_format="pyarrow",
                             batch_size=None)
+
+
+def pack_sequences(ds, token_col: str = "n_tokens",
+                   id_col: str = "doc_id", budget: int = 4096,
+                   shard_col: str = "shard", mode: str = "cumsum",
+                   bin_col: str = "bin",
+                   num_buckets: Optional[int] = None):
+    """Sequence packing for pretraining output: assign every document
+    a BIN of ≈ ``budget`` tokens within its shard, so a downstream
+    reader concatenates one bin per training sequence (the
+    chunk → pack → shard tail of a token pipeline). Documents are
+    packed in ``id_col`` order within each shard — deterministic and
+    partition-independent, so a resumed run reproduces every bin.
+
+    ``mode="cumsum"`` (default, the scale path): bin =
+    (running_tokens − own_tokens) // budget — the SQL-window contract,
+    one vectorized sort+cumsum per hash bucket. A bin may overrun by
+    less than one document (the doc that crosses the boundary belongs
+    to the bin it started in); an over-budget document occupies its
+    bin(s) alone.
+    ``mode="greedy"``: exact sequential fill — a new bin opens when
+    adding the document would exceed ``budget`` (no overrun except
+    single docs over budget). Per-shard SEQUENTIAL Python loop — exact
+    but not vectorizable; use cumsum at scale (documented trade).
+
+    Returns the input rows + ``bin_col`` (int64, shard-scoped).
+    """
+    from buteo_ray.stages.aggregate import bucketed_fold
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if mode not in ("cumsum", "greedy"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([shard_col, id_col], kind="stable")
+             .reset_index(drop=True))
+        n = g[token_col].to_numpy()
+        if pd.isna(n).any():
+            raise ValueError(
+                f"pack_sequences: null token counts in '{token_col}'")
+        n = n.astype(np.int64)
+        if mode == "cumsum":
+            cs = (g.groupby(shard_col, sort=False, dropna=False)
+                  [token_col].cumsum().to_numpy().astype(np.int64))
+            bins = (cs - n) // budget
+        else:
+            bins = np.empty(len(g), np.int64)
+            shard_vals = g[shard_col].to_numpy()
+            start = 0
+            for i in range(1, len(g) + 1):
+                if i == len(g) or shard_vals[i] != shard_vals[start]:
+                    b = fill = 0
+                    for j in range(start, i):
+                        if fill and fill + n[j] > budget:
+                            b += 1
+                            fill = 0
+                        fill += n[j]
+                        bins[j] = b
+                    start = i
+        g = g.copy()
+        g[bin_col] = bins
+        return g
+
+    return bucketed_fold(ds, [shard_col], _fold, num_buckets)

@@ -1012,3 +1012,40 @@ def test_char_lm_score_trailing_short_doc(ray_session):
     want = _brute_lm(texts, texts)
     assert got == pytest.approx(want, abs=1e-9)
     assert got[1] == 0.0
+
+
+def test_pack_sequences_modes(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.text import pack_sequences
+
+    df = pd.DataFrame({
+        "shard": [0, 0, 0, 0, 1, 1],
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "n_tokens": [300, 300, 300, 900, 100, 100],
+    })
+    # cumsum contract: bin = (running - own) // budget
+    got = (pack_sequences(rd.from_pandas(df).repartition(3),
+                          budget=512, mode="cumsum")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["bin"].tolist() == [0, 0, 1, 1, 0, 0]
+    # greedy: new bin when adding would exceed; over-budget doc alone
+    got_g = (pack_sequences(rd.from_pandas(df).repartition(3),
+                            budget=512, mode="greedy")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got_g["bin"].tolist() == [0, 1, 2, 3, 0, 0]
+    # greedy never overruns budget except single over-budget docs
+    sums = got_g.groupby(["shard", "bin"])["n_tokens"].sum()
+    assert ((sums <= 512) | (got_g.groupby(["shard", "bin"])
+                             .size() == 1).reindex(sums.index)).all()
+
+
+def test_pack_sequences_null_tokens_raise(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.text import pack_sequences
+
+    df = pd.DataFrame({"shard": [0], "doc_id": [1],
+                       "n_tokens": [np.nan]})
+    with pytest.raises(Exception, match="null token"):
+        pack_sequences(rd.from_pandas(df), budget=10).to_pandas()
