@@ -5250,14 +5250,19 @@ def sql_mode_by_group() -> str:
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
     # --- Registration order is driver-visibility order: the driver's
-    # CORRECTNESS snapshot covers the FIRST 50 entries. Round-5 window =
-    # the 38 queries whose driver hash rows date from round 3 (they ran
-    # on round-3 code; rounds 4-5 touched shared helpers — key hashing,
-    # bucketed folds, bounded_aggregate's fold, the LSH plan), plus the
-    # new round-5 query, the 3 round-4 ops, and the most-changed paths
-    # (the MinHash plan rewrite and everything downstream of it, plus
-    # the agg fold family). The 44 with a fresh round-4 hash row rotate
-    # to the back.
+    # CORRECTNESS snapshot covers the FIRST 50 entries. Final round-5
+    # window policy, in priority order: (1) NEVER-attested queries —
+    # every round-5 addition, including the late set-op/join/reshape/
+    # string-similarity/graph/packing ops; (2) r03-dated hash rows on
+    # since-touched shared helpers (key hashing, bucketed folds, the
+    # LSH plan); (3) the most-changed attested paths (MinHash rewrite,
+    # agg fold family). Each displacement below carries its own
+    # justification comment naming the in-window sibling or pytest
+    # that re-attests the displaced query's code path; every window
+    # entry has a DuckDB oracle (no rows-only slots) and the FULL
+    # registry runs against the same oracles in
+    # tests/test_queries_oracle.py every pytest session regardless of
+    # window position.
     "zonal_stats_full": q_zonal_stats_full,
     # exact PERCENTILE_CONT per group (never attested) takes the slot
     # of median_by_group (r03-attested): same per-group-gather plan,
