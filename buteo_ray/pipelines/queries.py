@@ -4986,11 +4986,14 @@ def sql_pack_sequences() -> str:
 def q_ewma(sf_dir: str):
     """Per-user EWMA (α=0.3, adjust=False recurrence) over each user's
     first 120 events — jagged scan vectorized across keys
-    (streaming.py:ewma_by_key); the oracle mirrors the recurrence as a
-    depth-bounded recursive CTE with the SAME float literals and
-    association ((1.0 − 0.3), not 0.7 — they are different doubles).
-    8-dp floor half-up absorbs nothing here in practice (ops are
-    identical) but pins the contract."""
+    (streaming.py:ewma_by_key); the oracle mirrors the recurrence
+    (incl. the null carry rule) as a depth-bounded recursive CTE.
+    Float parity: DuckDB constant-folds (1.0 − 0.3) in DECIMAL and the
+    result casts to the same double as numpy's 1.0 − 0.3 here (both
+    0x1.6666666666666p-1); the multiply/add per step is then the same
+    double op on both sides. Changing α requires re-checking that the
+    DECIMAL fold of 1 − α casts to double(1.0 − α) — not guaranteed
+    for every α. 8-dp floor half-up pins the contract regardless."""
     from buteo_ray.stages.selection import topk_per_group
     from buteo_ray.stages.streaming import ewma_by_key
 
@@ -5022,7 +5025,9 @@ def sql_ewma() -> str:
         "SELECT user_id, event_id, rn, value AS y FROM t WHERE rn = 1 "
         "UNION ALL "
         "SELECT t.user_id, t.event_id, t.rn, "
-        "0.3 * t.value + (1.0 - 0.3) * r.y "
+        "CASE WHEN t.value IS NULL THEN r.y "
+        "WHEN r.y IS NULL THEN t.value "
+        "ELSE 0.3 * t.value + (1.0 - 0.3) * r.y END "
         "FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1) "
         "SELECT user_id, event_id, "
         "FLOOR(y * 1e8 + 0.5) / 1e8 AS ewma8 FROM r"
@@ -5332,10 +5337,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # sit in-window). They take the slots of text_stats (r03-attested;
     # its text.py stat kernels are covered in-window by prune_tokens +
     # quality_topfrac), histogram (r03-attested; the agg-fold family it
-    # exercises is re-attested in-window by agg_groupby, median_by_group,
-    # rollup_counts and cube_counts), and count_distinct (r03-attested;
-    # its bucketed distinct fold is the same primitive heavy_tokens and
-    # cube_counts re-attest in-window).
+    # exercises is re-attested in-window by agg_groupby, rollup_counts
+    # and quantile_cont — median_by_group and cube_counts were later
+    # rotated out themselves), and count_distinct (r03-attested; its
+    # bucketed distinct fold is the same primitive heavy_tokens and
+    # mode_by_group re-attest in-window).
     "pagerank": q_pagerank,
     "interval_cover": q_interval_cover,
     "densify_days": q_densify_days,

@@ -236,7 +236,7 @@ def _triangles_numpy(u: np.ndarray, v: np.ndarray) -> int:
     lo_r = rank[wa] < rank[wb]
     wx = np.where(lo_r, wa, wb)
     wy = np.where(lo_r, wb, wa)
-    ekeys = np.sort(s * n + d)
+    ekeys = s * n + d  # lexsorted by (s, d) ⇒ already monotone
     wkeys = wx * n + wy
     pos = np.searchsorted(ekeys, wkeys)
     pos = np.minimum(pos, ekeys.size - 1)
@@ -267,11 +267,9 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
     and the node-degree table; wedges stream through the fold.
     """
     import ray
-    import pyarrow.compute as pc
 
-    from buteo_ray.stages.aggregate import (bucketed_fold,
-                                            bucketed_group_map,
-                                            bucketed_sum,
+    from buteo_ray.stages.aggregate import (bucketed_count,
+                                            bucketed_fold,
                                             nonempty_arrow_blocks)
     from buteo_ray.stages.join_partitioned import hash_join_auto
 
@@ -309,17 +307,16 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
             pa.table({"triangles": pa.array([tri], pa.int64())}))
 
     # --- distributed tier -------------------------------------------
-    def _deg_partials(t: pa.Table) -> pa.Table:
+    def _endpoints(t: pa.Table) -> pa.Table:
         return pa.table({
             "node": pa.concat_arrays([t["src"].combine_chunks(),
                                       t["dst"].combine_chunks()]),
-            "__one": pa.array(np.ones(2 * len(t), np.float64)),
         })
 
-    node_deg = bucketed_sum(
-        edges.map_batches(_deg_partials, batch_format="pyarrow",
+    node_deg = bucketed_count(
+        edges.map_batches(_endpoints, batch_format="pyarrow",
                           batch_size=None),
-        ["node"], {"deg": "__one"}).materialize()
+        ["node"], alias="deg").materialize()
 
     e1 = hash_join_auto(edges, node_deg, "src", "node",
                         right_suffix="_s")
@@ -343,27 +340,22 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
     oriented = e2.map_batches(_orient, batch_format="pyarrow",
                               batch_size=None).materialize()
 
-    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
-        d = g["d"].to_numpy()
-        rd = g["rd"].to_numpy()
-        m = len(d)
-        if m < 2:
-            return None
-        iu, ju = np.triu_indices(m, 1)
-        wa, wb = d[iu], d[ju]
-        ra, rb = rd[iu], rd[ju]
+    def _wedges_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized _pairs_within_groups pass per bucket (never a
+        # Python call per source node); d and rd share the same sorted
+        # group layout so the two pair lists align elementwise.
+        g = g.sort_values(["s", "d"], kind="stable")
+        sv = g["s"].to_numpy()
+        wa, wb = _pairs_within_groups(sv, g["d"].to_numpy())
+        ra, rb = _pairs_within_groups(sv, g["rd"].to_numpy())
         fwd = (ra < rb) | ((ra == rb) & (wa < wb))
-        return pd.DataFrame({"x": np.where(fwd, wa, wb),
-                             "y": np.where(fwd, wb, wa),
-                             "w": np.ones(len(wa), np.int64),
-                             "e": np.zeros(len(wa), np.int64)})
+        return pd.DataFrame({
+            "x": np.where(fwd, wa, wb).astype(np.int64),
+            "y": np.where(fwd, wb, wa).astype(np.int64),
+            "w": np.ones(len(wa), np.int64),
+            "e": np.zeros(len(wa), np.int64)})
 
-    wedges = bucketed_group_map(
-        oriented, ["s"], _wedges,
-        empty=pd.DataFrame({"x": pd.Series([], dtype=np.int64),
-                            "y": pd.Series([], dtype=np.int64),
-                            "w": pd.Series([], dtype=np.int64),
-                            "e": pd.Series([], dtype=np.int64)}))
+    wedges = bucketed_fold(oriented, ["s"], _wedges_fold)
 
     def _edge_rows(t: pa.Table) -> pa.Table:
         m = len(t)

@@ -1101,6 +1101,12 @@ def pack_sequences(ds, token_col: str = "n_tokens",
     def _fold(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.sort_values([shard_col, id_col], kind="stable")
              .reset_index(drop=True))
+        if g[shard_col].isna().any():
+            # a null shard would split per-row in greedy mode (NaN !=
+            # NaN) but group in cumsum mode (dropna=False) — fail loud
+            # instead of mode-dependent bins
+            raise ValueError(
+                f"pack_sequences: null shard values in '{shard_col}'")
         n = g[token_col].to_numpy()
         if pd.isna(n).any():
             raise ValueError(

@@ -1049,3 +1049,14 @@ def test_pack_sequences_null_tokens_raise(ray_session):
                        "n_tokens": [np.nan]})
     with pytest.raises(Exception, match="null token"):
         pack_sequences(rd.from_pandas(df), budget=10).to_pandas()
+
+
+def test_pack_sequences_null_shard_raises(ray_session):
+    import ray.data as rd
+
+    from buteo_ray.stages.text import pack_sequences
+
+    df = pd.DataFrame({"shard": [0.0, np.nan], "doc_id": [1, 2],
+                       "n_tokens": [5, 5]})
+    with pytest.raises(Exception, match="null shard"):
+        pack_sequences(rd.from_pandas(df), budget=10).to_pandas()

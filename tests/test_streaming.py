@@ -116,3 +116,36 @@ def test_cume_dist_ties_and_nulls(ray_session):
            .to_pandas().sort_values("id").reset_index(drop=True))
     # ORDER BY v: 1.0 (cd=1/4), 5.0 & 5.0 peers (cd=3/4), null last (cd=1)
     assert got["cd"].tolist() == [0.75, 0.75, 0.25, 1.0]
+
+
+def test_ewma_null_carry_matches_duckdb_recursive(ray_session):
+    import duckdb
+
+    from buteo_ray.stages.streaming import ewma_by_key
+
+    rng = np.random.default_rng(11)
+    n = 120
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, n), "o": np.arange(n),
+        "v": np.where(rng.random(n) < 0.3, np.nan, rng.normal(0, 2, n)),
+    })
+    got = (ewma_by_key(rd.from_pandas(df).repartition(3), "k", ["o"],
+                       "v", alpha=0.3)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t0", df)
+    want = con.execute("""
+        WITH RECURSIVE s AS (
+          SELECT k, o, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o)
+                 AS rn FROM t0),
+        r AS (
+          SELECT k, o, rn, v AS y FROM s WHERE rn = 1
+          UNION ALL
+          SELECT s.k, s.o, s.rn,
+                 CASE WHEN s.v IS NULL THEN r.y
+                      WHEN r.y IS NULL THEN s.v
+                      ELSE 0.3 * s.v + (1.0 - 0.3) * r.y END
+          FROM s JOIN r ON s.k = r.k AND s.rn = r.rn + 1)
+        SELECT o, y FROM r ORDER BY o""").fetchdf()
+    assert np.allclose(got["ewma"].to_numpy(), want["y"].to_numpy(),
+                       equal_nan=True, rtol=0, atol=0)
