@@ -134,3 +134,19 @@ def test_id_pairs_null_texts_dropped(ray_session):
     # only the bolt pair; null texts emit nothing (no crash, no
     # bogus dist-0 null-group pairs)
     assert got[["id_a", "id_b"]].values.tolist() == [[0, 1]]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_id_pairs_tiny_alphabet_adversarial(ray_session, seed):
+    # tiny alphabet + short lengths = maximal segment sharing and
+    # boundary traffic between the short bucket and segmentation
+    random.seed(100 + seed)
+    rows = [(i, "".join(random.choices("ab", k=random.randint(0, 6))))
+            for i in range(120)]
+    df = pd.DataFrame({"id": [r[0] for r in rows],
+                       "s": [r[1] for r in rows]})
+    got = (edit_distance_pairs(rd.from_pandas(df).repartition(4),
+                               "s", "id", 2).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    want = _brute_pairs(df, 2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
