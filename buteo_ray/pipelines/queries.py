@@ -4953,6 +4953,33 @@ def sql_unpivot() -> str:
     )
 
 
+def q_token_counts(sf_dir: str):
+    """Both token-counting flavors of the task brief side by side:
+    whitespace split and the BPE-ish RE2 pre-tokenizer pattern
+    (text.py:add_regex_token_count — Arrow count_substring_regex and
+    DuckDB regexp_extract_all share the RE2 dialect, so the counts are
+    identical by construction)."""
+    from buteo_ray.stages.text import add_regex_token_count, \
+        add_token_count
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = add_token_count(ds)
+    ds = add_regex_token_count(ds)
+    return ds.select_columns(["doc_id", "n_tokens", "n_tokens_re"])
+
+
+def sql_token_counts() -> str:
+    from buteo_ray.stages.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return (
+        "SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        "AS n_tokens_re FROM documents"
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing: whitespace token counts → deterministic
     splitmix shard (16) → ≈512-token bins in doc_id order per shard
@@ -5473,10 +5500,13 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # dem_slope's slot: r03-attested pure numpy Horn-slope kernel,
     # untouched since, pinned by exact pytests).
     "union_by_name": q_union_by_name,
-    # skyline (first entry PAST the driver window: its 2-D/N-D front
-    # mask is brute-force property-tested and the NOT-EXISTS oracle
-    # still runs in the local pytest suite every round)
+    # just PAST the driver window (every window slot is taken by a
+    # higher-risk never-attested op): the skyline's 2-D/N-D front mask
+    # is brute-force property-tested, and token_counts' Arrow↔DuckDB
+    # parity is structural (shared RE2 dialect); both oracles still
+    # run in the local pytest suite every session.
     "pareto_front": q_pareto_front,
+    "token_counts": q_token_counts,
     # round-5 CUBE (never attested — in-window; takes ts_slope's slot:
     # r03-attested per-group least-squares kernel, untouched since,
     # pinned by exact pytests).
@@ -5606,6 +5636,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "triangle_count": sql_triangle_count,
     "ewma": sql_ewma,
     "pack_sequences": sql_pack_sequences,
+    "token_counts": sql_token_counts,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,

@@ -1135,3 +1135,33 @@ def pack_sequences(ds, token_col: str = "n_tokens",
         return g
 
     return bucketed_fold(ds, [shard_col], _fold, num_buckets)
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct/space
+# classes, rewritten without lookahead so it is pure RE2 — the dialect
+# BOTH Arrow's count_substring_regex and DuckDB's regexp_* use, which
+# is what makes the SQL oracle exact).
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[[:alpha:]]+"
+    r"| ?[[:digit:]]+"
+    r"| ?[^\s[:alpha:][:digit:]]+"
+    r"|\s+"
+)
+
+
+def add_regex_token_count(ds, text_col: str = "text",
+                          out_col: str = "n_tokens_re",
+                          pattern: str = BPE_TOKEN_PATTERN):
+    """BPE-style regex token count (the task brief's 'whitespace + a
+    BPE-ish regex' counting pair — whitespace lives in
+    :func:`add_token_count`): non-overlapping RE2 matches of
+    ``pattern`` per document, one vectorized
+    ``pc.count_substring_regex`` per batch. The pattern is compiled
+    once inside Arrow's kernel; no per-row Python."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[text_col], pattern)
+        return _set_col(batch, out_col, n.cast(pa.int64()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
