@@ -4953,6 +4953,19 @@ def sql_unpivot() -> str:
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE merge training (30 merges) over the document corpus —
+    word-frequency collapse then the deterministic merge loop
+    (stages/bpe.py; Sennrich et al. ACL'16). Not SQL-expressible
+    (iterative argmax over evolving state) → rows-only under the
+    driver; both tiers are pinned against an independent reference
+    implementation in tests/test_bpe.py."""
+    from buteo_ray.stages.bpe import bpe_train
+
+    ds = _docs(sf_dir, columns=["text"])
+    return bpe_train(ds, "text", n_merges=30)
+
+
 def q_token_counts(sf_dir: str):
     """Both token-counting flavors of the task brief side by side:
     whitespace split and the BPE-ish RE2 pre-tokenizer pattern
@@ -5615,6 +5628,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "coregister": q_coregister,
     "multimodal_features": q_multimodal_features,
+    "bpe_merges": q_bpe_merges,
 }
 
 # Builders, not strings: sql_pip_join_poly() alone synthesises 1000
