@@ -29,8 +29,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _EOW = "</w>"
