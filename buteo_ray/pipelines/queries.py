@@ -4953,6 +4953,23 @@ def sql_unpivot() -> str:
     )
 
 
+def q_random_projection(sf_dir: str):
+    """Signed JL random projection 64 → 8 dims (Achlioptas 2003) —
+    map-only integer matmul vs the identical sign matrix embedded in
+    the oracle as a VALUES literal (stages/ann.py:random_projection;
+    exact: quantized embeddings make every coordinate an integer)."""
+    from buteo_ray.stages.ann import random_projection
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return random_projection(ds, out_dim=8)
+
+
+def sql_random_projection() -> str:
+    from buteo_ray.stages.ann import random_projection_sql
+
+    return random_projection_sql("embeddings", dim=64, out_dim=8)
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE merge training (30 merges) over the document corpus —
     word-frequency collapse then the deterministic merge loop
@@ -5520,6 +5537,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # run in the local pytest suite every session.
     "pareto_front": q_pareto_front,
     "token_counts": q_token_counts,
+    "random_projection": q_random_projection,
     # round-5 CUBE (never attested — in-window; takes ts_slope's slot:
     # r03-attested per-group least-squares kernel, untouched since,
     # pinned by exact pytests).
@@ -5651,6 +5669,7 @@ _ORACLE_BUILDERS: Dict[str, Callable[[], str]] = {
     "ewma": sql_ewma,
     "pack_sequences": sql_pack_sequences,
     "token_counts": sql_token_counts,
+    "random_projection": sql_random_projection,
     "geocode_cells": sql_geocode_cells,
     "pip_join_bbox": sql_pip_join_bbox,
     "pip_semi_join": sql_pip_semi_join,

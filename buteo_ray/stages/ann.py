@@ -527,3 +527,78 @@ def centroids_per_label(ds, emb_col: str = "embedding", label_col: str = "label"
         .groupby("label")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def _rp_signs(dim: int, out_dim: int, seed: int = 0) -> np.ndarray:
+    """Deterministic ±1 sign matrix (out_dim, dim) from splitmix64 —
+    the Achlioptas (2003) database-friendly JL projection. Shared by
+    the Ray stage and the SQL-oracle builder so both sides multiply by
+    the IDENTICAL matrix."""
+    from buteo_ray.stages.dedup import _splitmix64
+
+    idx = (np.arange(out_dim * dim, dtype=np.uint64)
+           + np.uint64(seed) * np.uint64(0x9E3779B9))
+    bits = _splitmix64(idx) & np.uint64(1)
+    return np.where(bits.astype(bool), 1, -1).astype(
+        np.int64).reshape(out_dim, dim)
+
+
+def random_projection(ds, out_dim: int = 8, emb_col: str = "embedding",
+                      id_col: str = "vec_id", seed: int = 0):
+    """Signed random projection — the Johnson–Lindenstrauss dimension
+    sketch with ±1 entries (Achlioptas 2003; public literature): the
+    embedding-compression front of an ANN/clustering pipeline. Pure
+    ``map_batches``: one integer matmul per batch against the
+    closure-captured sign matrix (out_dim × D int64 — bytes, not a
+    broadcast problem); no shuffle, no state.
+
+    Embeddings quantize via :func:`quantize` first, so every projected
+    coordinate is an exact integer (|Σ| < 2^53) — order-independent
+    and bit-replayable by the SQL oracle. Output is LONG form:
+    Dataset[(id, dim:int64, proj:int64)], out_dim rows per vector.
+    """
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    signs_cache = {}
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch, emb_col)
+        n = batch.num_rows
+        if n == 0 or e.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.int64())})
+        d = e.shape[1]
+        if d not in signs_cache:
+            signs_cache[d] = _rp_signs(d, out_dim, seed).astype(
+                np.float64)
+        q = quantize(e)
+        p = (q @ signs_cache[d].T).astype(np.int64)  # (n, out_dim)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: np.repeat(ids, out_dim),
+            "dim": np.tile(np.arange(out_dim, dtype=np.int64), n),
+            "proj": p.ravel(),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def random_projection_sql(table: str, dim: int, out_dim: int = 8,
+                          emb_col: str = "embedding",
+                          id_col: str = "vec_id", seed: int = 0) -> str:
+    """DuckDB twin of :func:`random_projection`: the SAME sign matrix
+    (same splitmix64 derivation) embedded as a VALUES literal, joined
+    against the unnested embedding — exact integer sums."""
+    signs = _rp_signs(dim, out_dim, seed)
+    rows = ",".join(
+        f"({j},{i + 1},{int(signs[j, i])})"
+        for j in range(out_dim) for i in range(dim))
+    return (
+        f"WITH e AS (SELECT {id_col}, unnest({emb_col}) AS v, "
+        f"generate_subscripts({emb_col}, 1) AS i FROM {table}), "
+        f"s(j, i, sgn) AS (VALUES {rows}) "
+        f"SELECT e.{id_col}, CAST(s.j AS BIGINT) AS dim, "
+        "CAST(SUM(FLOOR(e.v * 1000 + 0.5) * s.sgn) AS BIGINT) AS proj "
+        f"FROM e JOIN s ON s.i = e.i GROUP BY e.{id_col}, s.j"
+    )

@@ -1060,3 +1060,33 @@ def test_pack_sequences_null_shard_raises(ray_session):
                        "n_tokens": [5, 5]})
     with pytest.raises(Exception, match="null shard"):
         pack_sequences(rd.from_pandas(df), budget=10).to_pandas()
+
+
+def test_random_projection_preserves_similarity_order(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from buteo_ray.stages.ann import (_rp_signs, quantize,
+                                      random_projection)
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(0, 1, 64)
+    # three vectors: near-dup of base, and an unrelated one
+    vecs = np.stack([base, base + rng.normal(0, 0.01, 64),
+                     rng.normal(0, 1, 64)]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    got = (random_projection(rd.from_arrow(t), out_dim=16)
+           .to_pandas().pivot(index="vec_id", columns="dim",
+                              values="proj").to_numpy())
+    d01 = np.sum((got[0] - got[1]) ** 2)
+    d02 = np.sum((got[0] - got[2]) ** 2)
+    assert d01 < d02  # near-dup stays nearer after projection
+    # exactness: matches the direct integer matmul
+    S = _rp_signs(64, 16).astype(np.float64)
+    want = (quantize(vecs.astype(np.float64)) @ S.T).astype(np.int64)
+    assert (got == want).all()
+
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(rd.from_arrow(t), out_dim=0)
