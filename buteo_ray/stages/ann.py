@@ -565,7 +565,11 @@ def random_projection(ds, out_dim: int = 8, emb_col: str = "embedding",
         e = _emb_matrix(batch, emb_col)
         n = batch.num_rows
         if n == 0 or e.size == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            # id type from the BATCH schema — a hardcoded int64 here
+            # would conflict with non-int id columns on empty blocks
+            id_type = (batch[id_col].type if id_col in batch.column_names
+                       else pa.int64())
+            return pa.table({id_col: pa.array([], id_type),
                              "dim": pa.array([], pa.int64()),
                              "proj": pa.array([], pa.int64())})
         d = e.shape[1]
@@ -599,6 +603,11 @@ def random_projection_sql(table: str, dim: int, out_dim: int = 8,
         f"generate_subscripts({emb_col}, 1) AS i FROM {table}), "
         f"s(j, i, sgn) AS (VALUES {rows}) "
         f"SELECT e.{id_col}, CAST(s.j AS BIGINT) AS dim, "
-        "CAST(SUM(FLOOR(e.v * 1000 + 0.5) * s.sgn) AS BIGINT) AS proj "
+        # CAST to DOUBLE first: the embedding column is float32 and
+        # DuckDB would evaluate REAL*1000+0.5 in FLOAT, crossing FLOOR
+        # boundaries the stage's float64 quantize does not (~3e-5 of
+        # random coordinates) — same rule as every sibling oracle
+        "CAST(SUM(FLOOR(CAST(e.v AS DOUBLE) * 1000 + 0.5) * s.sgn) "
+        "AS BIGINT) AS proj "
         f"FROM e JOIN s ON s.i = e.i GROUP BY e.{id_col}, s.j"
     )

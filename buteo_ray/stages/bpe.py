@@ -19,8 +19,10 @@ Merge ranks are then computed over that vocabulary:
   table (symbol lists + counts), never the corpus. O(n_merges)
   supersteps — the documented cost of training past the driver gate.
 
-Words are whitespace tokens; each word is a char-symbol sequence with
-the terminal ``</w>`` marker (the published formulation). Ties at
+Words are SINGLE-SPACE tokens (the engine-wide token contract shared
+with text.py:add_token_count — tabs/newlines stay inside a word; pass
+normalized text for the published whitespace formulation); each word
+is a char-symbol sequence with the terminal ``</w>`` marker. Ties at
 equal counts break to the smallest (left, right) pair so both tiers
 and any reference implementation agree bit-for-bit.
 """
@@ -106,12 +108,18 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
 
     vocab_ds = _word_counts(ds, text_col).materialize()
 
-    empty = pa.table({"rank": pa.array([], pa.int64()),
-                      "left": pa.array([], pa.string()),
-                      "right": pa.array([], pa.string()),
-                      "n": pa.array([], pa.int64())})
+    def _merge_table(merges: list) -> "pa.Table":
+        # ONE epilogue for both tiers so their output schemas can
+        # never desynchronize
+        return pa.table({
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "n": pa.array([m[3] for m in merges], pa.int64()),
+        })
+
     if vocab_ds.count() == 0:
-        return ray.data.from_arrow(empty)
+        return ray.data.from_arrow(_merge_table([]))
 
     if (vocab_ds.size_bytes() or 0) <= driver_vocab_bytes:
         vt = pa.concat_tables(nonempty_arrow_blocks(vocab_ds))
@@ -128,14 +136,7 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
             merges.append((rank, a, b, stats[best]))
             ab = a + b
             vocab = [(_apply_merge(s, a, b, ab), n) for s, n in vocab]
-        if not merges:
-            return ray.data.from_arrow(empty)
-        return ray.data.from_arrow(pa.table({
-            "rank": pa.array([m[0] for m in merges], pa.int64()),
-            "left": pa.array([m[1] for m in merges], pa.string()),
-            "right": pa.array([m[2] for m in merges], pa.string()),
-            "n": pa.array([m[3] for m in merges], pa.int64()),
-        }))
+        return ray.data.from_arrow(_merge_table(merges))
 
     # --- distributed tier: vocab as Dataset[(syms:list<string>, n)] --
     from buteo_ray.stages.aggregate import bucketed_sum
@@ -150,22 +151,23 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
 
     cur = vocab_ds.map_batches(_to_syms, batch_format="pyarrow",
                                batch_size=None).materialize()
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        ls, rs, cs = [], [], []
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        for syms, n in zip(t["syms"].to_pylist(), ns):
+            for i in range(len(syms) - 1):
+                ls.append(syms[i])
+                rs.append(syms[i + 1])
+                cs.append(int(n))
+        out = (pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "__c": pa.array(cs, pa.int64())})
+               .group_by(["l", "r"]).aggregate([("__c", "sum")]))
+        return out.rename_columns(["l", "r", "__c"])
+
     merges = []
     for rank in range(n_merges):
-        def _pairs(t: pa.Table) -> pa.Table:
-            ls, rs, cs = [], [], []
-            ns = t["n"].to_numpy(zero_copy_only=False)
-            for syms, n in zip(t["syms"].to_pylist(), ns):
-                for i in range(len(syms) - 1):
-                    ls.append(syms[i])
-                    rs.append(syms[i + 1])
-                    cs.append(int(n))
-            out = (pa.table({"l": pa.array(ls, pa.string()),
-                             "r": pa.array(rs, pa.string()),
-                             "__c": pa.array(cs, pa.int64())})
-                   .group_by(["l", "r"]).aggregate([("__c", "sum")]))
-            return out.rename_columns(["l", "r", "__c"])
-
         pair_counts = bucketed_sum(
             cur.map_batches(_pairs, batch_format="pyarrow",
                             batch_size=None),
@@ -192,11 +194,4 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
         cur = cur.map_batches(_apply, batch_format="pyarrow",
                               batch_size=None).materialize()
 
-    if not merges:
-        return ray.data.from_arrow(empty)
-    return ray.data.from_arrow(pa.table({
-        "rank": pa.array([m[0] for m in merges], pa.int64()),
-        "left": pa.array([m[1] for m in merges], pa.string()),
-        "right": pa.array([m[2] for m in merges], pa.string()),
-        "n": pa.array([m[3] for m in merges], pa.int64()),
-    }))
+    return ray.data.from_arrow(_merge_table(merges))
