@@ -202,3 +202,50 @@ def test_mode_by_group_int64_values_with_nulls(ray_session):
     got = mode_by_group(rd.from_arrow(df), "k", "v").to_pandas()
     assert int(got["mode_val"].iloc[0]) == 2**60
     assert got["mode_n"].iloc[0] == 2
+
+
+def test_full_outer_join_duplicate_right_keys(ray_session):
+    # non-unique right keys force the shuffle tier even under the byte
+    # gate (broadcast requires a dimension table); semantics must stay
+    # full-outer with row multiplication on matches
+    import duckdb
+
+    left = pd.DataFrame({"k": [1, 2, 2, 9], "v": [10, 20, 21, 90]})
+    right = pd.DataFrame({"rk": [2, 2, 3], "w": [100, 200, 300]})
+    got = (full_outer_join_auto(rd.from_pandas(left).repartition(2),
+                                rd.from_pandas(right).repartition(2),
+                                "k", "rk").to_pandas())
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        "SELECT COALESCE(l.k, r.rk) AS k, l.v, r.w FROM l "
+        "FULL JOIN r ON l.k = r.rk").fetchdf()
+    key = ["k", "v", "w"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key, na_position="last").reset_index(drop=True),
+        want[key].sort_values(key, na_position="last").reset_index(drop=True),
+        check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_mode_by_group_matches_duckdb_random(ray_session, seed):
+    import duckdb
+
+    from buteo_ray.stages.aggregate import mode_by_group
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({"k": rng.integers(0, 9, 300),
+                       "v": rng.choice(["x", "y", "z", None], 300)})
+    got = (mode_by_group(rd.from_pandas(df).repartition(4), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT k, v AS mode_val, CAST(n AS BIGINT) AS mode_n FROM (
+          SELECT k, v, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY k
+                   ORDER BY COUNT(*) DESC, v ASC) AS rn
+          FROM t GROUP BY k, v) s WHERE rn = 1
+        ORDER BY k""").fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -114,3 +114,28 @@ def test_group_quantiles_cont_edges(ray_session):
 
     with pytest.raises(ValueError, match="outside"):
         group_quantiles_cont(rd.from_arrow(t), "g", "v", [1.5])
+
+
+@pytest.mark.parametrize("seed", [2, 5])
+def test_winsorize_matches_duckdb_random(ray_session, seed):
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({"g": rng.integers(0, 6, 400),
+                       "v": rng.normal(0, 5, 400).round(3)})
+    got = (winsorize_by_group(rd.from_pandas(df).repartition(4),
+                              "g", "v", 0.05, 0.95)
+           .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT t.g, t.v,
+               LEAST(GREATEST(t.v, q.q_lo), q.q_hi) AS v_w,
+               q.q_lo, q.q_hi
+        FROM t JOIN (SELECT g, quantile_disc(v, 0.05) AS q_lo,
+                            quantile_disc(v, 0.95) AS q_hi
+                     FROM t GROUP BY g) q USING (g)
+        ORDER BY g, v""").fetchdf()
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "v_w", "q_lo", "q_hi"]].reset_index(drop=True),
+        want.reset_index(drop=True), check_dtype=False)
