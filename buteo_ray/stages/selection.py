@@ -487,7 +487,8 @@ def weighted_topk_per_group(ds, key_col: str, id_col: str,
 def winsorize_by_group(ds, group_col: str, value_col: str,
                        q_lo: float = 0.05, q_hi: float = 0.95,
                        lo_col: str = "q_lo", hi_col: str = "q_hi",
-                       out_col: Optional[str] = None):
+                       out_col: Optional[str] = None,
+                       approx: bool = False):
     """Per-group winsorization: clip ``value_col`` into its group's
     discrete [q_lo, q_hi] quantile range (the outlier-taming transform
     before scaling/aggregating quality scores). Appends the clipped
@@ -500,11 +501,13 @@ def winsorize_by_group(ds, group_col: str, value_col: str,
 
     Plan: one ``groupby(group).map_groups`` computing the two ranks
     per group (per-group gather — exact quantiles of CONTINUOUS values
-    need the group in one place; for groups too large to gather, get
-    approximate thresholds from the histogram-CDF path
-    (aggregate.py approx quantiles) and clip with those instead), then
-    ``ray.put`` of the tiny per-group threshold table and a streaming
-    vectorized clip. Pinned bytes: 3 scalars per group.
+    need the group in one place), then ``ray.put`` of the tiny
+    per-group threshold table and a streaming vectorized clip. Pinned
+    bytes: 3 scalars per group. ``approx=True`` is the SCALE path for
+    groups too large to gather: thresholds come from the two-pass
+    histogram-CDF quantiles (sketch.py:approx_quantile_by_group —
+    lower-bound of quantile_disc, error ≤ one bin width, no per-group
+    gather anywhere); the clip stage is identical.
     """
     import ray
     import pyarrow.compute as pc
@@ -533,9 +536,22 @@ def winsorize_by_group(ds, group_col: str, value_col: str,
                              lo_col: [float(v[r_lo - 1])],
                              hi_col: [float(v[r_hi - 1])]})
 
-    thr = (ds.select_columns([group_col, value_col])
-           .groupby(group_col).map_groups(_thr, batch_format="pandas")
-           .to_pandas())
+    if approx:
+        from buteo_ray.stages.sketch import approx_quantile_by_group
+
+        qs = [q_lo] if q4_lo == q4_hi else [q_lo, q_hi]
+        thr = approx_quantile_by_group(
+            ds.select_columns([group_col, value_col]),
+            [group_col], value_col, qs).to_pandas()
+        thr = thr.rename(columns={f"q_{q_lo}": lo_col,
+                                  f"q_{q_hi}": hi_col})
+        if q4_lo == q4_hi:
+            thr[hi_col] = thr[lo_col]
+    else:
+        thr = (ds.select_columns([group_col, value_col])
+               .groupby(group_col).map_groups(_thr,
+                                              batch_format="pandas")
+               .to_pandas())
     ref = ray.put((pa.array(thr[group_col]),
                    thr[lo_col].to_numpy(), thr[hi_col].to_numpy()))
 

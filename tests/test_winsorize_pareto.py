@@ -139,3 +139,25 @@ def test_winsorize_matches_duckdb_random(ray_session, seed):
     pd.testing.assert_frame_equal(
         got[["g", "v", "v_w", "q_lo", "q_hi"]].reset_index(drop=True),
         want.reset_index(drop=True), check_dtype=False)
+
+
+def test_winsorize_approx_tier_within_bin_width(ray_session):
+    from buteo_ray.stages.selection import winsorize_by_group
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"g": rng.integers(0, 3, 600),
+                       "v": rng.normal(0, 10, 600)})
+    exact = (winsorize_by_group(rd.from_pandas(df).repartition(3),
+                                "g", "v", 0.1, 0.9)
+             .to_pandas().drop_duplicates("g").sort_values("g"))
+    apx = (winsorize_by_group(rd.from_pandas(df).repartition(3),
+                              "g", "v", 0.1, 0.9, approx=True)
+           .to_pandas().drop_duplicates("g").sort_values("g"))
+    for g in range(3):
+        lo, hi = df.loc[df["g"] == g, "v"].agg(["min", "max"])
+        bin_w = (hi - lo) / 4096
+        e = exact.loc[exact["g"] == g].iloc[0]
+        a = apx.loc[apx["g"] == g].iloc[0]
+        # approx is a lower bound of quantile_disc, within one bin
+        assert e["q_lo"] - bin_w <= a["q_lo"] <= e["q_lo"] + 1e-12
+        assert e["q_hi"] - bin_w <= a["q_hi"] <= e["q_hi"] + 1e-12
