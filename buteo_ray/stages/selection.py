@@ -539,14 +539,22 @@ def winsorize_by_group(ds, group_col: str, value_col: str,
     if approx:
         from buteo_ray.stages.sketch import approx_quantile_by_group
 
+        # materialize the 2-column projection once: the histogram path
+        # scans it twice by design, and without this every upstream
+        # transform would re-execute per pass (pinned bytes: the
+        # projection, spillable)
+        proj = ds.select_columns([group_col, value_col]).materialize()
         qs = [q_lo] if q4_lo == q4_hi else [q_lo, q_hi]
-        thr = approx_quantile_by_group(
-            ds.select_columns([group_col, value_col]),
-            [group_col], value_col, qs).to_pandas()
-        thr = thr.rename(columns={f"q_{q_lo}": lo_col,
-                                  f"q_{q_hi}": hi_col})
+        thr = approx_quantile_by_group(proj, [group_col], value_col,
+                                       qs).to_pandas()
+        # approx_quantile_by_group names columns by float(q); rename
+        # one at a time (a dict literal with q_lo == q_hi would
+        # silently collapse to a single key)
+        thr = thr.rename(columns={f"q_{float(q_lo)}": lo_col})
         if q4_lo == q4_hi:
             thr[hi_col] = thr[lo_col]
+        else:
+            thr = thr.rename(columns={f"q_{float(q_hi)}": hi_col})
     else:
         thr = (ds.select_columns([group_col, value_col])
                .groupby(group_col).map_groups(_thr,
@@ -562,6 +570,20 @@ def winsorize_by_group(ds, group_col: str, value_col: str,
         # mask= turns the all-null-group NaN sentinel into an Arrow
         # null BEFORE the cast — casting NaN to an int value type
         # would raise and kill the whole query
+        if pa.types.is_integer(vt):
+            # fractional thresholds (the approx tier's bin edges) must
+            # round toward the clip interval before an int cast:
+            # clip(v, lo, hi) over integers ≡ clip(v, ⌈lo⌉, ⌊hi⌋) —
+            # a safe cast of 12.37 to int64 would raise instead.
+            # An interval containing NO integer (incl. the degenerate
+            # q_lo == q_hi point) pins both bounds to the half-up
+            # midpoint so lo ≤ hi always holds.
+            lo_i = np.ceil(lo_np)
+            hi_i = np.floor(hi_np)
+            mid = np.floor((lo_np + hi_np) / 2.0 + 0.5)
+            deg = lo_i > hi_i
+            lo_np = np.where(deg, mid, lo_i)
+            hi_np = np.where(deg, mid, hi_i)
         lo_a = pa.array(lo_np, mask=np.isnan(lo_np)).cast(vt)
         hi_a = pa.array(hi_np, mask=np.isnan(hi_np)).cast(vt)
         lo_v = pc.take(lo_a, idx)

@@ -255,6 +255,18 @@ def approx_quantile_by_group(ds, keys: Sequence[str], col: str,
     mm = grouped_aggregate(ds, keys, mins={"__lo": col},
                            maxs={"__hi": col})
     mm_tab = nonempty_arrow_blocks(mm)
+
+    def _norm_key(kv) -> tuple:
+        # NaN/None group keys must hash EQUAL between the dict build
+        # and the pandas-groupby probe — distinct NaN objects hash by
+        # identity, so a null-keyed group would silently miss its
+        # bounds and come back all-NaN
+        return tuple(
+            None if x is None
+            or (isinstance(x, float) and np.isnan(x))
+            or x is pd.NaT else x
+            for x in kv)
+
     bounds: dict = {}
     for t in mm_tab:
         df = t.to_pandas()
@@ -262,7 +274,7 @@ def approx_quantile_by_group(ds, keys: Sequence[str], col: str,
         his = df["__hi"].to_numpy()
         kcols = [df[k].to_numpy() for k in keys]
         for i in range(len(df)):
-            bounds[tuple(c[i] for c in kcols)] = (los[i], his[i])
+            bounds[_norm_key(c[i] for c in kcols)] = (los[i], his[i])
 
     def _hist(t: pa.Table) -> pd.DataFrame:
         vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -272,7 +284,7 @@ def approx_quantile_by_group(ds, keys: Sequence[str], col: str,
         for kv, g in kdf.groupby(keys, sort=False, dropna=False):
             if not isinstance(kv, tuple):
                 kv = (kv,)
-            lo, hi = bounds.get(kv, (np.nan, np.nan))
+            lo, hi = bounds.get(_norm_key(kv), (np.nan, np.nan))
             x = vals[g.index.to_numpy()]
             x = x[~np.isnan(x)]
             if not len(x) or not np.isfinite(lo) or hi <= lo:
@@ -313,7 +325,7 @@ def approx_quantile_by_group(ds, keys: Sequence[str], col: str,
             bins = grp["__bin"].to_numpy()
             cum = grp["__cnt"].to_numpy().cumsum()
             n = int(cum[-1]) if len(cum) else 0
-            lo, hi = bounds.get(kv, (np.nan, np.nan))
+            lo, hi = bounds.get(_norm_key(kv), (np.nan, np.nan))
             width = (hi - lo) / B if (np.isfinite(lo) and hi > lo) else 0.0
             for k, v in zip(keys, kv):
                 out_rows[k].append(v)
@@ -321,7 +333,13 @@ def approx_quantile_by_group(ds, keys: Sequence[str], col: str,
                 if n == 0:
                     qcols[f"q_{q}"].append(float("nan"))
                     continue
-                rank = max(int(np.ceil(q * n)), 1)
+                # exact-rational rank ⌈q·n⌉ for q with ≤ 12 decimals —
+                # float np.ceil(q*n) overshoots at exact boundaries
+                # (0.05·20 → 1.0000000000000002 → rank 2), diverging
+                # from quantile_disc in precisely the huge-n regime
+                # this tier exists for
+                q12 = int(round(q * 10 ** 12))
+                rank = max(-(-q12 * n // 10 ** 12), 1)
                 i = int(np.searchsorted(cum, rank))
                 qcols[f"q_{q}"].append(float(lo + bins[i] * width))
         out = pd.DataFrame(out_rows)

@@ -161,3 +161,49 @@ def test_winsorize_approx_tier_within_bin_width(ray_session):
         # approx is a lower bound of quantile_disc, within one bin
         assert e["q_lo"] - bin_w <= a["q_lo"] <= e["q_lo"] + 1e-12
         assert e["q_hi"] - bin_w <= a["q_hi"] <= e["q_hi"] + 1e-12
+
+
+def test_winsorize_approx_int_column_and_equal_quantiles(ray_session):
+    t = pa.table({"g": pa.array([0] * 40 + [1] * 40, pa.int64()),
+                  "v": pa.array(list(range(40)) + list(range(100, 140)),
+                                pa.int64())})
+    # int value column + approx tier: fractional bin-edge thresholds
+    # must round into the clip interval, not crash the int cast
+    got = (winsorize_by_group(rd.from_arrow(t), "g", "v", 0.1, 0.9,
+                              approx=True).to_pandas())
+    assert got["v_w"].notna().all()
+    assert (got["v_w"] >= got["q_lo"]).all()
+    assert (got["v_w"] <= got["q_hi"]).all()
+    # q_lo == q_hi (clip to a single quantile) must work in approx mode
+    got2 = (winsorize_by_group(rd.from_arrow(t), "g", "v", 0.5, 0.5,
+                               approx=True).to_pandas())
+    assert (got2["q_lo"] == got2["q_hi"]).all()
+    assert got2.groupby("g")["v_w"].nunique().tolist() == [1, 1]
+
+
+def test_approx_quantile_exact_rank_boundary(ray_session):
+    # q*n float boundary: q=0.05, n=20 → exact-rational rank 1, while
+    # float ceil(0.05*20)=ceil(1.0000000000000002)=2 — the approx rank
+    # must use the rational rule (here every value is its own bin, so
+    # the quantile equals the exact quantile_disc value)
+    from buteo_ray.stages.sketch import approx_quantile_by_group
+
+    df = pd.DataFrame({"g": [0] * 20, "v": np.arange(20, dtype=float)})
+    got = approx_quantile_by_group(rd.from_pandas(df), ["g"], "v",
+                                   [0.05]).to_pandas()
+    # rank 1 → first value (0.0); the old float rank would give ~1.0
+    assert got["q_0.05"].iloc[0] == 0.0
+
+
+def test_approx_quantile_null_group_key(ray_session):
+    from buteo_ray.stages.sketch import approx_quantile_by_group
+
+    t = pa.table({"g": pa.array([1, 1, None, None], pa.int64()),
+                  "v": pa.array([1.0, 3.0, 10.0, 30.0], pa.float64())})
+    got = (approx_quantile_by_group(rd.from_arrow(t), ["g"], "v",
+                                    [1.0]).to_pandas())
+    # the NULL-keyed group has real values — its max quantile must be
+    # computed (≈30 within a bin), not silently NaN
+    nullrow = got[got["g"].isna()]
+    assert len(nullrow) == 1 and np.isfinite(nullrow["q_1.0"].iloc[0])
+    assert nullrow["q_1.0"].iloc[0] >= 10.0
